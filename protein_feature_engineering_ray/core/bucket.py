@@ -1,0 +1,105 @@
+"""The one co-location shuffle.
+
+Everything per-conversation in this engine rides on a single hash-by-
+``conv_id`` exchange (SURVEY.md §7.3): rows gain a ``_bucket`` column from a
+process-stable hash of ``conv_id``, then ``groupby("_bucket").map_groups``
+delivers each bucket — MANY whole conversations — to one task as one Arrow
+table.  Kernels then run segment-vectorized across every conversation in the
+bucket (no per-row or per-conversation Python in the hot path).
+
+Scale notes (100 TB / multi-node):
+- ``num_buckets`` is the unit of shuffle parallelism AND of output
+  partitioning/resume; size it so a bucket (~corpus/num_buckets) fits a
+  worker's heap.  Default scales with cluster CPUs.
+- Skew: a bucket holds many conversations, so one hot conversation only skews
+  its bucket by its own size; for pathological mega-conversations raise
+  ``num_buckets`` (salting happens naturally because OTHER convs hash away)
+  and cap per-conv work in kernels (e.g. ASDC O(n²) caps, functions/).
+- The same ``_bucket`` key is reused by the as-of join (stages/asof.py) and
+  the resumable backfill partition layout (pipelines/backfill.py), so the
+  corpus is exchanged once per pipeline, not once per operator.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+DEFAULT_NUM_BUCKETS = 64
+
+
+def bucket_hash(conv_ids, num_buckets: int) -> np.ndarray:
+    """Process-stable hash bucket for each conv_id (uint32).
+
+    Uses pandas' fixed-key siphash (``pd.util.hash_array``) — deterministic
+    across processes/nodes, unlike Python's salted ``hash``.
+    """
+    arr = np.asarray(conv_ids, dtype=object)
+    return (pd.util.hash_array(arr) % np.uint64(num_buckets)).astype(np.uint32)
+
+
+def add_bucket(
+    ds: ray.data.Dataset,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    key: str = "conv_id",
+) -> ray.data.Dataset:
+    """Append the ``_bucket`` column (vectorized, stateless map_batches)."""
+
+    def _add(batch: pa.Table) -> pa.Table:
+        b = bucket_hash(batch[key].to_numpy(zero_copy_only=False), num_buckets)
+        return batch.append_column("_bucket", pa.array(b, pa.uint32()))
+
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
+def sort_bucket(
+    table: pa.Table,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> pa.Table:
+    """Stable sort of one bucket by conversation + intra-conversation order."""
+    idx = pa.compute.sort_indices(
+        table, sort_keys=[(c, "ascending") for c in order_cols]
+    )
+    return table.take(idx)
+
+
+def grouped_buckets(
+    ds: ray.data.Dataset,
+    bucket_fn: Callable[[pa.Table], pa.Table],
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    key: str = "conv_id",
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    drop_bucket: bool = True,
+) -> ray.data.Dataset:
+    """Apply ``bucket_fn`` to each co-located, sorted bucket.
+
+    ``bucket_fn`` receives one Arrow table per bucket, already sorted by
+    ``order_cols`` (whole conversations, in turn order), and returns an Arrow
+    table.  This is the engine's single wide exchange — Ray implements the
+    ``groupby`` via its sort-based shuffle with streaming backpressure.
+    """
+
+    def _fn(table: pa.Table) -> pa.Table:
+        table = sort_bucket(table, order_cols)
+        if drop_bucket and "_bucket" in table.column_names:
+            table = table.drop_columns(["_bucket"])
+        out = bucket_fn(table)
+        return out
+
+    return add_bucket(ds, num_buckets, key=key).groupby("_bucket").map_groups(
+        _fn, batch_format="pyarrow"
+    )
+
+
+def segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Offsets (len n_segments+1) of equal-key runs in a sorted key array."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.zeros(1, dtype=np.int64)
+    change = np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1
+    return np.concatenate(([0], change, [n])).astype(np.int64)

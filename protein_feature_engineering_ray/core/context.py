@@ -1,0 +1,89 @@
+"""Per-bucket computation context.
+
+A ``ConvContext`` wraps one co-located, ``(conv_id, turn order)``-sorted Arrow
+table (many whole conversations) and lazily exposes the numpy views kernels
+need: segment offsets, per-row segment ids, encoded role/tool codes, int64
+timestamps, positions within conversation.  Computing these ONCE per bucket —
+instead of once per descriptor, as the reference recomputes its per-sequence
+scaffolding in every method loop (e.g. feature.py:440, 469, 501) — is what
+lets dozens of descriptor kernels share a single shuffle.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+
+import numpy as np
+import pyarrow as pa
+
+from protein_feature_engineering_ray.core.bucket import segment_starts
+from protein_feature_engineering_ray.schema import Alphabet
+
+
+class ConvContext:
+    def __init__(self, table: pa.Table, alphabet: Alphabet):
+        self.table = table
+        self.alphabet = alphabet
+        self.n = table.num_rows
+
+    def col_np(self, name: str):
+        return self.table[name].to_numpy(zero_copy_only=False)
+
+    @cached_property
+    def conv_ids_rows(self) -> np.ndarray:
+        return np.asarray(self.col_np("conv_id"), dtype=object)
+
+    @cached_property
+    def starts(self) -> np.ndarray:
+        """Segment offsets, length n_segments + 1."""
+        return segment_starts(self.conv_ids_rows)
+
+    @cached_property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.starts)
+
+    @property
+    def n_segs(self) -> int:
+        return len(self.starts) - 1
+
+    @cached_property
+    def seg_of_row(self) -> np.ndarray:
+        return np.repeat(np.arange(self.n_segs, dtype=np.int64), self.lengths)
+
+    @cached_property
+    def conv_ids(self) -> np.ndarray:
+        """One conv_id per segment."""
+        return self.conv_ids_rows[self.starts[:-1]]
+
+    @cached_property
+    def pos(self) -> np.ndarray:
+        """0-based position of each row within its conversation."""
+        return np.arange(self.n, dtype=np.int64) - self.starts[self.seg_of_row]
+
+    @cached_property
+    def codes(self) -> np.ndarray:
+        """Role codes in the fine alphabet; unknown -> -1."""
+        return self.alphabet.encode(self.col_np("role"))
+
+    @cached_property
+    def group_codes(self) -> np.ndarray:
+        """Role codes coarsened through the alphabet's grouping map."""
+        gmap = self.alphabet.group_code_map()
+        c = self.codes
+        out = np.where(c >= 0, gmap[np.clip(c, 0, None)], -1)
+        return out
+
+    @cached_property
+    def ts_us(self) -> np.ndarray:
+        """ts as int64 microseconds regardless of source unit (ns from pandas,
+        us from the canonical schema)."""
+        ts = self.table["ts"].cast(pa.timestamp("us"))
+        return ts.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def numeric(self, col: str) -> np.ndarray:
+        return self.col_np(col).astype(np.float64)
+
+    def same_seg(self, shift: int) -> np.ndarray:
+        """Boolean mask (len n - shift): rows i and i+shift in same conversation."""
+        s = self.seg_of_row
+        return s[: self.n - shift] == s[shift:]

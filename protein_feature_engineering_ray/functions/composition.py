@@ -1,0 +1,490 @@
+"""Conversation-level composition descriptors (SURVEY.md §2.2, §2.5).
+
+Each kernel consumes a ``ConvContext`` (whole bucket, segment-vectorized) and
+emits an ``(n_conversations, width)`` float64 matrix.  Reference citations name
+the per-sequence loop each kernel re-expresses; none of these loops survive —
+counting is done with ``np.add.at`` on flat ``(segment, code)`` indices across
+every conversation in the bucket at once.
+
+Divisions are single ``int count / int count`` operations so results are
+bit-identical to any engine computing the same ratio (DuckDB oracle parity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from protein_feature_engineering_ray.core.context import ConvContext
+
+
+def _seg_code_counts(
+    seg: np.ndarray, codes: np.ndarray, n_segs: int, width: int
+) -> np.ndarray:
+    """(n_segs, width) histogram of codes per segment; codes<0 ignored."""
+    valid = codes >= 0
+    out = np.zeros((n_segs, width), dtype=np.int64)
+    if valid.any():
+        np.add.at(out, (seg[valid], codes[valid]), 1)
+    return out
+
+
+def _codes_of(ctx: ConvContext, grouped: bool) -> tuple[np.ndarray, int, list[str]]:
+    if grouped:
+        letters = list(ctx.alphabet.groups.keys())
+        return ctx.group_codes, len(letters), letters
+    return ctx.codes, ctx.alphabet.size, list(ctx.alphabet.letters)
+
+
+class CompositionK:
+    """AAC/GAAC analogue: per-conversation letter frequency.
+
+    Reference ``_AAC`` (feature.py:432-455): ``count/len`` per letter; grouped
+    form ``_GAAC`` (feature.py:1045-1077).  Here: role (or role-group)
+    frequency per conversation.
+    """
+
+    def __init__(self, letters: list[str], grouped: bool = False, normalize: bool = True,
+                 prefix: str | None = None):
+        self.letters = letters
+        self.grouped = grouped
+        self.normalize = normalize
+        self.prefix = prefix or ("gaac" if grouped else "aac")
+
+    def names(self) -> list[str]:
+        return [f"{self.prefix}_{s}" for s in self.letters]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        codes, width, _ = _codes_of(ctx, self.grouped)
+        counts = _seg_code_counts(ctx.seg_of_row, codes, ctx.n_segs, width)
+        if not self.normalize:
+            return counts.astype(np.float64)
+        denom = counts.sum(axis=1, keepdims=True).astype(np.float64)
+        denom[denom == 0] = 1.0
+        return counts / denom
+
+
+class NGramComposition:
+    """DPC / TPC / GDPC / GTPC analogue (feature.py:528-625, 1181-1280).
+
+    n-gram (n=2,3) counts of adjacent role transitions; ``normalize`` divides
+    by total n-gram count (the reference's type-1 vs type-2 distinction,
+    feature.py:545-547).
+    """
+
+    def __init__(self, letters: list[str], n: int = 2, grouped: bool = False,
+                 normalize: bool = True, prefix: str | None = None):
+        assert n in (2, 3)
+        self.letters = letters
+        self.n = n
+        self.grouped = grouped
+        self.normalize = normalize
+        base = {2: "dpc", 3: "tpc"}[n]
+        self.prefix = prefix or (("g" + base) if grouped else base)
+
+    def names(self) -> list[str]:
+        L = self.letters
+        if self.n == 2:
+            return [f"{self.prefix}_{a}.{b}" for a in L for b in L]
+        return [f"{self.prefix}_{a}.{b}.{c}" for a in L for b in L for c in L]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        codes, A, _ = _codes_of(ctx, self.grouped)
+        n, seg = ctx.n, ctx.seg_of_row
+        width = A**self.n
+        out = np.zeros((ctx.n_segs, width), dtype=np.int64)
+        if n >= self.n:
+            k = self.n - 1
+            mask = seg[:-k] == seg[k:]
+            gram = codes[: n - k].copy()
+            ok = gram >= 0
+            for s in range(1, self.n):
+                nxt = codes[s : n - k + s]
+                gram = gram * A + nxt
+                ok &= nxt >= 0
+            sel = mask & ok
+            if sel.any():
+                np.add.at(out, (seg[:-k][sel], gram[sel]), 1)
+        if not self.normalize:
+            return out.astype(np.float64)
+        denom = out.sum(axis=1, keepdims=True).astype(np.float64)
+        denom[denom == 0] = 1.0
+        return out / denom
+
+
+class DDE:
+    """Deviation-from-expected bigram composition (``_DDE``, feature.py:557-597).
+
+    The reference centers bigram frequency by a codon-usage expectation
+    ``TM = (c_i/C)(c_j/C)`` and scales by ``sqrt(TM(1-TM)/(N-1))``.  The
+    transcript analogue uses the conversation's own unigram marginals as the
+    expectation: how over/under-represented is each role transition relative
+    to an order-free model.
+    """
+
+    def __init__(self, letters: list[str]):
+        self.letters = letters
+
+    def names(self) -> list[str]:
+        return [f"dde_{a}.{b}" for a in self.letters for b in self.letters]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        A = ctx.alphabet.size
+        uni = _seg_code_counts(ctx.seg_of_row, ctx.codes, ctx.n_segs, A).astype(np.float64)
+        tot = uni.sum(axis=1, keepdims=True)
+        tot[tot == 0] = 1.0
+        p = uni / tot  # per-conv unigram marginals
+        bi = NGramComposition(self.letters, n=2, normalize=False).apply(ctx)
+        npairs = bi.sum(axis=1, keepdims=True)
+        safe = np.where(npairs == 0, 1.0, npairs)
+        dc = bi / safe
+        tm = p[:, :, None] * p[:, None, :]  # expected pair prob
+        tm = tm.reshape(ctx.n_segs, A * A)
+        tv = tm * (1.0 - tm) / np.where(npairs == 0, 1.0, npairs)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = (dc - tm) / np.sqrt(tv)
+        out[~np.isfinite(out)] = 0.0
+        return out
+
+
+class KSpacedPairs:
+    """CKSAAP / CKSAAGP analogue (feature.py:487-527, 1125-1180).
+
+    For each gap g in 0..kspace: counts of (role_i, role_{i+g+1}) pairs,
+    normalized per gap by that gap's pair count (feature.py:504-519); zero
+    when a conversation has no pairs at that gap (feature.py:1164-1166).
+    """
+
+    def __init__(self, letters: list[str], kspace: int = 3, grouped: bool = False,
+                 normalize: bool = True, prefix: str | None = None):
+        self.letters = letters
+        self.kspace = kspace
+        self.grouped = grouped
+        self.normalize = normalize
+        self.prefix = prefix or ("cksaagp" if grouped else "cksaap")
+
+    def names(self) -> list[str]:
+        L = self.letters
+        return [
+            f"{self.prefix}_g{g}_{a}.{b}"
+            for g in range(self.kspace + 1)
+            for a in L
+            for b in L
+        ]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        codes, A, _ = _codes_of(ctx, self.grouped)
+        n, seg = ctx.n, ctx.seg_of_row
+        blocks = []
+        for g in range(self.kspace + 1):
+            d = g + 1
+            out = np.zeros((ctx.n_segs, A * A), dtype=np.int64)
+            if n > d:
+                mask = seg[:-d] == seg[d:]
+                a, b = codes[:-d], codes[d:]
+                sel = mask & (a >= 0) & (b >= 0)
+                if sel.any():
+                    np.add.at(out, (seg[:-d][sel], a[sel] * A + b[sel]), 1)
+            if self.normalize:
+                denom = out.sum(axis=1, keepdims=True).astype(np.float64)
+                denom[denom == 0] = 1.0
+                blocks.append(out / denom)
+            else:
+                blocks.append(out.astype(np.float64))
+        return np.concatenate(blocks, axis=1)
+
+
+class CTDComposition:
+    """CTDC analogue (feature.py:1796-1870): share of turns in each role group."""
+
+    def __init__(self, groups: list[str]):
+        self.groups = groups
+
+    def names(self) -> list[str]:
+        return [f"ctdc_{g}" for g in self.groups]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        return CompositionK(self.groups, grouped=True).apply(ctx)
+
+
+class CTDTransition:
+    """CTDT analogue (feature.py:1871-1956): rate of adjacent transitions
+    between each unordered group pair among adjacent turns (count(g1<->g2) /
+    (pairs))."""
+
+    def __init__(self, groups: list[str]):
+        self.groups = groups
+
+    def names(self) -> list[str]:
+        G = self.groups
+        return [f"ctdt_{G[i]}.{G[j]}" for i in range(len(G)) for j in range(i + 1, len(G))]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        codes = ctx.group_codes
+        G = len(self.groups)
+        n, seg = ctx.n, ctx.seg_of_row
+        pair_idx = [(i, j) for i in range(G) for j in range(i + 1, G)]
+        out = np.zeros((ctx.n_segs, len(pair_idx)), dtype=np.int64)
+        denom = np.zeros((ctx.n_segs, 1), dtype=np.int64)
+        if n > 1:
+            mask = (seg[:-1] == seg[1:]) & (codes[:-1] >= 0) & (codes[1:] >= 0)
+            a = np.minimum(codes[:-1], codes[1:])
+            b = np.maximum(codes[:-1], codes[1:])
+            np.add.at(denom[:, 0], seg[:-1][mask], 1)
+            lut = np.full((G, G), -1, dtype=np.int64)
+            for k, (i, j) in enumerate(pair_idx):
+                lut[i, j] = k
+            sel = mask & (a != b)
+            if sel.any():
+                np.add.at(out, (seg[:-1][sel], lut[a[sel], b[sel]]), 1)
+        d = denom.astype(np.float64)
+        d[d == 0] = 1.0
+        return out / d
+
+
+class CTDDistribution:
+    """CTDD analogue (feature.py:1978-2051 + ``Count1`` 1957-1976).
+
+    For each role group: position (as % of conversation length) of the 1st,
+    25%, 50%, 75% and 100%-th occurrence of that group; 0 when absent.
+    Matches the reference's ``ceil(q * count)``-th occurrence rule and its
+    ``pos / len * 100`` scaling.
+    """
+
+    QUANTS = (0.0, 0.25, 0.5, 0.75, 1.0)
+
+    def __init__(self, groups: list[str]):
+        self.groups = groups
+
+    def names(self) -> list[str]:
+        return [
+            f"ctdd_{g}_p{int(q * 100)}" for g in self.groups for q in self.QUANTS
+        ]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        codes = ctx.group_codes
+        G = len(self.groups)
+        out = np.zeros((ctx.n_segs, G * len(self.QUANTS)), dtype=np.float64)
+        pos = ctx.pos
+        seg = ctx.seg_of_row
+        lengths = ctx.lengths
+        for gi in range(G):
+            is_g = codes == gi
+            # occurrence rank of each matching row within (segment, group)
+            cum = np.cumsum(is_g)
+            seg_base = np.zeros(ctx.n_segs, dtype=np.int64)
+            # cumulative count of group g before each segment start
+            cnt_per_seg = np.zeros(ctx.n_segs, dtype=np.int64)
+            np.add.at(cnt_per_seg, seg[is_g], 1)
+            seg_base[1:] = np.cumsum(cnt_per_seg)[:-1]
+            for qi, q in enumerate(self.QUANTS):
+                # target occurrence number per segment (reference Count1:
+                # ceil(count*q), minimum 1)
+                tgt = np.maximum(1, np.ceil(cnt_per_seg * q)).astype(np.int64)
+                # row where cum == seg_base + tgt and is_g
+                want = seg_base + tgt
+                hit = is_g & (cum == want[seg])
+                # first such row per segment (cum is strictly increasing on
+                # group rows, so at most one row matches per segment)
+                col = gi * len(self.QUANTS) + qi
+                segs_hit = seg[hit]
+                out[segs_hit, col] = (pos[hit] + 1) / lengths[segs_hit] * 100.0
+                out[cnt_per_seg == 0, col] = 0.0
+        return out
+
+
+class Triad:
+    """CTriad / KSCTriad analogue (feature.py:2052-2148): grouped triads of
+    positions (i, i+g+1, i+2g+2) for spacing g in 0..kspace, min-max scaled
+    per conversation ``(x - min) / max`` exactly as the reference does
+    (feature.py:2065-2067 — note: divided by max, not max-min)."""
+
+    def __init__(self, groups: list[str], kspace: int = 0):
+        self.groups = groups
+        self.kspace = kspace
+        self.prefix = "ctriad" if kspace == 0 else "ksctriad"
+
+    def names(self) -> list[str]:
+        G = self.groups
+        return [
+            f"{self.prefix}_g{g}_{a}.{b}.{c}"
+            for g in range(self.kspace + 1)
+            for a in G
+            for b in G
+            for c in G
+        ]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        codes = ctx.group_codes
+        A = len(self.groups)
+        n, seg = ctx.n, ctx.seg_of_row
+        blocks = []
+        for g in range(self.kspace + 1):
+            d = g + 1
+            out = np.zeros((ctx.n_segs, A**3), dtype=np.float64)
+            if n > 2 * d:
+                m = n - 2 * d
+                mask = seg[:m] == seg[2 * d :]
+                a, b, c = codes[:m], codes[d : m + d], codes[2 * d :]
+                sel = mask & (a >= 0) & (b >= 0) & (c >= 0)
+                if sel.any():
+                    np.add.at(
+                        out, (seg[:m][sel], (a[sel] * A + b[sel]) * A + c[sel]), 1
+                    )
+            mn = out.min(axis=1, keepdims=True)
+            mx = out.max(axis=1, keepdims=True)
+            mx[mx == 0] = 1.0
+            blocks.append((out - mn) / mx)
+        return np.concatenate(blocks, axis=1)
+
+
+class ASDC:
+    """All-pairs skip dipeptide (``_ASDC``, feature.py:2539-2571): counts over
+    every ordered pair (j, k>j), normalized by total pair count.
+
+    The reference is O(n²) per sequence; at transcript scale we cap the
+    forward horizon (``max_skip``) so a mega-conversation costs O(n·max_skip)
+    — the capped form equals the reference exactly for conversations shorter
+    than ``max_skip``."""
+
+    def __init__(self, letters: list[str], max_skip: int = 512):
+        self.letters = letters
+        self.max_skip = max_skip
+
+    def names(self) -> list[str]:
+        L = self.letters
+        return [f"asdc_{a}.{b}" for a in L for b in L]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        codes, A = ctx.codes, ctx.alphabet.size
+        n, seg = ctx.n, ctx.seg_of_row
+        out = np.zeros((ctx.n_segs, A * A), dtype=np.int64)
+        horizon = min(self.max_skip, int(ctx.lengths.max()) if ctx.n_segs else 0)
+        for d in range(1, horizon):
+            if n <= d:
+                break
+            mask = seg[:-d] == seg[d:]
+            a, b = codes[:-d], codes[d:]
+            sel = mask & (a >= 0) & (b >= 0)
+            if sel.any():
+                np.add.at(out, (seg[:-d][sel], a[sel] * A + b[sel]), 1)
+        denom = out.sum(axis=1, keepdims=True).astype(np.float64)
+        denom[denom == 0] = 1.0
+        return out / denom
+
+
+class StridedKTuple:
+    """PseKRAAC ``gapModel`` analogue (feature.py:2722-2770): raw counts of
+    adjacent k-tuples sampled at stride ``g+1`` — positions 0, g+1, 2(g+1), …
+    — over the (optionally grouped) alphabet.  k in {1,2,3}; raw counts, not
+    normalized, exactly as the reference."""
+
+    def __init__(self, letters: list[str], k: int = 2, gap: int = 1, grouped: bool = True,
+                 prefix: str = "stride"):
+        assert k in (1, 2, 3)
+        self.letters = letters
+        self.k = k
+        self.gap = gap
+        self.grouped = grouped
+        self.prefix = prefix
+
+    def names(self) -> list[str]:
+        from itertools import product
+
+        return [
+            f"{self.prefix}_k{self.k}g{self.gap}_" + ".".join(t)
+            for t in product(self.letters, repeat=self.k)
+        ]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        codes, A, _ = _codes_of(ctx, self.grouped)
+        seg, pos, n = ctx.seg_of_row, ctx.pos, ctx.n
+        stride = self.gap + 1
+        out = np.zeros((ctx.n_segs, A**self.k), dtype=np.int64)
+        on_grid = pos % stride == 0
+        if self.k == 1:
+            sel = on_grid & (codes >= 0)
+            if sel.any():
+                np.add.at(out, (seg[sel], codes[sel]), 1)
+            return out.astype(np.float64)
+        k1 = self.k - 1
+        if n > k1:
+            # tuple of ADJACENT positions starting at each grid point
+            mask = (seg[:-k1] == seg[k1:]) & on_grid[:-k1]
+            gram = codes[: n - k1].copy()
+            ok = gram >= 0
+            for s in range(1, self.k):
+                nxt = codes[s : n - k1 + s]
+                gram = gram * A + nxt
+                ok &= nxt >= 0
+            sel = mask & ok
+            if sel.any():
+                np.add.at(out, (seg[:-k1][sel], gram[sel]), 1)
+        return out.astype(np.float64)
+
+
+class LambdaKTuple:
+    """PseKRAAC ``lambdaModel`` analogue (feature.py:2772-2821): raw counts of
+    k-tuples at positions (j, j+λ, j+2λ) for every j (lag pairing)."""
+
+    def __init__(self, letters: list[str], k: int = 2, lam: int = 2, grouped: bool = True,
+                 prefix: str = "lam"):
+        assert k in (2, 3)
+        self.letters = letters
+        self.k = k
+        self.lam = max(1, lam)
+        self.grouped = grouped
+        self.prefix = prefix
+
+    def names(self) -> list[str]:
+        from itertools import product
+
+        return [
+            f"{self.prefix}_k{self.k}l{self.lam}_" + ".".join(t)
+            for t in product(self.letters, repeat=self.k)
+        ]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        codes, A, _ = _codes_of(ctx, self.grouped)
+        seg, n = ctx.seg_of_row, ctx.n
+        lam = self.lam
+        out = np.zeros((ctx.n_segs, A**self.k), dtype=np.int64)
+        span = lam * (self.k - 1)
+        if n > span:
+            m = n - span
+            mask = seg[:m] == seg[span:]
+            gram = codes[:m].copy()
+            ok = gram >= 0
+            for s in range(1, self.k):
+                nxt = codes[s * lam : m + s * lam]
+                gram = gram * A + nxt
+                ok &= nxt >= 0
+            sel = mask & ok
+            if sel.any():
+                np.add.at(out, (seg[:m][sel], gram[sel]), 1)
+        return out.astype(np.float64)
+
+
+class ConvSummary:
+    """Conversation-level summary stats (flagship backfill block): turn count,
+    wall duration, tool-turn share, distinct-role count."""
+
+    def __init__(self, tool_letter: str | None = None):
+        self.tool_letter = tool_letter
+
+    def names(self) -> list[str]:
+        return ["n_turns", "duration_sec", "tool_share", "n_roles"]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        n_turns = ctx.lengths.astype(np.float64)
+        ts = ctx.ts_us
+        first = ts[ctx.starts[:-1]]
+        last = ts[ctx.starts[1:] - 1]
+        duration = (last - first).astype(np.float64) / 1e6
+        tool_col = ctx.col_np("tool")
+        is_tool = np.asarray([t != "" and t is not None for t in tool_col])
+        tool_cnt = np.zeros(ctx.n_segs, dtype=np.int64)
+        np.add.at(tool_cnt, ctx.seg_of_row[is_tool], 1)
+        tool_share = tool_cnt / n_turns
+        counts = _seg_code_counts(ctx.seg_of_row, ctx.codes, ctx.n_segs, ctx.alphabet.size)
+        n_roles = (counts > 0).sum(axis=1).astype(np.float64)
+        return np.stack([n_turns, duration, tool_share, n_roles], axis=1)

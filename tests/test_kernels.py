@@ -1,0 +1,249 @@
+"""Oracle-equivalence tests (SURVEY.md §5.1): every kernel family vs the
+single-node pandas/numpy oracle on the seeded synthetic corpus."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from protein_feature_engineering_ray.core.executor import conv_features, turn_features
+from protein_feature_engineering_ray.functions import autocorr as ac
+from protein_feature_engineering_ray.functions.registry import make_kernel
+from protein_feature_engineering_ray.schema import Alphabet
+from protein_feature_engineering_ray.sources import synth_transcripts
+
+from tests import oracle
+
+ALPHA = Alphabet(
+    letters=("assistant", "system", "tool", "user"),
+    groups={"bot": ("assistant", "system", "tool"), "hum": ("user",)},
+)
+N_CONVS = 24
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    ds = synth_transcripts(n_convs=N_CONVS, duplicates=False)
+    pdf = synth_transcripts(n_convs=N_CONVS, duplicates=False, as_pandas=True)
+    return ds, pdf
+
+
+def _compare(got: pd.DataFrame, want: pd.DataFrame, keys=("conv_id",)):
+    keys = list(keys)
+    got = got.sort_values(keys).reset_index(drop=True)
+    want = want.sort_values(keys).reset_index(drop=True)
+    assert len(got) == len(want)
+    feature_cols = [c for c in want.columns if c not in keys and c != "ts"]
+    assert set(feature_cols) <= set(got.columns), set(feature_cols) - set(got.columns)
+    for c in feature_cols:
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float),
+            want[c].to_numpy(dtype=float),
+            rtol=1e-9,
+            atol=1e-12,
+            err_msg=c,
+        )
+
+
+def run_conv(corpus, name, params=None):
+    ds, _ = corpus
+    _, k = make_kernel(name, ALPHA, params)
+    return conv_features(ds, [k], alphabet=ALPHA, num_buckets=7).to_pandas()
+
+
+def run_turn(corpus, name, params=None):
+    ds, _ = corpus
+    _, k = make_kernel(name, ALPHA, params)
+    return turn_features(ds, [k], alphabet=ALPHA, num_buckets=7).to_pandas()
+
+
+def test_aac(corpus):
+    _compare(run_conv(corpus, "AAC"), oracle.composition(corpus[1], ALPHA))
+
+
+def test_gaac(corpus):
+    _compare(run_conv(corpus, "GAAC"), oracle.composition(corpus[1], ALPHA, grouped=True))
+
+
+def test_dpc(corpus):
+    _compare(run_conv(corpus, "DPC"), oracle.ngram(corpus[1], ALPHA, n=2))
+
+
+def test_tpc(corpus):
+    _compare(run_conv(corpus, "TPC"), oracle.ngram(corpus[1], ALPHA, n=3))
+
+
+def test_gdpc_gtpc(corpus):
+    _compare(run_conv(corpus, "GDPC"), oracle.ngram(corpus[1], ALPHA, n=2, grouped=True))
+    _compare(run_conv(corpus, "GTPC"), oracle.ngram(corpus[1], ALPHA, n=3, grouped=True))
+
+
+def test_dde(corpus):
+    _compare(run_conv(corpus, "DDE"), oracle.dde(corpus[1], ALPHA))
+
+
+def test_cksaap(corpus):
+    _compare(run_conv(corpus, "CKSAAP", {"kspace": 2}),
+             oracle.kspaced(corpus[1], ALPHA, kspace=2))
+
+
+def test_cksaagp(corpus):
+    _compare(run_conv(corpus, "CKSAAGP", {"kspace": 2}),
+             oracle.kspaced(corpus[1], ALPHA, kspace=2, grouped=True))
+
+
+def test_asdc(corpus):
+    _compare(run_conv(corpus, "ASDC", {"max_skip": 64}),
+             oracle.asdc(corpus[1], ALPHA, max_skip=64))
+
+
+def test_ctdc(corpus):
+    want = oracle.composition(corpus[1], ALPHA, grouped=True, prefix="ctdc")
+    _compare(run_conv(corpus, "CTDC"), want)
+
+
+def test_ctdt(corpus):
+    _compare(run_conv(corpus, "CTDT"), oracle.ctdt(corpus[1], ALPHA))
+
+
+def test_ctdd(corpus):
+    _compare(run_conv(corpus, "CTDD"), oracle.ctdd(corpus[1], ALPHA))
+
+
+def test_ctriad(corpus):
+    _compare(run_conv(corpus, "CTriad"), oracle.triad(corpus[1], ALPHA, kspace=0))
+
+
+def test_ksctriad(corpus):
+    _compare(run_conv(corpus, "KSCTriad", {"kspace": 2}),
+             oracle.triad(corpus[1], ALPHA, kspace=2))
+
+
+def test_stride_ktuple(corpus):
+    _compare(run_conv(corpus, "StrideKTuple", {"k": 2, "gap": 1}),
+             oracle.stride_ktuple(corpus[1], ALPHA, k=2, gap=1))
+    _compare(run_conv(corpus, "StrideKTuple", {"k": 3, "gap": 2}),
+             oracle.stride_ktuple(corpus[1], ALPHA, k=3, gap=2))
+
+
+def test_lambda_ktuple(corpus):
+    _compare(run_conv(corpus, "LambdaKTuple", {"k": 2, "lam": 3}),
+             oracle.lambda_ktuple(corpus[1], ALPHA, k=2, lam=3))
+    _compare(run_conv(corpus, "LambdaKTuple", {"k": 3, "lam": 2}),
+             oracle.lambda_ktuple(corpus[1], ALPHA, k=3, lam=2))
+
+
+PROPS = np.array([[0.5, -1.0], [1.5, 0.25], [-0.75, 2.0], [0.0, -0.5]])
+
+
+def _latency_series_df(pdf):
+    # attach latency_sec as a column for the ("col", ...) series specs
+    lat = oracle.latency(pdf)
+    return pdf.merge(lat, on=["conv_id", "turn_idx"])
+
+
+def test_nmbroto_prop_series(corpus):
+    spec = ("prop", ac.znorm_table(PROPS)[:, 0])
+    got = run_conv(corpus, "NMBroto", {"series": spec, "nlag": 3})
+    _compare(got, oracle.nmbroto(corpus[1], ALPHA, spec, nlag=3))
+
+
+def test_ac_latency_series(corpus):
+    pdf = _latency_series_df(corpus[1])
+    spec = ("col", "latency_sec")
+    ds, _ = corpus
+    import ray.data
+
+    ds2 = ray.data.from_pandas(pdf)
+    _, k = make_kernel("AC", ALPHA, {"series": spec, "nlag": 3})
+    got = conv_features(ds2, [k], alphabet=ALPHA, num_buckets=5).to_pandas()
+    _compare(got, oracle.autocov(pdf, ALPHA, spec, nlag=3))
+
+
+def test_moran_geary(corpus):
+    spec = ("prop", ac.znorm_table(PROPS)[:, 1])
+    _compare(run_conv(corpus, "Moran", {"series": spec, "nlag": 3}),
+             oracle.moran(corpus[1], ALPHA, spec, nlag=3))
+    _compare(run_conv(corpus, "Geary", {"series": spec, "nlag": 3}),
+             oracle.geary(corpus[1], ALPHA, spec, nlag=3))
+
+
+DIST = np.array(
+    [[0.0, 0.3, 0.7, 0.2],
+     [0.3, 0.0, 0.5, 0.6],
+     [0.7, 0.5, 0.0, 0.4],
+     [0.2, 0.6, 0.4, 0.0]]
+)
+
+
+def test_socnumber(corpus):
+    _compare(run_conv(corpus, "SOCNumber", {"dist_table": DIST, "nlag": 3}),
+             oracle.socnumber(corpus[1], ALPHA, DIST, nlag=3))
+
+
+def test_qsorder(corpus):
+    _compare(run_conv(corpus, "QSOrder", {"dist_table": DIST, "nlag": 3}),
+             oracle.qsorder(corpus[1], ALPHA, DIST, nlag=3))
+
+
+def test_latency(corpus):
+    _compare(run_turn(corpus, "Latency"), oracle.latency(corpus[1]),
+             keys=("conv_id", "turn_idx"))
+
+
+def test_rolling_composition(corpus):
+    _compare(run_turn(corpus, "RollingComposition", {"w": 4}),
+             oracle.rolling_composition(corpus[1], ALPHA, w=4),
+             keys=("conv_id", "turn_idx"))
+
+
+def test_expanding_composition(corpus):
+    # expanding == rolling with window >= max conv length
+    big = corpus[1].groupby("conv_id").size().max()
+    want = oracle.rolling_composition(corpus[1], ALPHA, w=int(big))
+    want.columns = [c.replace(f"eaac{big}", "cumaac") for c in want.columns]
+    _compare(run_turn(corpus, "ExpandingComposition"), want,
+             keys=("conv_id", "turn_idx"))
+
+
+def test_rolling_stats_latency(corpus):
+    pdf = _latency_series_df(corpus[1])
+    import ray.data
+
+    ds2 = ray.data.from_pandas(pdf)
+    _, k = make_kernel("RollingStats", ALPHA, {"col": "latency_sec", "w": 3})
+    got = turn_features(ds2, [k], alphabet=ALPHA, num_buckets=5).to_pandas()
+    _compare(got, oracle.rolling_stats(pdf, "latency_sec", w=3),
+             keys=("conv_id", "turn_idx"))
+
+
+def test_lag_lead(corpus):
+    pdf = _latency_series_df(corpus[1])
+    import ray.data
+
+    ds2 = ray.data.from_pandas(pdf)
+    _, k = make_kernel("LagLead", ALPHA, {"col": "latency_sec", "offsets": (1, 3)})
+    got = turn_features(ds2, [k], alphabet=ALPHA, num_buckets=5).to_pandas()
+    _compare(got, oracle.lag_lead(pdf, "latency_sec", offsets=(1, 3)),
+             keys=("conv_id", "turn_idx"))
+    _, k2 = make_kernel("LagLead", ALPHA, {"col": "latency_sec", "offsets": (2,), "lead": True})
+    got2 = turn_features(ds2, [k2], alphabet=ALPHA, num_buckets=5).to_pandas()
+    _compare(got2, oracle.lag_lead(pdf, "latency_sec", offsets=(2,), lead=True),
+             keys=("conv_id", "turn_idx"))
+
+
+def test_onehot(corpus):
+    got = run_turn(corpus, "OneHot")
+    pdf = oracle.per_turn_base(corpus[1])
+    for i, s in enumerate(ALPHA.letters):
+        want = (pdf["role"] == s).astype(float).to_numpy()
+        g = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        np.testing.assert_array_equal(g[f"onehot_{s}"].to_numpy(), want)
+
+
+def test_multiple_kernels_one_pass(corpus):
+    """N kernels share one shuffle and stay column-aligned."""
+    ds, pdf = corpus
+    ks = [make_kernel(n, ALPHA)[1] for n in ("AAC", "GAAC", "DPC", "CTDT")]
+    got = conv_features(ds, ks, alphabet=ALPHA, num_buckets=7).to_pandas()
+    _compare(got, oracle.composition(pdf, ALPHA))
+    _compare(got, oracle.ctdt(pdf, ALPHA))
