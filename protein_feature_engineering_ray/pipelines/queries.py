@@ -1,0 +1,584 @@
+"""Driver-facing query catalog: one entry per implemented operator family
+(SURVEY.md §2), each as a Ray pipeline over ``sf_dir`` tables plus (where the
+semantics are SQL-expressible) an exactly-matching DuckDB oracle.
+
+Oracle-parity discipline: every checked feature is integer counting + one
+division (or a value copy), so Ray and DuckDB produce bit-identical doubles.
+Float-accumulation descriptors (DDE, autocorrelation family, z-score) are
+registered WITHOUT oracle SQL — the driver records rows-only checks; their
+numeric correctness is covered by the pandas-oracle pytest suite instead.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from protein_feature_engineering_ray.core.executor import conv_features, turn_features
+from protein_feature_engineering_ray.functions.registry import make_kernel
+from protein_feature_engineering_ray.schema import EVENT_ALPHABET
+from protein_feature_engineering_ray.sources.transcripts import (
+    TRANSCRIPTS_SQL_CTE,
+    from_events,
+)
+
+ORDER = ("conv_id", "ts", "event_id")
+LETTERS = list(EVENT_ALPHABET.letters)
+GROUPS = list(EVENT_ALPHABET.groups.keys())
+GROUP_OF = {m: g for g, ms in EVENT_ALPHABET.groups.items() for m in ms}
+NB = 32  # bucket count for sf-scale correctness runs
+
+
+def _conv(sf_dir: str, specs: list[tuple[str, dict]]) -> ray.data.Dataset:
+    ks = [make_kernel(n, EVENT_ALPHABET, p)[1] for n, p in specs]
+    return conv_features(
+        from_events(sf_dir), ks, alphabet=EVENT_ALPHABET, num_buckets=NB,
+        order_cols=ORDER, assign_turn_idx=True,
+    )
+
+
+def _turn(sf_dir: str, specs: list[tuple[str, dict]]) -> ray.data.Dataset:
+    ks = [make_kernel(n, EVENT_ALPHABET, p)[1] for n, p in specs]
+    return turn_features(
+        from_events(sf_dir), ks, alphabet=EVENT_ALPHABET, num_buckets=NB,
+        order_cols=ORDER, assign_turn_idx=True,
+    )
+
+
+def _drop_ts(ds: ray.data.Dataset) -> ray.data.Dataset:
+    # ts is a key column in engine output; drop for queries whose oracle
+    # keys on (conv_id, turn_idx) alone to keep schemas aligned
+    return ds.drop_columns(["ts"])
+
+
+# --- SQL fragments ---------------------------------------------------------
+
+GROUP_SQL = (
+    "CASE WHEN role IN ('click','purchase','signup') THEN 'act' ELSE 'obs' END"
+)
+
+
+def _sql_aac() -> str:
+    cols = ",\n    ".join(
+        f"count(*) FILTER (role = '{s}') / count(*) AS \"aac_{s}\"" for s in LETTERS
+    )
+    return f"{TRANSCRIPTS_SQL_CTE}SELECT conv_id,\n    {cols}\nFROM transcripts GROUP BY conv_id"
+
+
+def _sql_gaac() -> str:
+    cols = ",\n    ".join(
+        f"count(*) FILTER (grp = '{g}') / count(*) AS \"gaac_{g}\"" for g in GROUPS
+    )
+    return (
+        f"{TRANSCRIPTS_SQL_CTE}, t2 AS (SELECT conv_id, {GROUP_SQL} AS grp FROM transcripts)\n"
+        f"SELECT conv_id,\n    {cols}\nFROM t2 GROUP BY conv_id"
+    )
+
+
+def _sql_ngram(n: int, prefix: str, normalize: bool) -> str:
+    pair_cols = []
+    for a in LETTERS:
+        for b in LETTERS:
+            cond = f"role = '{a}' AND nxt = '{b}'"
+            if normalize:
+                expr = f"count(*) FILTER ({cond}) / count(nxt)"
+            else:
+                expr = f"CAST(count(*) FILTER ({cond}) AS DOUBLE)"
+            pair_cols.append(f'{expr} AS "{prefix}_{a}.{b}"')
+    cols = ",\n    ".join(pair_cols)
+    return (
+        f"{TRANSCRIPTS_SQL_CTE}, t2 AS (\n"
+        "  SELECT conv_id, role,\n"
+        "         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt\n"
+        "  FROM transcripts)\n"
+        f"SELECT conv_id,\n    {cols}\nFROM t2 GROUP BY conv_id"
+    )
+
+
+def _sql_cksaap(kspace: int) -> str:
+    selects = []
+    for g in range(kspace + 1):
+        d = g + 1
+        sub = []
+        for a in LETTERS:
+            for b in LETTERS:
+                sub.append(
+                    f"count(*) FILTER (role = '{a}' AND nxt{d} = '{b}') / count(nxt{d})"
+                    f' AS "cksaap_g{g}_{a}.{b}"'
+                )
+        selects.append((d, sub))
+    leads = ",\n         ".join(
+        f"lead(role, {d}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt{d}"
+        for d in range(1, kspace + 2)
+    )
+    all_cols = ",\n    ".join(c for _, sub in selects for c in sub)
+    return (
+        f"{TRANSCRIPTS_SQL_CTE}, t2 AS (\n"
+        f"  SELECT conv_id, role,\n         {leads}\n  FROM transcripts)\n"
+        f"SELECT conv_id,\n    {all_cols}\nFROM t2 GROUP BY conv_id"
+    )
+
+
+def _sql_ctdt() -> str:
+    cols = []
+    for i in range(len(GROUPS)):
+        for j in range(i + 1, len(GROUPS)):
+            a, b = GROUPS[i], GROUPS[j]
+            cols.append(
+                f"count(*) FILTER ((grp = '{a}' AND nxt = '{b}') OR (grp = '{b}' AND nxt = '{a}'))"
+                f' / count(nxt) AS "ctdt_{a}.{b}"'
+            )
+    colsql = ",\n    ".join(cols)
+    return (
+        f"{TRANSCRIPTS_SQL_CTE}, t2 AS (\n"
+        f"  SELECT conv_id, {GROUP_SQL} AS grp,\n"
+        f"         lead({GROUP_SQL}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt\n"
+        "  FROM transcripts)\n"
+        f"SELECT conv_id,\n    {colsql}\nFROM t2 GROUP BY conv_id"
+    )
+
+
+def _sql_stride(k: int, gap: int) -> str:
+    stride = gap + 1
+    assert k == 2
+    cols = []
+    for a in GROUPS:
+        for b in GROUPS:
+            cols.append(
+                f"CAST(count(*) FILTER (on_grid AND grp = '{a}' AND nxt = '{b}') AS DOUBLE)"
+                f' AS "stride_k{k}g{gap}_{a}.{b}"'
+            )
+    colsql = ",\n    ".join(cols)
+    return (
+        f"{TRANSCRIPTS_SQL_CTE}, t2 AS (\n"
+        f"  SELECT conv_id, {GROUP_SQL} AS grp,\n"
+        f"         lead({GROUP_SQL}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt,\n"
+        f"         turn_idx % {stride} = 0 AS on_grid\n"
+        "  FROM transcripts)\n"
+        f"SELECT conv_id,\n    {colsql}\nFROM t2 GROUP BY conv_id"
+    )
+
+
+def _sql_lambda(k: int, lam: int) -> str:
+    assert k == 2
+    cols = []
+    for a in GROUPS:
+        for b in GROUPS:
+            cols.append(
+                f"CAST(count(*) FILTER (grp = '{a}' AND nxt = '{b}') AS DOUBLE)"
+                f' AS "lam_k{k}l{lam}_{a}.{b}"'
+            )
+    colsql = ",\n    ".join(cols)
+    return (
+        f"{TRANSCRIPTS_SQL_CTE}, t2 AS (\n"
+        f"  SELECT conv_id, {GROUP_SQL} AS grp,\n"
+        f"         lead({GROUP_SQL}, {lam}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt\n"
+        "  FROM transcripts)\n"
+        f"SELECT conv_id,\n    {colsql}\nFROM t2 GROUP BY conv_id"
+    )
+
+
+WIN = "PARTITION BY conv_id ORDER BY turn_idx"
+
+
+def _sql_eaac(w: int) -> str:
+    cols = ",\n    ".join(
+        f"sum(CASE WHEN role = '{s}' THEN 1 ELSE 0 END) OVER "
+        f"({WIN} ROWS BETWEEN {w-1} PRECEDING AND CURRENT ROW) / "
+        f"count(*) OVER ({WIN} ROWS BETWEEN {w-1} PRECEDING AND CURRENT ROW)"
+        f' AS "eaac{w}_{s}"'
+        for s in LETTERS
+    )
+    return f"{TRANSCRIPTS_SQL_CTE}SELECT conv_id, turn_idx,\n    {cols}\nFROM transcripts"
+
+
+def _sql_cumaac() -> str:
+    cols = ",\n    ".join(
+        f"sum(CASE WHEN role = '{s}' THEN 1 ELSE 0 END) OVER "
+        f"({WIN} ROWS UNBOUNDED PRECEDING) / "
+        f"count(*) OVER ({WIN} ROWS UNBOUNDED PRECEDING)"
+        f' AS "cumaac_{s}"'
+        for s in LETTERS
+    )
+    return f"{TRANSCRIPTS_SQL_CTE}SELECT conv_id, turn_idx,\n    {cols}\nFROM transcripts"
+
+
+SQL_LATENCY = f"""{TRANSCRIPTS_SQL_CTE}SELECT conv_id, turn_idx,
+    (epoch_us(ts) - epoch_us(lag(ts) OVER ({WIN}))) / 1000000.0 AS latency_sec,
+    lag(value, 1) OVER ({WIN}) AS lag_value_1,
+    lag(value, 2) OVER ({WIN}) AS lag_value_2,
+    lead(value, 1) OVER ({WIN}) AS lead_value_1
+FROM transcripts"""
+
+SQL_ROLLSTATS = f"""{TRANSCRIPTS_SQL_CTE}SELECT conv_id, turn_idx,
+    CAST(count(value) OVER ({WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      AS roll3_value_count,
+    min(value) OVER ({WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_value_min,
+    max(value) OVER ({WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_value_max
+FROM transcripts"""
+
+GAP_SECONDS = 1800.0
+
+SQL_SESSIONS = f"""{TRANSCRIPTS_SQL_CTE}, t2 AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN lag(ts) OVER ({WIN}) IS NULL THEN 0
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER ({WIN})) > {int(GAP_SECONDS*1e6)}
+              THEN 1 ELSE 0 END AS brk
+  FROM transcripts)
+SELECT conv_id, turn_idx,
+       sum(brk) OVER ({WIN} ROWS UNBOUNDED PRECEDING) AS session_idx
+FROM t2"""
+
+SQL_SESSION_STATS = f"""{TRANSCRIPTS_SQL_CTE}, t2 AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN lag(ts) OVER ({WIN}) IS NULL THEN 0
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER ({WIN})) > {int(GAP_SECONDS*1e6)}
+              THEN 1 ELSE 0 END AS brk
+  FROM transcripts),
+ t3 AS (SELECT conv_id, ts,
+               sum(brk) OVER ({WIN} ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM t2)
+SELECT conv_id, session_idx,
+       CAST(count(*) AS DOUBLE) AS n_turns,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec
+FROM t3 GROUP BY conv_id, session_idx"""
+
+FRAME_STRIDE = 8
+
+
+def _sql_frames() -> str:
+    cols = ",\n    ".join(
+        f"count(*) FILTER (role = '{s}') AS \"frame_{s}\"" for s in LETTERS
+    )
+    return f"""{TRANSCRIPTS_SQL_CTE}SELECT conv_id,
+    CAST(turn_idx // {FRAME_STRIDE} AS BIGINT) AS frame_idx,
+    count(*) AS n_turns,
+    min(ts) AS ts_first,
+    max(ts) AS ts_last,
+    {cols}
+FROM transcripts GROUP BY conv_id, turn_idx // {FRAME_STRIDE}"""
+
+
+SQL_CONV_SUMMARY = f"""{TRANSCRIPTS_SQL_CTE}SELECT conv_id,
+    CAST(count(*) AS DOUBLE) AS n_turns,
+    (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec,
+    count(*) FILTER (tool <> '') / count(*) AS tool_share,
+    CAST(count(DISTINCT role) AS DOUBLE) AS n_roles
+FROM transcripts GROUP BY conv_id"""
+
+SQL_ASOF_ORDERS = f"""{TRANSCRIPTS_SQL_CTE}SELECT t.conv_id, t.turn_idx,
+    (SELECT o.o_totalprice FROM orders o
+      WHERE CAST(o.o_custkey AS VARCHAR) = t.conv_id AND o.o_orderdate <= t.ts
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order_price
+FROM transcripts t"""
+
+SQL_TOKEN_COUNT = """SELECT doc_id,
+    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+FROM documents"""
+
+SQL_EXACT_DEDUP = """SELECT doc_id, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)"""
+
+
+# --- query callables -------------------------------------------------------
+
+
+def q_aac(sf):
+    return _conv(sf, [("AAC", {})])
+
+
+def q_gaac(sf):
+    return _conv(sf, [("GAAC", {})])
+
+
+def q_dpc(sf):
+    return _conv(sf, [("DPC", {})])
+
+
+def q_dpc_counts(sf):
+    return _conv(sf, [("DPC", {"normalize": False})])
+
+
+def q_cksaap(sf):
+    return _conv(sf, [("CKSAAP", {"kspace": 2})])
+
+
+def q_ctdt(sf):
+    return _conv(sf, [("CTDT", {})])
+
+
+def q_stride(sf):
+    return _conv(sf, [("StrideKTuple", {"k": 2, "gap": 1})])
+
+
+def q_lambda(sf):
+    return _conv(sf, [("LambdaKTuple", {"k": 2, "lam": 2})])
+
+
+def q_conv_summary(sf):
+    return _conv(sf, [("ConvSummary", {})])
+
+
+def q_eaac(sf):
+    return _drop_ts(_turn(sf, [("RollingComposition", {"w": 5})]))
+
+
+def q_cumaac(sf):
+    return _drop_ts(_turn(sf, [("ExpandingComposition", {})]))
+
+
+def q_latency(sf):
+    return _drop_ts(
+        _turn(
+            sf,
+            [
+                ("Latency", {}),
+                ("LagLead", {"col": "value", "offsets": (1, 2)}),
+                ("LagLead", {"col": "value", "offsets": (1,), "lead": True}),
+            ],
+        )
+    )
+
+
+def q_rollstats(sf):
+    ds = _turn(sf, [("RollingStats", {"col": "value", "w": 3})])
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "roll3_value_count", "roll3_value_min",
+         "roll3_value_max"]
+    )
+
+
+def q_sessions(sf):
+    from protein_feature_engineering_ray.stages.sessionize import sessionize
+
+    ds = sessionize(from_events(sf), gap_seconds=GAP_SECONDS, num_buckets=NB,
+                    order_cols=ORDER, assign_turn_idx=True)
+    return ds.select_columns(["conv_id", "turn_idx", "session_idx"])
+
+
+def q_session_stats(sf):
+    from protein_feature_engineering_ray.stages.sessionize import sessionize
+
+    ds = sessionize(from_events(sf), gap_seconds=GAP_SECONDS, num_buckets=NB,
+                    order_cols=ORDER, assign_turn_idx=True)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "session_idx": [g["session_idx"].iloc[0]],
+                "n_turns": [float(len(g))],
+                "duration_sec": [(ts.max() - ts.min()) / 1e6],
+            }
+        )
+
+    return ds.groupby(["conv_id", "session_idx"]).map_groups(
+        agg, batch_format="pandas"
+    )
+
+
+def q_frames(sf):
+    from protein_feature_engineering_ray.stages.sessionize import frame_features
+
+    return frame_features(
+        from_events(sf), stride=FRAME_STRIDE, alphabet=EVENT_ALPHABET,
+        num_buckets=NB, order_cols=ORDER, assign_turn_idx=True,
+    )
+
+
+def q_asof_orders(sf):
+    from protein_feature_engineering_ray.stages.asof import asof_join
+
+    turns = from_events(sf)
+    orders = ray.data.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "conv_id": t["o_custkey"].cast(pa.string()),
+                "feat_ts": t["o_orderdate"].cast(pa.timestamp("us")),
+                "last_order_price": t["o_totalprice"],
+                "o_orderkey": t["o_orderkey"],
+            }
+        )
+
+    timeline = orders.map_batches(prep, batch_format="pyarrow")
+    joined = asof_join(
+        turns, timeline, ["last_order_price"], num_buckets=NB,
+        tiebreak="o_orderkey", assign_turn_idx_by=["ts", "event_id"],
+    )
+    return joined.select_columns(["conv_id", "turn_idx", "last_order_price"])
+
+
+def q_token_count(sf):
+    from protein_feature_engineering_ray.stages.text import token_count
+
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return token_count(docs).select_columns(["doc_id", "n_tokens"])
+
+
+def q_exact_dedup(sf):
+    from protein_feature_engineering_ray.stages.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    out = exact_dedup(docs, key_cols=["text"], order_col="doc_id", num_buckets=NB)
+    return out.select_columns(["doc_id", "n_chars"])
+
+
+# --- rows-only (non-SQL-expressible) --------------------------------------
+
+
+def q_dde(sf):
+    return _conv(sf, [("DDE", {})])
+
+
+def q_ctdd(sf):
+    return _conv(sf, [("CTDD", {})])
+
+
+def q_autocorr(sf):
+    return _conv(
+        sf,
+        [("NMBroto", {"nlag": 3}), ("AC", {"nlag": 3}), ("Moran", {"nlag": 3}),
+         ("Geary", {"nlag": 3})],
+    )
+
+
+def q_pseudo(sf):
+    return _conv(
+        sf,
+        [("SOCNumber", {"nlag": 3}), ("QSOrder", {"nlag": 3}),
+         ("PAAC", {"lam": 3}), ("APAAC", {"lam": 3})],
+    )
+
+
+def q_zscore_aac(sf):
+    from protein_feature_engineering_ray.stages.normalize import zscore
+
+    feats = _conv(sf, [("AAC", {})])
+    return zscore(feats, [f"aac_{s}" for s in LETTERS])
+
+
+def q_lang_quality(sf):
+    from protein_feature_engineering_ray.stages.text import lang_id, text_quality
+
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet")
+    return lang_id(text_quality(docs, concurrency=2), concurrency=2).select_columns(
+        ["doc_id", "n_words", "avg_word_len", "stopword_ratio", "lang_pred"]
+    )
+
+
+def q_minhash_dedup(sf):
+    from protein_feature_engineering_ray.stages.dedup import minhash_dedup
+
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup(docs, threshold=0.8).select_columns(["doc_id"])
+
+
+def q_simhash(sf):
+    from protein_feature_engineering_ray.stages.dedup import simhash64
+
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return simhash64(docs)
+
+
+def q_embedding_neardup(sf):
+    from protein_feature_engineering_ray.stages.dedup import embedding_neardup
+
+    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    return embedding_neardup(vecs, threshold=0.4, n_planes=6)
+
+
+def q_knn(sf):
+    from protein_feature_engineering_ray.stages.similarity import knn_brute
+
+    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    qdf = vecs.limit(4).to_pandas()
+    Q = np.stack(qdf["embedding"].to_numpy())
+    return knn_brute(vecs, Q, qdf["vec_id"].to_numpy(), k=5)
+
+
+def q_knn_partition(sf):
+    from protein_feature_engineering_ray.stages.similarity import knn_train_partition
+
+    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    return knn_train_partition(vecs, k=10)
+
+
+def q_media(sf):
+    from protein_feature_engineering_ray.stages.multimodal import (
+        media_features,
+        synth_media,
+    )
+
+    return media_features(synth_media(n=64), concurrency=2)
+
+
+QUERIES: dict[str, Callable] = {
+    "aac": q_aac,
+    "gaac": q_gaac,
+    "dpc": q_dpc,
+    "dpc_counts": q_dpc_counts,
+    "cksaap": q_cksaap,
+    "ctdt": q_ctdt,
+    "stride_k2": q_stride,
+    "lambda_k2": q_lambda,
+    "conv_summary": q_conv_summary,
+    "eaac": q_eaac,
+    "cumaac": q_cumaac,
+    "latency": q_latency,
+    "rollstats": q_rollstats,
+    "sessions": q_sessions,
+    "session_stats": q_session_stats,
+    "frames": q_frames,
+    "asof_orders": q_asof_orders,
+    "token_count": q_token_count,
+    "exact_dedup": q_exact_dedup,
+    # rows-only:
+    "dde": q_dde,
+    "ctdd": q_ctdd,
+    "autocorr": q_autocorr,
+    "pseudo_order": q_pseudo,
+    "zscore_aac": q_zscore_aac,
+    "lang_quality": q_lang_quality,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "knn_brute": q_knn,
+    "knn_partition": q_knn_partition,
+    "media_features": q_media,
+}
+
+ORACLES: dict[str, str] = {
+    "aac": _sql_aac(),
+    "gaac": _sql_gaac(),
+    "dpc": _sql_ngram(2, "dpc", True),
+    "dpc_counts": _sql_ngram(2, "dpc", False),
+    "cksaap": _sql_cksaap(2),
+    "ctdt": _sql_ctdt(),
+    "stride_k2": _sql_stride(2, 1),
+    "lambda_k2": _sql_lambda(2, 2),
+    "conv_summary": SQL_CONV_SUMMARY,
+    "eaac": _sql_eaac(5),
+    "cumaac": _sql_cumaac(),
+    "latency": SQL_LATENCY,
+    "rollstats": SQL_ROLLSTATS,
+    "sessions": SQL_SESSIONS,
+    "session_stats": SQL_SESSION_STATS,
+    "frames": _sql_frames(),
+    "asof_orders": SQL_ASOF_ORDERS,
+    "token_count": SQL_TOKEN_COUNT,
+    "exact_dedup": SQL_EXACT_DEDUP,
+}

@@ -1,0 +1,122 @@
+"""Gap-based sessionization + fixed-stride frames (SURVEY.md §7.1 step 6).
+
+The transcript analogue of the reference's window segmentation:
+- ``sessionize``: a new session starts at the first turn of a conversation or
+  whenever the inter-turn gap exceeds ``gap_seconds`` (north-star gap-based
+  sessionization).  Pure per-turn output; vectorized cumsum over segment
+  boundaries.
+- ``assign_frames`` / ``frame_features``: fixed-stride frame segmentation —
+  the reference's ``gapModel`` strided sampling (feature.py:2732, 2745, 2761)
+  generalized to tumbling frames of ``stride`` turns; ``frame_features``
+  emits one row per (conv, frame) with role composition + bounds, i.e. the
+  per-frame feature stack.
+
+Both ride the same co-location shuffle as every other per-conversation stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from protein_feature_engineering_ray.core.bucket import (
+    DEFAULT_NUM_BUCKETS,
+    grouped_buckets,
+)
+from protein_feature_engineering_ray.core.context import ConvContext
+from protein_feature_engineering_ray.schema import Alphabet, DEFAULT_ALPHABET
+
+
+def _session_ids(ctx: ConvContext, gap_us: int) -> np.ndarray:
+    """0-based session index within each conversation."""
+    n = ctx.n
+    ts = ctx.ts_us
+    new = np.ones(n, dtype=np.int64)  # first row of bucket starts a session
+    if n > 1:
+        same = ctx.same_seg(1)
+        gap_break = (ts[1:] - ts[:-1]) > gap_us
+        new[1:] = (~same | gap_break).astype(np.int64)
+    sid_global = np.cumsum(new) - 1
+    # rebase per conversation so session_idx starts at 0 in every conv
+    first_sid = sid_global[ctx.starts[:-1]]
+    return sid_global - first_sid[ctx.seg_of_row]
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    gap_seconds: float = 1800.0,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    assign_turn_idx: bool = False,
+) -> ray.data.Dataset:
+    """Input transcript rows + ``session_idx:int64`` (0-based per conversation)."""
+    gap_us = int(gap_seconds * 1e6)
+
+    def fn(table: pa.Table) -> pa.Table:
+        ctx = ConvContext(table, DEFAULT_ALPHABET)
+        if assign_turn_idx:
+            ti = ctx.pos.astype(np.int32)
+            idx = table.column_names.index("turn_idx")
+            table = table.set_column(idx, "turn_idx", pa.array(ti, pa.int32()))
+            ctx.table = table
+        sid = _session_ids(ctx, gap_us)
+        return table.append_column("session_idx", pa.array(sid, pa.int64()))
+
+    return grouped_buckets(ds, fn, num_buckets=num_buckets, order_cols=order_cols)
+
+
+def frame_features(
+    ds: ray.data.Dataset,
+    stride: int = 8,
+    alphabet: Alphabet = DEFAULT_ALPHABET,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    assign_turn_idx: bool = False,
+) -> ray.data.Dataset:
+    """One row per (conv_id, frame_idx): tumbling ``stride``-turn frames with
+    role composition counts + frame bounds.
+
+    Output: conv_id, frame_idx, n_turns, ts_first, ts_last, frame role counts
+    ``frame_<letter>`` (raw counts, gapModel-style feature.py:2732).
+    """
+
+    def fn(table: pa.Table) -> pa.Table:
+        ctx = ConvContext(table, alphabet)
+        if assign_turn_idx:
+            ti = ctx.pos.astype(np.int32)
+            idx = table.column_names.index("turn_idx")
+            table = table.set_column(idx, "turn_idx", pa.array(ti, pa.int32()))
+            ctx.table = table
+        frame = ctx.pos // stride
+        # global frame key = (segment, frame)
+        key = ctx.seg_of_row * (int(ctx.lengths.max() // stride) + 1 if ctx.n else 1) + frame
+        uniq, inv = np.unique(key, return_inverse=True)
+        nf = len(uniq)
+        counts = np.zeros((nf, alphabet.size), dtype=np.int64)
+        codes = ctx.codes
+        valid = codes >= 0
+        np.add.at(counts, (inv[valid], codes[valid]), 1)
+        n_turns = np.zeros(nf, dtype=np.int64)
+        np.add.at(n_turns, inv, 1)
+        ts = ctx.ts_us
+        # rows are sorted, frames are contiguous runs -> first/last by position
+        first_pos = np.full(nf, ctx.n, dtype=np.int64)
+        np.minimum.at(first_pos, inv, np.arange(ctx.n))
+        last_pos = np.full(nf, -1, dtype=np.int64)
+        np.maximum.at(last_pos, inv, np.arange(ctx.n))
+        ts_first = ts[first_pos]
+        ts_last = ts[last_pos]
+        cols = {
+            "conv_id": pa.array(ctx.conv_ids_rows[first_pos], pa.string()),
+            "frame_idx": pa.array(frame[first_pos], pa.int64()),
+            "n_turns": pa.array(n_turns, pa.int64()),
+            "ts_first": pa.array(ts_first, pa.timestamp("us")),
+            "ts_last": pa.array(ts_last, pa.timestamp("us")),
+        }
+        for i, s in enumerate(alphabet.letters):
+            cols[f"frame_{s}"] = pa.array(counts[:, i], pa.int64())
+        return pa.table(cols)
+
+    return grouped_buckets(ds, fn, num_buckets=num_buckets, order_cols=order_cols)

@@ -1,0 +1,180 @@
+"""Stage tests: sessionization, as-of join (+ temporal-leakage probe,
+SURVEY.md §5.2), frames, normalization."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from protein_feature_engineering_ray.schema import Alphabet
+from protein_feature_engineering_ray.sources import (
+    synth_feature_timeline,
+    synth_transcripts,
+)
+from protein_feature_engineering_ray.stages.asof import asof_join
+from protein_feature_engineering_ray.stages.normalize import minmax, zscore
+from protein_feature_engineering_ray.stages.sessionize import frame_features, sessionize
+
+ALPHA = Alphabet(letters=("assistant", "system", "tool", "user"))
+GAP = 1800.0
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return (
+        synth_transcripts(n_convs=24, duplicates=False),
+        synth_transcripts(n_convs=24, duplicates=False, as_pandas=True),
+    )
+
+
+def oracle_sessions(pdf: pd.DataFrame, gap_s: float) -> pd.DataFrame:
+    out = []
+    for cid, g in pdf.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        sid, prev = 0, None
+        for _, row in g.iterrows():
+            if prev is not None and (row["ts"] - prev).total_seconds() > gap_s:
+                sid += 1
+            out.append({"conv_id": cid, "turn_idx": row["turn_idx"], "session_idx": sid})
+            prev = row["ts"]
+    return pd.DataFrame(out)
+
+
+def test_sessionize(corpus):
+    ds, pdf = corpus
+    got = (
+        sessionize(ds, gap_seconds=GAP, num_buckets=6)
+        .to_pandas()[["conv_id", "turn_idx", "session_idx"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = oracle_sessions(pdf, GAP).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False
+    )
+    # the synth corpus is built to contain real session breaks
+    assert got["session_idx"].max() >= 1
+
+
+def test_frame_features(corpus):
+    ds, pdf = corpus
+    got = frame_features(ds, stride=8, alphabet=ALPHA, num_buckets=6).to_pandas()
+    pdf2 = pdf.sort_values(["conv_id", "turn_idx"]).copy()
+    pdf2["frame_idx"] = pdf2["turn_idx"] // 8
+    want = (
+        pdf2.groupby(["conv_id", "frame_idx"])
+        .agg(
+            n_turns=("turn_idx", "size"),
+            frame_user=("role", lambda s: int((s == "user").sum())),
+        )
+        .reset_index()
+    )
+    m = got.merge(want, on=["conv_id", "frame_idx"], suffixes=("", "_o"))
+    assert len(m) == len(want) == len(got)
+    assert (m["n_turns"] == m["n_turns_o"]).all()
+    assert (m["frame_user"] == m["frame_user_o"]).all()
+    # frame bounds ordered
+    assert (m["ts_first"] <= m["ts_last"]).all()
+
+
+def oracle_asof(pdf: pd.DataFrame, tl: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    tl = tl.sort_values(["feat_ts", "feat_b"], kind="mergesort")
+    for _, r in pdf.iterrows():
+        cand = tl[(tl["conv_id"] == r["conv_id"]) & (tl["feat_ts"] <= r["ts"])]
+        rows.append(
+            {
+                "conv_id": r["conv_id"],
+                "turn_idx": r["turn_idx"],
+                "feat_a": cand["feat_a"].iloc[-1] if len(cand) else np.nan,
+                "feat_b": float(cand["feat_b"].iloc[-1]) if len(cand) else np.nan,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_asof_join(corpus):
+    ds, pdf = corpus
+    tl = synth_feature_timeline(n_convs=24)
+    tldf = synth_feature_timeline(n_convs=24, as_pandas=True)
+    got = (
+        asof_join(ds, tl, ["feat_a", "feat_b"], num_buckets=6, tiebreak="feat_b")
+        .to_pandas()[["conv_id", "turn_idx", "feat_a", "feat_b"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle_asof(pdf, tldf)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    for c in ("feat_a", "feat_b"):
+        np.testing.assert_allclose(got[c], want[c], rtol=1e-12, err_msg=c)
+    # null-match path exercised: convs without timeline rows -> NaN
+    assert got["feat_a"].isna().any()
+
+
+def test_asof_leakage_probe(corpus):
+    """Perturb every timeline row with feat_ts > cutoff; features at turns
+    with ts <= cutoff must be BIT-identical (north-star leakage gate)."""
+    ds, pdf = corpus
+    tldf = synth_feature_timeline(n_convs=24, as_pandas=True)
+    cutoff = pdf["ts"].quantile(0.5)
+
+    base = (
+        asof_join(ds, ray.data.from_pandas(tldf), ["feat_a", "feat_b"],
+                  num_buckets=6, tiebreak="feat_b")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    evil = tldf.copy()
+    fut = evil["feat_ts"] > cutoff
+    assert fut.any()
+    evil.loc[fut, "feat_a"] = 1e9
+    evil.loc[fut, "feat_b"] = -1
+    pert = (
+        asof_join(ds, ray.data.from_pandas(evil), ["feat_a", "feat_b"],
+                  num_buckets=6, tiebreak="feat_b")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    past = base["ts"] <= cutoff
+    for c in ("feat_a", "feat_b"):
+        a = base.loc[past, c].to_numpy()
+        b = pert.loc[past, c].to_numpy()
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), f"temporal leakage in {c}"
+
+
+def test_zscore(corpus):
+    ds, _ = corpus
+    from protein_feature_engineering_ray.core.executor import conv_features
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+
+    feats = conv_features(ds, [make_kernel("AAC", ALPHA)[1]], alphabet=ALPHA,
+                          num_buckets=6)
+    cols = [f"aac_{s}" for s in ALPHA.letters]
+    z = zscore(feats, cols).to_pandas()
+    raw = feats.to_pandas()
+    for c in cols:
+        x = raw[c].to_numpy()
+        want = (x - x.mean()) / x.std() if x.std() > 0 else np.zeros_like(x)
+        got = z.sort_values("conv_id")[c].to_numpy()
+        np.testing.assert_allclose(
+            np.sort(got), np.sort(want), rtol=1e-9, atol=1e-12
+        )
+        assert abs(got.mean()) < 1e-9
+
+
+def test_minmax(corpus):
+    ds, _ = corpus
+    from protein_feature_engineering_ray.core.executor import turn_features
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+
+    feats = turn_features(ds, [make_kernel("Latency", ALPHA)[1]], alphabet=ALPHA,
+                          num_buckets=6)
+    mm = minmax(feats, ["latency_sec"]).to_pandas()
+    x = mm["latency_sec"].to_numpy()
+    assert np.nanmin(x) >= 0 and np.nanmax(x) <= 1
+    assert not np.isnan(x).any()  # NaNs replaced by scaled mean

@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+and its oracle_sql() (when present) over an sf dir, compare row count, schema
+(column names) and values (sorted columns, exact for ints/strings, bitwise
+report for floats with allclose fallback).
+
+Usage: python tools/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray
+
+
+def to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    try:
+        import pyarrow as pa
+
+        if isinstance(res, pa.Table):
+            return res.to_pandas()
+    except ImportError:
+        pass
+    return res.to_pandas()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    sortable = [
+        c for c in df.columns
+        if not df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any()
+    ]
+    if sortable:
+        df = df.sort_values(sortable, kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str) -> int:
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = 0
+    for name, fn in qs.items():
+        try:
+            got = canon(to_df(fn(sf_dir)))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(got)} rows, {len(got.columns)} cols)")
+            continue
+        want = canon(con.execute(oracles[name]).df())
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            failures += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols {sorted(set(got.columns) ^ set(want.columns))}")
+            failures += 1
+            continue
+        bad = []
+        for c in got.columns:
+            a, w = got[c], want[c]
+            if a.dtype.kind == "f" or w.dtype.kind == "f":
+                av = a.to_numpy(dtype=float)
+                wv = w.to_numpy(dtype=float)
+                exact = np.array_equal(av, wv, equal_nan=True)
+                close = np.allclose(av, wv, rtol=1e-9, atol=1e-12, equal_nan=True)
+                if not close:
+                    bad.append((c, "values"))
+                elif not exact:
+                    bad.append((c, "bits"))
+            else:
+                if not a.astype(str).equals(w.astype(str)):
+                    bad.append((c, "values"))
+        hard = [b for b in bad if b[1] == "values"]
+        soft = [b for b in bad if b[1] == "bits"]
+        if hard:
+            print(f"FAIL {name}: mismatched {hard[:5]}")
+            failures += 1
+        elif soft:
+            print(f"warn {name}: allclose but not bit-exact: {[c for c,_ in soft][:5]}")
+        else:
+            print(f"ok   {name}: {len(got)} rows bit-exact")
+    ray.shutdown()
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
