@@ -32,7 +32,17 @@ from protein_feature_engineering_ray.state.manifest import (
     completed_buckets,
 )
 
+# canonical transcript schema only (input_hint columns)
 DEFAULT_TURN_SPECS = [
+    ("Latency", {}),
+    ("RollingComposition", {"w": 5}),
+    ("OneHot", {}),
+    ("PositionFeatures", {}),
+    ("TextLen", {}),
+]
+
+# events-derived transcripts additionally carry the numeric ``value`` series
+EVENTS_TURN_SPECS = [
     ("Latency", {}),
     ("LagLead", {"col": "value", "offsets": (1, 2)}),
     ("RollingComposition", {"w": 5}),
@@ -101,7 +111,7 @@ def flagship_backfill(
 ) -> ray.data.Dataset:
     """events-derived transcripts -> one-pass session + turn-feature stack.
     Returns the (lazy) entity×timestamp feature Dataset."""
-    specs = turn_specs or DEFAULT_TURN_SPECS
+    specs = turn_specs or EVENTS_TURN_SPECS
     kernels = [make_kernel(n, alphabet, p)[1] for n, p in specs]
     fn = make_backfill_fn(kernels, alphabet)
     return grouped_buckets(

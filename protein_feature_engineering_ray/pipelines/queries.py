@@ -361,25 +361,10 @@ def q_sessions(sf):
 
 
 def q_session_stats(sf):
-    from protein_feature_engineering_ray.stages.sessionize import sessionize
+    from protein_feature_engineering_ray.stages.sessionize import session_stats
 
-    ds = sessionize(from_events(sf), gap_seconds=GAP_SECONDS, num_buckets=NB,
-                    order_cols=ORDER, assign_turn_idx=True)
-
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("datetime64[us]").astype("int64")
-        return pd.DataFrame(
-            {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "session_idx": [g["session_idx"].iloc[0]],
-                "n_turns": [float(len(g))],
-                "duration_sec": [(ts.max() - ts.min()) / 1e6],
-            }
-        )
-
-    return ds.groupby(["conv_id", "session_idx"]).map_groups(
-        agg, batch_format="pandas"
-    )
+    return session_stats(from_events(sf), gap_seconds=GAP_SECONDS,
+                         num_buckets=NB, order_cols=ORDER)
 
 
 def q_frames(sf):

@@ -157,23 +157,39 @@ def minhash_lsh_candidates(
             }
         )
 
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # coarse-bucket the (band, band_hash) key space so Ray shuffles into
+        # a few fat groups, and the per-key grouping happens vectorized in
+        # pandas inside each bucket (NOT one Ray group per tiny LSH key —
+        # that is ~10ms of scheduler overhead per key)
+        b = (
+            t["band_hash"].to_numpy(zero_copy_only=False)
+            % np.uint64(64)
+        ).astype(np.uint32)
+        return t.append_column("_bucket", pa.array(b, pa.uint32()))
+
     def collect(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
+        g = g[sizes >= 2]
+        if len(g) == 0:
             return pd.DataFrame(
-                {"band": [], "band_hash": [], "doc_ids": []}
-            ).astype({"band": np.int32, "band_hash": np.uint64, "doc_ids": object})
-        ids = sorted(g[id_col].tolist())
-        return pd.DataFrame(
-            {
-                "band": [g["band"].iloc[0]],
-                "band_hash": [g["band_hash"].iloc[0]],
-                "doc_ids": [ids],
-            }
+                {"band": pd.Series([], dtype=np.int32),
+                 "band_hash": pd.Series([], dtype=np.uint64),
+                 "doc_ids": pd.Series([], dtype=object)}
+            )
+        out = (
+            g.sort_values(id_col)
+            .groupby(["band", "band_hash"])[id_col]
+            .agg(list)
+            .reset_index()
+            .rename(columns={id_col: "doc_ids"})
         )
+        return out
 
     return (
         sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
         .map_groups(collect, batch_format="pandas")
     )
 
@@ -302,25 +318,37 @@ def embedding_neardup(
             {
                 id_col: t[id_col],
                 vec_col: t[vec_col],
-                "_bucket": pa.array(key, pa.uint32()),
+                "lsh_key": pa.array(key, pa.uint32()),
+                # coarse Ray shuffle bucket; exact lsh_key grouping happens
+                # vectorized inside each fat bucket
+                "_bucket": pa.array(key % np.uint32(64), pa.uint32()),
             }
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+        out_a, out_b, out_s = [], [], []
+        for _, sub in g.groupby("lsh_key", sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sub[id_col].to_numpy()
+            V = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sim = V @ V.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = sim[ia, ib] >= threshold
+            a, b = ids[ia[keep]], ids[ib[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_s.append(sim[ia[keep], ib[keep]])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=np.int64),
+                 "id_b": pd.Series([], dtype=np.int64),
+                 "cosine": pd.Series([], dtype=np.float64)}
             )
-        ids = g[id_col].to_numpy()
-        V = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        V = V / np.linalg.norm(V, axis=1, keepdims=True)
-        sim = V @ V.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sim[ia, ib] >= threshold
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "cosine": sim[ia[keep], ib[keep]]}
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+             "cosine": np.concatenate(out_s)}
         )
 
     return (

@@ -67,6 +67,43 @@ def sessionize(
     return grouped_buckets(ds, fn, num_buckets=num_buckets, order_cols=order_cols)
 
 
+def session_stats(
+    ds: ray.data.Dataset,
+    gap_seconds: float = 1800.0,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> ray.data.Dataset:
+    """One row per (conv_id, session_idx): n_turns + wall duration — computed
+    segment-vectorized in the SAME bucket pass as session assignment (no
+    second shuffle, no per-session Python)."""
+    gap_us = int(gap_seconds * 1e6)
+
+    def fn(table: pa.Table) -> pa.Table:
+        ctx = ConvContext(table, DEFAULT_ALPHABET)
+        sid = _session_ids(ctx, gap_us)
+        # global session key: sessions are contiguous runs in the sorted bucket
+        new = np.ones(ctx.n, dtype=bool)
+        new[1:] = (sid[1:] != sid[:-1]) | (ctx.seg_of_row[1:] != ctx.seg_of_row[:-1])
+        sess_start = np.flatnonzero(new)
+        sess_end = np.concatenate((sess_start[1:], [ctx.n])) - 1
+        ts = ctx.ts_us
+        return pa.table(
+            {
+                "conv_id": pa.array(ctx.conv_ids_rows[sess_start], pa.string()),
+                "session_idx": pa.array(sid[sess_start], pa.int64()),
+                "n_turns": pa.array(
+                    (sess_end - sess_start + 1).astype(np.float64), pa.float64()
+                ),
+                "duration_sec": pa.array(
+                    (ts[sess_end] - ts[sess_start]).astype(np.float64) / 1e6,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return grouped_buckets(ds, fn, num_buckets=num_buckets, order_cols=order_cols)
+
+
 def frame_features(
     ds: ray.data.Dataset,
     stride: int = 8,

@@ -24,9 +24,10 @@ import ray
 
 
 def _to_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
-    return np.asarray(t[vec_col].combine_chunks().flatten()).reshape(
-        len(t), -1
-    ).astype(np.float64)
+    """Vector column -> (n, d) float64; handles list/fixed_size_list arrays
+    and Ray's tensor extension type (after pandas round-trips)."""
+    raw = t[vec_col].to_numpy(zero_copy_only=False)
+    return np.stack(list(raw)).astype(np.float64).reshape(len(t), -1)
 
 
 def _normalize(V: np.ndarray) -> np.ndarray:

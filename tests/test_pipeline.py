@@ -1,0 +1,235 @@
+"""Backfill resume (kill/restart equivalence), dedup, similarity, media
+plumbing, property tests (order/partition invariance)."""
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from protein_feature_engineering_ray.pipelines.backfill import (
+    backfill_to_dir,
+    read_backfill,
+)
+from protein_feature_engineering_ray.schema import Alphabet
+from protein_feature_engineering_ray.sources import synth_transcripts
+from protein_feature_engineering_ray.state.manifest import (
+    bucket_dir,
+    completed_buckets,
+    read_manifest,
+)
+
+ALPHA = Alphabet(
+    letters=("assistant", "system", "tool", "user"),
+    groups={"bot": ("assistant", "system", "tool"), "hum": ("user",)},
+)
+ORDER = ("conv_id", "turn_idx")
+
+
+def _run(out_dir, n_buckets=8):
+    ds = synth_transcripts(n_convs=24, duplicates=False)
+    return backfill_to_dir(
+        ds, out_dir, num_buckets=n_buckets, alphabet=ALPHA,
+        order_cols=ORDER, assign_turn_idx=False,
+    )
+
+
+def _read_sorted(out_dir):
+    return (
+        read_backfill(out_dir)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_backfill_and_resume(tmp_path):
+    full = str(tmp_path / "full")
+    manifest = _run(full)
+    assert sum(m["rows"] for m in manifest) == synth_transcripts(
+        n_convs=24, duplicates=False, as_pandas=True
+    ).shape[0]
+    want = _read_sorted(full)
+    assert {"session_idx", "latency_sec", "eaac5_user"} <= set(want.columns)
+
+    # simulate a crash: a second run dir where some buckets never committed
+    # (one of them mid-write: stale tmp file, no _SUCCESS)
+    part = str(tmp_path / "part")
+    _run(part)
+    done = sorted(completed_buckets(part))
+    assert len(done) >= 3
+    killed = done[:2]
+    for b in killed:
+        d = bucket_dir(part, b)
+        os.remove(os.path.join(d, "_SUCCESS.json"))
+    with open(os.path.join(bucket_dir(part, killed[0]), ".tmp-data.parquet"), "wb") as f:
+        f.write(b"garbage-partial-write")
+
+    surviving = {
+        b: os.path.getmtime(os.path.join(bucket_dir(part, b), "data.parquet"))
+        for b in done[2:]
+    }
+    time.sleep(0.05)
+    manifest2 = _run(part)
+    # only the killed buckets were recomputed
+    assert sorted(m["bucket"] for m in manifest2) == killed
+    for b, mtime in surviving.items():
+        assert os.path.getmtime(
+            os.path.join(bucket_dir(part, b), "data.parquet")
+        ) == mtime, "resume rewrote a committed partition"
+    got = _read_sorted(part)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(read_manifest(part)) == len(completed_buckets(part))
+
+
+def test_order_invariance():
+    """Shuffled input blocks -> identical output (SURVEY §5.3)."""
+    from protein_feature_engineering_ray.core.executor import conv_features
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+
+    pdf = synth_transcripts(n_convs=16, duplicates=False, as_pandas=True)
+    shuffled = pdf.sample(frac=1.0, random_state=99).reset_index(drop=True)
+    outs = []
+    for frame, nb in ((pdf, 4), (shuffled, 9)):
+        ds = ray.data.from_pandas(frame).repartition(5)
+        out = conv_features(
+            ds, [make_kernel("CKSAAP", ALPHA, {"kspace": 2})[1]],
+            alphabet=ALPHA, num_buckets=nb,
+        ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_dedup_exact():
+    from protein_feature_engineering_ray.stages.dedup import exact_dedup
+
+    pdf = synth_transcripts(n_convs=16, duplicates=True, as_pandas=True)
+    assert pdf.duplicated(["conv_id", "turn_idx"]).any()
+    ds = ray.data.from_pandas(pdf)
+    out = exact_dedup(ds, ["conv_id", "turn_idx"], num_buckets=6).to_pandas()
+    assert not out.duplicated(["conv_id", "turn_idx"]).any()
+    assert len(out) == len(pdf.drop_duplicates(["conv_id", "turn_idx"]))
+
+
+def test_minhash_dedup_finds_planted_neardups():
+    from protein_feature_engineering_ray.stages.dedup import minhash_dedup, ngram_jaccard
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(words, size=60)) for _ in range(40)
+    ]
+    # plant near-dups: copy with one word changed
+    dup_of = {}
+    for i in range(5):
+        src = texts[i].split()
+        src[10] = "CHANGED"
+        texts.append(" ".join(src))
+        dup_of[40 + i] = i
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    out = minhash_dedup(
+        ray.data.from_pandas(df), threshold=0.5
+    ).to_pandas()
+    kept = set(out["doc_id"])
+    for dup, src in dup_of.items():
+        assert ngram_jaccard(texts[dup], texts[src]) > 0.5
+        assert dup not in kept, "planted near-dup survived"
+        assert src in kept
+    assert 39 in kept  # unrelated docs survive
+
+
+def test_simhash_close_for_neardups():
+    from protein_feature_engineering_ray.stages.dedup import simhash64
+
+    rng = np.random.default_rng(6)
+    words = [f"w{i}" for i in range(100)]
+    base = " ".join(rng.choice(words, size=80))
+    variant = base.replace("w1 ", "w999 ")
+    other = " ".join(rng.choice(words, size=80))
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, variant, other]})
+    out = simhash64(ray.data.from_pandas(df)).to_pandas().set_index("doc_id")
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    h = out["simhash"]
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+    assert ham(h[0], h[1]) <= 12
+
+
+def test_knn_brute_matches_numpy():
+    from protein_feature_engineering_ray.stages.similarity import knn_brute
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(200, 16))
+    df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(V)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    Q = V[:3]
+    got = knn_brute(ds, Q, np.array([0, 1, 2]), k=5)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = (Q / np.linalg.norm(Q, axis=1, keepdims=True)) @ Vn.T
+    for qi in range(3):
+        want = set(np.argsort(-sims[qi])[:5])
+        have = set(got[got["query_id"] == qi]["nbr_id"])
+        assert have == want
+
+
+def test_ivf_knn_recall():
+    from protein_feature_engineering_ray.stages.similarity import ivf_knn, knn_brute
+
+    rng = np.random.default_rng(8)
+    # clustered data so IVF cells are meaningful
+    centers = rng.normal(size=(8, 16)) * 3
+    V = np.concatenate([c + rng.normal(size=(50, 16)) * 0.3 for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(V)), "embedding": list(V)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    Q = V[:4]
+    qids = np.array([0, 1, 2, 3])
+    exact = knn_brute(ds, Q, qids, k=10)
+    approx = ivf_knn(ds, Q, qids, k=10, n_centroids=8, n_probe=3)
+    recalls = []
+    for qi in qids:
+        e = set(exact[exact["query_id"] == qi]["nbr_id"])
+        a = set(approx[approx["query_id"] == qi]["nbr_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_media_plumbing():
+    from protein_feature_engineering_ray.stages.multimodal import (
+        MediaFeatureActor,
+        media_features,
+        synth_media,
+    )
+
+    out = media_features(synth_media(n=32), concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert len(out["media_vec"].iloc[0]) == MediaFeatureActor.DIM
+    # deterministic across runs
+    out2 = media_features(synth_media(n=32), concurrency=2, batch_size=8).to_pandas()
+    a = np.stack(out.sort_values("media_id")["media_vec"].to_numpy())
+    b = np.stack(out2.sort_values("media_id")["media_vec"].to_numpy())
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(NotImplementedError):
+        MediaFeatureActor(fake=False)({})
+
+
+def test_session_stats_matches_sessionize():
+    from protein_feature_engineering_ray.stages.sessionize import (
+        session_stats,
+        sessionize,
+    )
+
+    ds = synth_transcripts(n_convs=16, duplicates=False)
+    per_turn = sessionize(ds, gap_seconds=600.0, num_buckets=5).to_pandas()
+    want = (
+        per_turn.groupby(["conv_id", "session_idx"])
+        .agg(n_turns=("turn_idx", "size"))
+        .reset_index()
+    )
+    got = session_stats(ds, gap_seconds=600.0, num_buckets=5).to_pandas()
+    m = got.merge(want, on=["conv_id", "session_idx"], suffixes=("", "_o"))
+    assert len(m) == len(want) == len(got)
+    assert (m["n_turns"] == m["n_turns_o"]).all()
