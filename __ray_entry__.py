@@ -19,14 +19,18 @@ from typing import Any
 
 
 def entry() -> Any:
+    from protein_feature_engineering_ray.config import tune_data_context
     from protein_feature_engineering_ray.pipelines.backfill import flagship_backfill
 
+    tune_data_context()
     return flagship_backfill("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from protein_feature_engineering_ray.config import tune_data_context
     from protein_feature_engineering_ray.pipelines.queries import QUERIES
 
+    tune_data_context()
     return dict(QUERIES)
 
 

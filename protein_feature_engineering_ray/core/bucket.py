@@ -91,6 +91,9 @@ def grouped_buckets(
         out = bucket_fn(table)
         return out
 
+    from protein_feature_engineering_ray.config import tune_data_context
+
+    tune_data_context()
     return add_bucket(ds, num_buckets, key=key).groupby("_bucket").map_groups(
         _fn, batch_format="pyarrow"
     )

@@ -464,6 +464,44 @@ class LambdaKTuple:
         return out.astype(np.float64)
 
 
+class DistancePair:
+    """``_DistancePair`` analogue (feature.py:2572-2721): composition under a
+    role-coarsening map — distance-0 unigram frequencies plus pair
+    frequencies at each distance 1..``distance``, each block normalized by
+    its own count."""
+
+    def __init__(self, groups: list[str], distance: int = 2, prefix: str = "dp"):
+        self.groups = groups
+        self.distance = distance
+        self.prefix = prefix
+
+    def names(self) -> list[str]:
+        G = self.groups
+        out = [f"{self.prefix}_d0_{g}" for g in G]
+        for d in range(1, self.distance + 1):
+            out += [f"{self.prefix}_d{d}_{a}.{b}" for a in G for b in G]
+        return out
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        uni = CompositionK(self.groups, grouped=True).apply(ctx)
+        blocks = [uni]
+        codes = ctx.group_codes
+        A = len(self.groups)
+        n, seg = ctx.n, ctx.seg_of_row
+        for d in range(1, self.distance + 1):
+            out = np.zeros((ctx.n_segs, A * A), dtype=np.int64)
+            if n > d:
+                mask = seg[:-d] == seg[d:]
+                a, b = codes[:-d], codes[d:]
+                sel = mask & (a >= 0) & (b >= 0)
+                if sel.any():
+                    np.add.at(out, (seg[:-d][sel], a[sel] * A + b[sel]), 1)
+            denom = out.sum(axis=1, keepdims=True).astype(np.float64)
+            denom[denom == 0] = 1.0
+            blocks.append(out / denom)
+        return np.concatenate(blocks, axis=1)
+
+
 class ConvSummary:
     """Conversation-level summary stats (flagship backfill block): turn count,
     wall duration, tool-turn share, distinct-role count."""

@@ -85,6 +85,44 @@ EVENT_ZSCALE = np.array(
 )
 
 
+class MultiHotProperties:
+    """Overlapping (non-exclusive) property membership bits per turn — the
+    OPF family analogue (``_OPF_10bit``/``_OPF_7bit_*``, feature.py:2384-2538:
+    one bit per property, a letter may set several).
+
+    ``props`` maps property name -> tuple of member letters (literals, so the
+    SQL oracle can embed identical CASE lists).
+    """
+
+    def __init__(self, letters: list[str], props: dict[str, tuple[str, ...]],
+                 prefix: str = "opf"):
+        self.letters = letters
+        self.props = props
+        self.prefix = prefix
+
+    def names(self) -> list[str]:
+        return [f"{self.prefix}_{p}" for p in self.props]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        codes = ctx.codes
+        out = np.zeros((ctx.n, len(self.props)), dtype=np.float64)
+        for j, (_name, members) in enumerate(self.props.items()):
+            member_codes = [self.letters.index(m) for m in members
+                            if m in self.letters]
+            out[:, j] = np.isin(codes, member_codes).astype(np.float64)
+        return out
+
+
+# Frozen overlapping property sets for the events alphabet (OPF analogue).
+EVENT_PROPS = {
+    "engaged": ("click", "purchase", "signup"),
+    "monetary": ("purchase",),
+    "problem": ("error",),
+    "passive": ("view", "error"),
+    "onboarding": ("signup", "view"),
+}
+
+
 class LagLead:
     """``lag(col, n)`` / ``lead(col, n)`` within conversation (SURVEY.md §2.4
     shifted-array core; reference lag pairing e.g. feature.py:1473-1475).

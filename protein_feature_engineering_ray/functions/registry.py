@@ -78,6 +78,8 @@ REGISTRY: dict[str, tuple[str, Callable[[Alphabet, dict[str, Any]], Any]]] = {
         _letters(a, p.get("grouped", True)), k=p.get("k", 2), lam=p.get("lam", 2),
         grouped=p.get("grouped", True))),
     "ConvSummary": ("conv", lambda a, p: comp.ConvSummary()),
+    "DistancePair": ("conv", lambda a, p: comp.DistancePair(
+        _letters(a, True), distance=p.get("distance", 2))),
     # --- lag / autocorrelation (SURVEY §2.4) ---
     "NMBroto": ("conv", lambda a, p: ac.NMBroto(
         p.get("series", ("col", "value")), nlag=p.get("nlag", 4))),
@@ -121,6 +123,11 @@ REGISTRY: dict[str, tuple[str, Callable[[Alphabet, dict[str, Any]], Any]]] = {
         p.get("col", "value"), w=p.get("w", 5))),
     "PositionFeatures": ("turn", lambda a, p: pos.PositionFeatures()),
     "TextLen": ("turn", lambda a, p: pos.TextLen()),
+    "MultiHot": ("turn", lambda a, p: pos.MultiHotProperties(
+        _letters(a, False),
+        p.get("props", pos.EVENT_PROPS if a.size == len(pos.EVENT_ZSCALE)
+              else {}),
+    )),
 }
 
 

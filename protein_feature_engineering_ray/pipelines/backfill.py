@@ -129,10 +129,17 @@ def backfill_to_dir(
     gap_seconds: float = 1800.0,
     order_cols: tuple[str, ...] = ("conv_id", "ts", "event_id"),
     assign_turn_idx: bool = True,
+    project: tuple[str, ...] | None = None,
 ) -> list[dict]:
     """Resumable partitioned backfill: skips buckets already committed (their
     ``_SUCCESS.json`` exists), atomically commits the rest, returns the
-    manifest rows of THIS run."""
+    manifest rows of THIS run.
+
+    ``project`` prunes columns BEFORE the co-location exchange (shuffle bytes
+    are the scaling currency at 100 TB — never ship ``text`` through the
+    shuffle when no kernel reads it)."""
+    if project is not None:
+        ds = ds.select_columns(list(project))
     done = completed_buckets(out_dir)
     specs = turn_specs or DEFAULT_TURN_SPECS
     kernels = [make_kernel(n, alphabet, p)[1] for n, p in specs]

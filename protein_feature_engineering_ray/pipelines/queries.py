@@ -276,6 +276,42 @@ SQL_ASOF_ORDERS = f"""{TRANSCRIPTS_SQL_CTE}SELECT t.conv_id, t.turn_idx,
       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order_price
 FROM transcripts t"""
 
+def _sql_multihot() -> str:
+    from protein_feature_engineering_ray.functions.positional import EVENT_PROPS
+
+    cols = ",\n    ".join(
+        "CASE WHEN role IN ("
+        + ", ".join(f"'{m}'" for m in members)
+        + f") THEN 1.0 ELSE 0.0 END AS \"opf_{name}\""
+        for name, members in EVENT_PROPS.items()
+    )
+    return f"{TRANSCRIPTS_SQL_CTE}SELECT conv_id, turn_idx,\n    {cols}\nFROM transcripts"
+
+
+def _sql_distance_pair(distance: int) -> str:
+    cols = [
+        f"count(*) FILTER (grp = '{g}') / count(*) AS \"dp_d0_{g}\""
+        for g in GROUPS
+    ]
+    for d in range(1, distance + 1):
+        for a in GROUPS:
+            for b in GROUPS:
+                cols.append(
+                    f"count(*) FILTER (grp = '{a}' AND nxt{d} = '{b}') / count(nxt{d})"
+                    f' AS "dp_d{d}_{a}.{b}"'
+                )
+    leads = ",\n         ".join(
+        f"lead({GROUP_SQL}, {d}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt{d}"
+        for d in range(1, distance + 1)
+    )
+    colsql = ",\n    ".join(cols)
+    return (
+        f"{TRANSCRIPTS_SQL_CTE}, t2 AS (\n"
+        f"  SELECT conv_id, {GROUP_SQL} AS grp,\n         {leads}\n  FROM transcripts)\n"
+        f"SELECT conv_id,\n    {colsql}\nFROM t2 GROUP BY conv_id"
+    )
+
+
 SQL_TOKEN_COUNT = """SELECT doc_id,
     CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
 FROM documents"""
@@ -422,6 +458,14 @@ def q_exact_dedup(sf):
     return out.select_columns(["doc_id", "n_chars"])
 
 
+def q_multihot(sf):
+    return _drop_ts(_turn(sf, [("MultiHot", {})]))
+
+
+def q_distance_pair(sf):
+    return _conv(sf, [("DistancePair", {"distance": 2})])
+
+
 # --- rows-only (non-SQL-expressible) --------------------------------------
 
 
@@ -502,6 +546,35 @@ def q_knn_partition(sf):
     return knn_train_partition(vecs, k=10)
 
 
+def q_pca(sf):
+    from protein_feature_engineering_ray.stages.reduce import pca_fit, pca_transform
+
+    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    model = pca_fit(vecs, vec_col="embedding", k=2)
+    return pca_transform(vecs, model, vec_col="embedding").select_columns(
+        ["vec_id", "pc0", "pc1"]
+    )
+
+
+def q_kmeans(sf):
+    from protein_feature_engineering_ray.stages.reduce import kmeans_assign, kmeans_fit
+
+    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    C = kmeans_fit(vecs, vec_col="embedding", k=8)
+    return kmeans_assign(vecs, C, vec_col="embedding").select_columns(
+        ["vec_id", "cluster"]
+    )
+
+
+def q_ivf_knn(sf):
+    from protein_feature_engineering_ray.stages.similarity import ivf_knn
+
+    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    qdf = vecs.limit(4).to_pandas()
+    Q = np.stack(qdf["embedding"].to_numpy())
+    return ivf_knn(vecs, Q, qdf["vec_id"].to_numpy(), k=5)
+
+
 def q_media(sf):
     from protein_feature_engineering_ray.stages.multimodal import (
         media_features,
@@ -531,6 +604,8 @@ QUERIES: dict[str, Callable] = {
     "asof_orders": q_asof_orders,
     "token_count": q_token_count,
     "exact_dedup": q_exact_dedup,
+    "multihot": q_multihot,
+    "distance_pair": q_distance_pair,
     # rows-only:
     "dde": q_dde,
     "ctdd": q_ctdd,
@@ -543,6 +618,9 @@ QUERIES: dict[str, Callable] = {
     "embedding_neardup": q_embedding_neardup,
     "knn_brute": q_knn,
     "knn_partition": q_knn_partition,
+    "ivf_knn": q_ivf_knn,
+    "pca": q_pca,
+    "kmeans": q_kmeans,
     "media_features": q_media,
 }
 
@@ -566,4 +644,6 @@ ORACLES: dict[str, str] = {
     "asof_orders": SQL_ASOF_ORDERS,
     "token_count": SQL_TOKEN_COUNT,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "multihot": _sql_multihot(),
+    "distance_pair": _sql_distance_pair(2),
 }

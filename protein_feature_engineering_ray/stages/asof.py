@@ -115,6 +115,9 @@ def asof_join(
             out = out.drop(columns=["_tb"])
         return out.drop(columns=["_ats"])
 
+    from protein_feature_engineering_ray.config import tune_data_context
+
+    tune_data_context()
     joined = (
         add_bucket(both, num_buckets)
         .groupby("_bucket")

@@ -1,0 +1,157 @@
+"""Tests for sinks, raw-log source, label join, PCA/kmeans, validation,
+MultiHot and DistancePair kernels."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from protein_feature_engineering_ray.schema import Alphabet
+from protein_feature_engineering_ray.sources import synth_labels, synth_transcripts
+from protein_feature_engineering_ray.sources.io import (
+    join_labels,
+    read_rawlog,
+    save_features,
+)
+
+ALPHA = Alphabet(
+    letters=("assistant", "system", "tool", "user"),
+    groups={"bot": ("assistant", "system", "tool"), "hum": ("user",)},
+)
+
+
+def test_rawlog_roundtrip(tmp_path):
+    pdf = synth_transcripts(n_convs=6, duplicates=False, as_pandas=True)
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    lines = [
+        f"{r.conv_id}\t{r.turn_idx}\t{r.role}\t{r.tool}\t{t}\t{r.text}"
+        for r, t in zip(pdf.itertuples(), ts_us)
+    ]
+    lines.insert(3, "malformed line without tabs")
+    lines.insert(7, "too\tfew\tcols")
+    p = tmp_path / "log.txt"
+    p.write_text("\n".join(lines))
+    got = read_rawlog(str(p)).to_pandas()
+    assert len(got) == len(pdf)  # malformed rows dropped
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (got["text"] == want["text"]).all()
+    assert (got["ts"].astype("datetime64[us]") == want["ts"].astype("datetime64[us]")).all()
+
+
+def test_join_labels():
+    ds = synth_transcripts(n_convs=8, duplicates=False)
+    labels = synth_labels(n_convs=8, as_pandas=True)
+    out = join_labels(ds, labels).to_pandas()
+    lut = labels.set_index("conv_id")
+    assert (out["label"] == lut.loc[out["conv_id"], "label"].to_numpy()).all()
+    assert set(out["split"]) <= {"training", "testing"}
+
+
+def test_save_features_formats(tmp_path):
+    from protein_feature_engineering_ray.core.executor import conv_features
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+
+    ds = synth_transcripts(n_convs=6, duplicates=False)
+    feats = conv_features(ds, [make_kernel("AAC", ALPHA)[1]], alphabet=ALPHA,
+                          num_buckets=3)
+    for fmt in ("parquet", "csv", "svm", "arff"):
+        out = str(tmp_path / fmt)
+        save_features(feats, out, fmt=fmt)
+        files = []
+        for root, _d, fs in os.walk(out):
+            files += [os.path.join(root, f) for f in fs]
+        assert files, fmt
+    # svm line shape
+    svm_files = []
+    for root, _d, fs in os.walk(str(tmp_path / "svm")):
+        svm_files += [os.path.join(root, f) for f in fs]
+    line = open(svm_files[0]).readline().strip()
+    assert line.startswith("0 1:")
+
+
+def test_validate_stage():
+    from protein_feature_engineering_ray.stages.validate import (
+        ValidationError,
+        validate_conversations,
+        validate_schema,
+    )
+
+    ds = synth_transcripts(n_convs=6, duplicates=False)
+    validate_schema(ds)
+    validate_conversations(ds, num_buckets=3).count()  # passes
+    bad = synth_transcripts(n_convs=6, duplicates=False, as_pandas=True)
+    bad.loc[bad.index[5], "turn_idx"] = 999
+    with pytest.raises(Exception) as ei:
+        validate_conversations(ray.data.from_pandas(bad), num_buckets=3).count()
+    assert "non-contiguous" in str(ei.value)
+    with pytest.raises(ValidationError):
+        validate_schema(ray.data.from_pandas(pd.DataFrame({"x": [1]})))
+
+
+def test_multihot_and_distance_pair():
+    from protein_feature_engineering_ray.core.executor import conv_features, turn_features
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+
+    props = {"staff": ("assistant", "system"), "auto": ("tool", "system")}
+    ds = synth_transcripts(n_convs=8, duplicates=False)
+    pdf = synth_transcripts(n_convs=8, duplicates=False, as_pandas=True)
+    got = turn_features(
+        ds, [make_kernel("MultiHot", ALPHA, {"props": props})[1]],
+        alphabet=ALPHA, num_buckets=3,
+    ).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (got["opf_staff"] == want["role"].isin(props["staff"]).astype(float)).all()
+    assert (got["opf_auto"] == want["role"].isin(props["auto"]).astype(float)).all()
+    # system sets BOTH bits (overlap — the OPF property)
+    sysrows = got[want["role"] == "system"]
+    assert (sysrows["opf_staff"] == 1.0).all() and (sysrows["opf_auto"] == 1.0).all()
+
+    dp = conv_features(
+        ds, [make_kernel("DistancePair", ALPHA, {"distance": 2})[1]],
+        alphabet=ALPHA, num_buckets=3,
+    ).to_pandas()
+    from tests import oracle
+
+    comp = oracle.composition(pdf, ALPHA, grouped=True, prefix="dp_d0")
+    m = dp.merge(comp, on="conv_id", suffixes=("", "_o"))
+    for g in ALPHA.groups:
+        np.testing.assert_allclose(m[f"dp_d0_{g}"], m[f"dp_d0_{g}_o"])
+    # d1 pair block sums to 1 for convs with >=2 turns
+    d1 = dp[[c for c in dp.columns if c.startswith("dp_d1_")]].sum(axis=1)
+    assert np.allclose(d1, 1.0)
+
+
+def test_pca_kmeans():
+    from protein_feature_engineering_ray.stages.reduce import (
+        kmeans_assign,
+        kmeans_fit,
+        pca_fit,
+        pca_transform,
+    )
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(3, 8)) * 4
+    X = np.concatenate([c + rng.normal(size=(40, 8)) * 0.2 for c in centers])
+    truth = np.repeat(np.arange(3), 40)
+    df = pd.DataFrame({"vec_id": np.arange(len(X)), "embedding": list(X)})
+    ds = ray.data.from_pandas(df).repartition(3)
+
+    model = pca_fit(ds, vec_col="embedding", k=2)
+    out = pca_transform(ds, model, vec_col="embedding").to_pandas()
+    # PCA captures the 3-cluster structure: variance of pc0 >> residual dims
+    assert out["pc0"].var() >= out["pc1"].var()
+    # distributed transform equals driver-side numpy transform
+    want = (X - model["mean"]) @ model["components"].T
+    got = out.sort_values("vec_id")[["pc0", "pc1"]].to_numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+    C = kmeans_fit(ds, vec_col="embedding", k=3)
+    lab = kmeans_assign(ds, C, vec_col="embedding").to_pandas()
+    lab = lab.sort_values("vec_id")["cluster"].to_numpy()
+    # clusters align with ground truth up to relabeling
+    for t in range(3):
+        vals, counts = np.unique(lab[truth == t], return_counts=True)
+        assert counts.max() / counts.sum() > 0.95
