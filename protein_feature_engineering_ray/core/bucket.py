@@ -75,6 +75,7 @@ def grouped_buckets(
     key: str = "conv_id",
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     drop_bucket: bool = True,
+    max_bucket_rows: int | None = 50_000_000,
 ) -> ray.data.Dataset:
     """Apply ``bucket_fn`` to each co-located, sorted bucket.
 
@@ -82,9 +83,21 @@ def grouped_buckets(
     ``order_cols`` (whole conversations, in turn order), and returns an Arrow
     table.  This is the engine's single wide exchange — Ray implements the
     ``groupby`` via its sort-based shuffle with streaming backpressure.
+
+    ``max_bucket_rows`` fails loudly (instead of OOMing a worker) when a
+    bucket oversubscribes — raise ``num_buckets`` (see stages/skew.py
+    ``plan_buckets``), unless one conversation alone exceeds the cap, which
+    needs kernel-level chunking, not more buckets.
     """
 
     def _fn(table: pa.Table) -> pa.Table:
+        if max_bucket_rows is not None and table.num_rows > max_bucket_rows:
+            raise RuntimeError(
+                f"bucket holds {table.num_rows} rows > max_bucket_rows="
+                f"{max_bucket_rows}; raise num_buckets (currently "
+                f"{num_buckets}; see stages/skew.plan_buckets) or chunk the "
+                "dominating conversation"
+            )
         table = sort_bucket(table, order_cols)
         if drop_bucket and "_bucket" in table.column_names:
             table = table.drop_columns(["_bucket"])

@@ -62,7 +62,17 @@ class ConvContext:
 
     @cached_property
     def codes(self) -> np.ndarray:
-        """Role codes in the fine alphabet; unknown -> -1."""
+        """Role codes in the fine alphabet; unknown -> -1.
+
+        If the producer pre-encoded roles (``role_code`` int8 column, see
+        ``sources.transcripts.pre_encode``) the codes ride the shuffle
+        directly — fewer bytes exchanged, no per-bucket string encode."""
+        if "role_code" in self.table.column_names:
+            return (
+                self.table["role_code"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
         return self.alphabet.encode(self.col_np("role"))
 
     @cached_property

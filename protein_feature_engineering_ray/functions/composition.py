@@ -518,8 +518,11 @@ class ConvSummary:
         first = ts[ctx.starts[:-1]]
         last = ts[ctx.starts[1:] - 1]
         duration = (last - first).astype(np.float64) / 1e6
-        tool_col = ctx.col_np("tool")
-        is_tool = np.asarray([t != "" and t is not None for t in tool_col])
+        if "tool_flag" in ctx.table.column_names:
+            is_tool = ctx.table["tool_flag"].to_numpy(zero_copy_only=False) != 0
+        else:
+            tool_col = ctx.col_np("tool")
+            is_tool = np.asarray([t != "" and t is not None for t in tool_col])
         tool_cnt = np.zeros(ctx.n_segs, dtype=np.int64)
         np.add.at(tool_cnt, ctx.seg_of_row[is_tool], 1)
         tool_share = tool_cnt / n_turns

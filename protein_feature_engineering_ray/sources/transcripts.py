@@ -86,6 +86,28 @@ def from_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Datas
     return ds.map_batches(to_transcript, batch_format="pyarrow")
 
 
+def pre_encode(ds: ray.data.Dataset, letters: tuple[str, ...]) -> ray.data.Dataset:
+    """Producer-side role/tool encoding: ``role`` -> ``role_code`` int8
+    (unknown -> -1, the reference's ``-`` pad) and ``tool`` -> ``tool_flag``
+    int8, dropping the string columns.  Shrinks the bytes shipped through the
+    co-location exchange and removes the per-bucket string encode
+    (ConvContext.codes fast path)."""
+
+    letter_arr = pa.array(list(letters), pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        code = pc.fill_null(pc.index_in(t["role"], letter_arr), -1).cast(pa.int8())
+        tool_flag = pc.cast(
+            pc.not_equal(pc.fill_null(t["tool"], ""), ""), pa.int8()
+        )
+        t = t.append_column("role_code", code)
+        t = t.append_column("tool_flag", tool_flag)
+        return t.drop_columns([c for c in ("role", "tool", "text")
+                               if c in t.column_names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Seeded synthetic fixtures (FIXTURES.md F1-F3)
 # ---------------------------------------------------------------------------

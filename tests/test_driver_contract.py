@@ -1,0 +1,110 @@
+"""Driver-contract parity: a slim replica of the driver's correctness gate
+(queries() vs oracle_sql() via DuckDB) over sf0.001, inside pytest, plus
+contract hygiene checks."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+# cheap, representative subset (the full set runs via tools/check_oracle.py)
+SUBSET = ["aac", "dpc", "eaac", "latency", "sessions", "frames", "asof_orders",
+          "multihot", "distance_pair", "token_count"]
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(contract, con, name):
+    queries, oracles = contract
+    got = queries[name](SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    got = _canon(got)
+    want = _canon(con.execute(oracles[name]).df())
+    assert len(got) == len(want)
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        a, w = got[c], want[c]
+        if a.dtype.kind == "f" or w.dtype.kind == "f":
+            np.testing.assert_allclose(
+                a.to_numpy(dtype=float), w.to_numpy(dtype=float),
+                rtol=1e-9, atol=1e-12, equal_nan=True, err_msg=c,
+            )
+        else:
+            assert a.astype(str).equals(w.astype(str)), c
+
+
+def test_every_oracle_has_query(contract):
+    queries, oracles = contract
+    assert set(oracles) <= set(queries)
+    assert len(queries) >= 30
+
+
+def test_no_ray_init_in_library():
+    """The driver owns the Ray session: no ray.init()/shutdown() anywhere in
+    the library package or __ray_entry__."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    offenders = []
+    for p in (root / "protein_feature_engineering_ray").rglob("*.py"):
+        src = p.read_text()
+        if "ray.init(" in src or "ray.shutdown(" in src:
+            offenders.append(str(p))
+    src = (root / "__ray_entry__.py").read_text()
+    assert "ray.init(" not in src and "ray.shutdown(" not in src
+    assert not offenders, offenders
+
+
+def test_pre_encode_equivalence():
+    """Backfill over pre-encoded int8 roles == backfill over string roles."""
+    import ray.data
+
+    from protein_feature_engineering_ray.core.executor import conv_features
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+    from protein_feature_engineering_ray.schema import EVENT_ALPHABET
+    from protein_feature_engineering_ray.sources import from_events
+    from protein_feature_engineering_ray.sources.transcripts import pre_encode
+
+    ks = lambda: [make_kernel(n, EVENT_ALPHABET, p)[1]  # noqa: E731
+                  for n, p in (("AAC", {}), ("DPC", {}), ("ConvSummary", {}))]
+    plain = conv_features(
+        from_events(SF), ks(), alphabet=EVENT_ALPHABET, num_buckets=8,
+        order_cols=("conv_id", "ts", "event_id"), assign_turn_idx=True,
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    enc = conv_features(
+        pre_encode(from_events(SF), EVENT_ALPHABET.letters), ks(),
+        alphabet=EVENT_ALPHABET, num_buckets=8,
+        order_cols=("conv_id", "ts", "event_id"), assign_turn_idx=True,
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, enc)
