@@ -40,22 +40,42 @@ class TurnKernel(Protocol):
 
 
 def _feature_table(
-    key_cols: dict[str, pa.Array], mats: list[np.ndarray], names: list[str]
+    key_cols: dict[str, pa.Array],
+    mats: list[np.ndarray],
+    names: list[str],
+    vector_col: str | None = None,
 ) -> pa.Table:
+    """Assemble keys + features.  ``vector_col`` packs ALL features into one
+    ``FixedSizeList<float64>[width]`` column instead of ``width`` named
+    columns — the layout for very wide descriptor stacks (the reference's
+    8,000-column TPC matrix, feature.py:611; SURVEY §7.4)."""
     cols = dict(key_cols)
     mat = np.concatenate([np.atleast_2d(m.T).T for m in mats], axis=1) if mats else None
     if mat is not None:
-        for j, name in enumerate(names):
-            cols[name] = pa.array(mat[:, j])
+        if vector_col is not None:
+            flat = np.ascontiguousarray(mat, dtype=np.float64).reshape(-1)
+            cols[vector_col] = pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, pa.float64()), mat.shape[1]
+            )
+        else:
+            for j, name in enumerate(names):
+                cols[name] = pa.array(mat[:, j])
     return pa.table(cols)
 
 
-def _make_bucket_fn(
-    kernels: Sequence, alphabet: Alphabet, per_turn: bool, assign_turn_idx: bool
-):
-    all_names: list[str] = []
+def feature_names(kernels: Sequence) -> list[str]:
+    """Declared feature order — the schema companion of ``vector_col``."""
+    out: list[str] = []
     for k in kernels:
-        all_names.extend(k.names())
+        out.extend(k.names())
+    return out
+
+
+def _make_bucket_fn(
+    kernels: Sequence, alphabet: Alphabet, per_turn: bool, assign_turn_idx: bool,
+    vector_col: str | None = None,
+):
+    all_names = feature_names(kernels)
     if len(set(all_names)) != len(all_names):
         raise ValueError("duplicate feature names across kernels")
 
@@ -78,7 +98,7 @@ def _make_bucket_fn(
             }
         else:
             keys = {"conv_id": pa.array(ctx.conv_ids, pa.string())}
-        return _feature_table(keys, mats, all_names)
+        return _feature_table(keys, mats, all_names, vector_col=vector_col)
 
     return bucket_fn
 
@@ -90,9 +110,12 @@ def conv_features(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     assign_turn_idx: bool = False,
+    vector_col: str | None = None,
 ) -> ray.data.Dataset:
-    """One row per conversation: ``conv_id`` + one float64 column per feature."""
-    fn = _make_bucket_fn(kernels, alphabet, per_turn=False, assign_turn_idx=assign_turn_idx)
+    """One row per conversation: ``conv_id`` + one float64 column per feature
+    (or one packed vector column when ``vector_col`` is set)."""
+    fn = _make_bucket_fn(kernels, alphabet, per_turn=False,
+                         assign_turn_idx=assign_turn_idx, vector_col=vector_col)
     return grouped_buckets(ds, fn, num_buckets=num_buckets, order_cols=order_cols)
 
 
@@ -103,7 +126,10 @@ def turn_features(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     assign_turn_idx: bool = False,
+    vector_col: str | None = None,
 ) -> ray.data.Dataset:
-    """One row per turn: ``(conv_id, turn_idx, ts)`` + feature columns."""
-    fn = _make_bucket_fn(kernels, alphabet, per_turn=True, assign_turn_idx=assign_turn_idx)
+    """One row per turn: ``(conv_id, turn_idx, ts)`` + feature columns (or
+    one packed vector column when ``vector_col`` is set)."""
+    fn = _make_bucket_fn(kernels, alphabet, per_turn=True,
+                         assign_turn_idx=assign_turn_idx, vector_col=vector_col)
     return grouped_buckets(ds, fn, num_buckets=num_buckets, order_cols=order_cols)

@@ -437,6 +437,7 @@ def q_asof_orders(sf):
     joined = asof_join(
         turns, timeline, ["last_order_price"], num_buckets=NB,
         tiebreak="o_orderkey", assign_turn_idx_by=["ts", "event_id"],
+        left_cols=["conv_id", "turn_idx", "ts"],
     )
     return joined.select_columns(["conv_id", "turn_idx", "last_order_price"])
 

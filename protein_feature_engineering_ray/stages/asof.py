@@ -40,13 +40,22 @@ def asof_join(
     right_ts: str = "feat_ts",
     tiebreak: str | None = None,
     assign_turn_idx_by: list[str] | None = None,
+    left_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Backward as-of join of ``timeline`` features onto ``turns``.
 
     turns:    canonical transcript rows (conv_id, turn_idx, ..., ts)
     timeline: (conv_id, feat_ts, <feature_cols...>)
     Output:   turns columns + feature_cols (NaN/null where no past row).
+
+    ``left_cols`` prunes the turn columns that ride the exchange (shuffle
+    bytes; e.g. drop ``text`` when the consumer only needs keys).
     """
+    if left_cols is not None:
+        need = set(left_cols) | {"conv_id", "ts"} | set(assign_turn_idx_by or [])
+        turns = turns.select_columns(
+            [c for c in turns.schema().names if c in need]
+        )
     def _pa_type(t):
         if isinstance(t, pa.DataType):
             return t

@@ -390,6 +390,110 @@ def qsorder(df, alpha, dist, nlag=3, weight=0.1):
     return pd.DataFrame(rows)
 
 
+def paac(df, alpha, prop_table, lam=3, weight=0.05):
+    from protein_feature_engineering_ray.functions.autocorr import znorm_table
+
+    P = znorm_table(prop_table)
+    A = alpha.size
+    rows = []
+    for cid, g in _convs(df):
+        seq = [c for c in _code_seq(g, alpha, False)]
+        counts = [0] * A
+        for c in seq:
+            if c >= 0:
+                counts[c] += 1
+        thetas = []
+        for n in range(1, lam + 1):
+            pairs = [
+                (seq[j], seq[j + n])
+                for j in range(len(seq) - n)
+                if seq[j] >= 0 and seq[j + n] >= 0
+            ]
+            cnt = max(len(seq) - n, 0)
+            if cnt == 0:
+                thetas.append(0.0)
+                continue
+            s = 0.0
+            for a, b in pairs:
+                s += float(((P[a] - P[b]) ** 2).mean())
+            thetas.append(s / cnt)
+        denom = sum(counts) + weight * sum(thetas)
+        denom = denom or 1.0
+        rec = {"conv_id": cid}
+        for i, let in enumerate(alpha.letters):
+            rec[f"paac_f_{let}"] = counts[i] / denom
+        for n in range(1, lam + 1):
+            rec[f"paac_theta{n}"] = weight * thetas[n - 1] / denom
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
+def apaac(df, alpha, prop_table, lam=3, weight=0.05):
+    from protein_feature_engineering_ray.functions.autocorr import znorm_table
+
+    P = znorm_table(prop_table)
+    A = alpha.size
+    k = P.shape[1]
+    rows = []
+    for cid, g in _convs(df):
+        seq = _code_seq(g, alpha, False)
+        counts = [0] * A
+        for c in seq:
+            if c >= 0:
+                counts[c] += 1
+        taus = []
+        for n in range(1, lam + 1):
+            cnt = max(len(seq) - n, 0)
+            for j in range(k):
+                if cnt == 0:
+                    taus.append(0.0)
+                    continue
+                s = 0.0
+                for i in range(len(seq) - n):
+                    a, b = seq[i], seq[i + n]
+                    if a >= 0 and b >= 0:
+                        s += float(P[a, j] * P[b, j])
+                taus.append(s / cnt)
+        denom = sum(counts) + weight * sum(taus)
+        denom = denom or 1.0
+        rec = {"conv_id": cid}
+        for i, let in enumerate(alpha.letters):
+            rec[f"apaac_f_{let}"] = counts[i] / denom
+        idx = 0
+        for n in range(1, lam + 1):
+            for j in range(k):
+                rec[f"apaac_tau{n}p{j}"] = weight * taus[idx] / denom
+                idx += 1
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
+def crosscov(df, alpha, spec_a, spec_b, nlag=4):
+    rows = []
+    for cid, g in _convs(df):
+        xa_full = _series_of(g, alpha, spec_a)
+        xb_full = _series_of(g, alpha, spec_b)
+        keep = [
+            (a, b)
+            for a, b in zip(xa_full, xb_full)
+            if not (np.isnan(a) or np.isnan(b))
+        ]
+        xa = [a for a, _ in keep]
+        xb = [b for _, b in keep]
+        N = len(xa)
+        ma = sum(xa) / N if N else 0.0
+        mb = sum(xb) / N if N else 0.0
+        rec = {"conv_id": cid}
+        for n in range(1, nlag + 1):
+            if N <= n:
+                rec[f"cc_lag{n}"] = 0.0
+                continue
+            s = sum((xa[j] - ma) * (xb[j + n] - mb) for j in range(N - n))
+            rec[f"cc_lag{n}"] = s / (N - n)
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
 # --- per-turn families ----------------------------------------------------
 
 

@@ -185,6 +185,22 @@ def test_qsorder(corpus):
              oracle.qsorder(corpus[1], ALPHA, DIST, nlag=3))
 
 
+def test_paac_apaac(corpus):
+    _compare(run_conv(corpus, "PAAC", {"prop_table": PROPS, "lam": 3}),
+             oracle.paac(corpus[1], ALPHA, PROPS, lam=3))
+    _compare(run_conv(corpus, "APAAC", {"prop_table": PROPS, "lam": 3}),
+             oracle.apaac(corpus[1], ALPHA, PROPS, lam=3))
+
+
+def test_crosscov(corpus):
+    from protein_feature_engineering_ray.functions import autocorr as acm
+
+    spec_a = ("prop", acm.znorm_table(PROPS)[:, 0])
+    spec_b = ("prop", acm.znorm_table(PROPS)[:, 1])
+    got = run_conv(corpus, "CC", {"series_a": spec_a, "series_b": spec_b, "nlag": 3})
+    _compare(got, oracle.crosscov(corpus[1], ALPHA, spec_a, spec_b, nlag=3))
+
+
 def test_latency(corpus):
     _compare(run_turn(corpus, "Latency"), oracle.latency(corpus[1]),
              keys=("conv_id", "turn_idx"))

@@ -216,6 +216,29 @@ def test_media_plumbing():
         MediaFeatureActor(fake=False)({})
 
 
+def test_vector_output_matches_columns():
+    """vector_col packs the same values in declared feature order."""
+    from protein_feature_engineering_ray.core.executor import (
+        conv_features,
+        feature_names,
+    )
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+
+    ds = synth_transcripts(n_convs=10, duplicates=False)
+    ks = [make_kernel(n, ALPHA)[1] for n in ("AAC", "TPC")]
+    names = feature_names(ks)
+    wide = conv_features(ds, ks, alphabet=ALPHA, num_buckets=4).to_pandas()
+    vec = conv_features(
+        [k for k in [ds]][0], ks, alphabet=ALPHA, num_buckets=4,
+        vector_col="features",
+    ).to_pandas()
+    wide = wide.sort_values("conv_id").reset_index(drop=True)
+    vec = vec.sort_values("conv_id").reset_index(drop=True)
+    V = np.stack(vec["features"].to_numpy())
+    assert V.shape == (len(wide), len(names))
+    np.testing.assert_array_equal(V, wide[names].to_numpy())
+
+
 def test_session_stats_matches_sessionize():
     from protein_feature_engineering_ray.stages.sessionize import (
         session_stats,

@@ -147,6 +147,26 @@ def test_asof_leakage_probe(corpus):
         assert same.all(), f"temporal leakage in {c}"
 
 
+def test_per_turn_text_equality(corpus):
+    """North-star gate: per-turn ``text`` byte-equality under stable
+    (conv_id, turn_idx) ordering, through the full co-location exchange."""
+    from protein_feature_engineering_ray.core.bucket import grouped_buckets
+
+    ds, pdf = corpus
+    got = (
+        grouped_buckets(ds, lambda t: t, num_buckets=6)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+    assert (got["text"].to_numpy() == want["text"].to_numpy()).all()
+    assert (got["conv_id"] == want["conv_id"]).all()
+    assert (got["turn_idx"].to_numpy() == want["turn_idx"].to_numpy()).all()
+
+
 def test_zscore(corpus):
     ds, _ = corpus
     from protein_feature_engineering_ray.core.executor import conv_features
