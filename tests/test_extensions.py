@@ -124,6 +124,38 @@ def test_multihot_and_distance_pair():
     assert np.allclose(d1, 1.0)
 
 
+def test_feature_spec_and_menu():
+    import json
+
+    from protein_feature_engineering_ray.pipelines.spec import (
+        FeatureSpec,
+        infer_alphabet,
+        list_descriptors,
+    )
+
+    menu = list_descriptors()
+    assert menu["AAC"] == "conv" and menu["Latency"] == "turn"
+    assert len(menu) >= 30
+    spec = FeatureSpec.from_json(json.dumps({
+        "alphabet": {"letters": ["assistant", "system", "tool", "user"],
+                     "groups": {"bot": ["assistant", "system", "tool"],
+                                "hum": ["user"]}},
+        "conv": [{"name": "AAC"}, {"name": "CKSAAP", "params": {"kspace": 1}}],
+        "turn": [{"name": "Latency"}],
+        "num_buckets": 16,
+    }))
+    assert len(spec.conv_kernels()) == 2
+    assert spec.turn_kernels()[0].names() == ["latency_sec"]
+    with pytest.raises(KeyError):
+        FeatureSpec.from_json(json.dumps({"conv": [{"name": "Nope"}]}))
+    with pytest.raises(ValueError):
+        FeatureSpec.from_json(json.dumps({"turn": [{"name": "AAC"}]}))
+
+    ds = synth_transcripts(n_convs=6, duplicates=False)
+    a = infer_alphabet(ds)
+    assert set(a.letters) == {"assistant", "system", "tool", "user"}
+
+
 def test_pca_kmeans():
     from protein_feature_engineering_ray.stages.reduce import (
         kmeans_assign,
