@@ -420,6 +420,21 @@ class APAAC:
         )
 
 
+class ACC:
+    """ACC (feature.py:1723-1789): concatenation of the AC block and the CC
+    block — one kernel so the pair shares the conversation pass."""
+
+    def __init__(self, spec_a, spec_b, nlag: int = 4):
+        self.ac = AutoCovariance(spec_a, nlag=nlag, prefix="acc_ac")
+        self.cc = CrossCovariance(spec_a, spec_b, nlag=nlag, prefix="acc_cc")
+
+    def names(self) -> list[str]:
+        return self.ac.names() + self.cc.names()
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        return np.concatenate([self.ac.apply(ctx), self.cc.apply(ctx)], axis=1)
+
+
 # Deterministic literal distance matrix for the 5-letter events alphabet
 # (Schneider-Wrede / Grantham analogue, feature.py:2152-2175).  FROZEN.
 EVENT_DISTANCE = np.array(

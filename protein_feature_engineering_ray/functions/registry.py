@@ -93,6 +93,10 @@ REGISTRY: dict[str, tuple[str, Callable[[Alphabet, dict[str, Any]], Any]]] = {
         p.get("series_a", ("col", "value")),
         p.get("series_b", ("prop", _prop_table(a, p)[:, 0])),
         nlag=p.get("nlag", 4))),
+    "ACC": ("conv", lambda a, p: ac.ACC(
+        p.get("series_a", ("col", "value")),
+        p.get("series_b", ("prop", _prop_table(a, p)[:, 0])),
+        nlag=p.get("nlag", 4))),
     "SOCNumber": ("conv", lambda a, p: ac.SOCNumber(
         _dist_table(a, p), nlag=p.get("nlag", 3))),
     "QSOrder": ("conv", lambda a, p: ac.QSOrder(

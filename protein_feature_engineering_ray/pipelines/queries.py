@@ -247,6 +247,25 @@ SELECT conv_id, session_idx,
        (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec
 FROM t3 GROUP BY conv_id, session_idx"""
 
+def _sql_session_comp() -> str:
+    cols = ",\n    ".join(
+        f"count(*) FILTER (role = '{s}') / count(*) AS \"sess_{s}\""
+        for s in LETTERS
+    )
+    return f"""{TRANSCRIPTS_SQL_CTE}, t2 AS (
+  SELECT conv_id, turn_idx, role, ts,
+         CASE WHEN lag(ts) OVER ({WIN}) IS NULL THEN 0
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER ({WIN})) > {int(GAP_SECONDS*1e6)}
+              THEN 1 ELSE 0 END AS brk
+  FROM transcripts),
+ t3 AS (SELECT conv_id, role,
+               sum(brk) OVER ({WIN} ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM t2)
+SELECT conv_id, session_idx, count(*) AS n_turns,
+    {cols}
+FROM t3 GROUP BY conv_id, session_idx"""
+
+
 FRAME_STRIDE = 8
 
 
@@ -401,6 +420,14 @@ def q_session_stats(sf):
 
     return session_stats(from_events(sf), gap_seconds=GAP_SECONDS,
                          num_buckets=NB, order_cols=ORDER)
+
+
+def q_session_comp(sf):
+    from protein_feature_engineering_ray.stages.sessionize import session_composition
+
+    return session_composition(from_events(sf), EVENT_ALPHABET,
+                               gap_seconds=GAP_SECONDS, num_buckets=NB,
+                               order_cols=ORDER)
 
 
 def q_frames(sf):
@@ -601,6 +628,7 @@ QUERIES: dict[str, Callable] = {
     "rollstats": q_rollstats,
     "sessions": q_sessions,
     "session_stats": q_session_stats,
+    "session_comp": q_session_comp,
     "frames": q_frames,
     "asof_orders": q_asof_orders,
     "token_count": q_token_count,
@@ -641,6 +669,7 @@ ORACLES: dict[str, str] = {
     "rollstats": SQL_ROLLSTATS,
     "sessions": SQL_SESSIONS,
     "session_stats": SQL_SESSION_STATS,
+    "session_comp": _sql_session_comp(),
     "frames": _sql_frames(),
     "asof_orders": SQL_ASOF_ORDERS,
     "token_count": SQL_TOKEN_COUNT,

@@ -104,6 +104,46 @@ def session_stats(
     return grouped_buckets(ds, fn, num_buckets=num_buckets, order_cols=order_cols)
 
 
+def session_composition(
+    ds: ray.data.Dataset,
+    alphabet: Alphabet,
+    gap_seconds: float = 1800.0,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> ray.data.Dataset:
+    """Per-(conv, session) role composition — the composition family (§2.2)
+    re-anchored on sessions instead of whole conversations.  Same single
+    bucket pass as session assignment; counts exact (SQL-oracle parity)."""
+    gap_us = int(gap_seconds * 1e6)
+
+    def fn(table: pa.Table) -> pa.Table:
+        ctx = ConvContext(table, alphabet)
+        sid = _session_ids(ctx, gap_us)
+        new = np.ones(ctx.n, dtype=bool)
+        new[1:] = (sid[1:] != sid[:-1]) | (ctx.seg_of_row[1:] != ctx.seg_of_row[:-1])
+        sess_of_row = np.cumsum(new) - 1
+        ns = int(sess_of_row[-1]) + 1 if ctx.n else 0
+        counts = np.zeros((ns, alphabet.size), dtype=np.int64)
+        codes = ctx.codes
+        valid = codes >= 0
+        np.add.at(counts, (sess_of_row[valid], codes[valid]), 1)
+        n_turns = np.zeros(ns, dtype=np.int64)
+        np.add.at(n_turns, sess_of_row, 1)
+        first = np.flatnonzero(new)
+        denom = n_turns.astype(np.float64)
+        denom[denom == 0] = 1.0
+        cols = {
+            "conv_id": pa.array(ctx.conv_ids_rows[first], pa.string()),
+            "session_idx": pa.array(sid[first], pa.int64()),
+            "n_turns": pa.array(n_turns, pa.int64()),
+        }
+        for i, s in enumerate(alphabet.letters):
+            cols[f"sess_{s}"] = pa.array(counts[:, i] / denom, pa.float64())
+        return pa.table(cols)
+
+    return grouped_buckets(ds, fn, num_buckets=num_buckets, order_cols=order_cols)
+
+
 def frame_features(
     ds: ray.data.Dataset,
     stride: int = 8,

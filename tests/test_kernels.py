@@ -201,6 +201,20 @@ def test_crosscov(corpus):
     _compare(got, oracle.crosscov(corpus[1], ALPHA, spec_a, spec_b, nlag=3))
 
 
+def test_acc(corpus):
+    from protein_feature_engineering_ray.functions import autocorr as acm
+
+    spec_a = ("prop", acm.znorm_table(PROPS)[:, 0])
+    spec_b = ("prop", acm.znorm_table(PROPS)[:, 1])
+    got = run_conv(corpus, "ACC", {"series_a": spec_a, "series_b": spec_b, "nlag": 2})
+    want_ac = oracle.autocov(corpus[1], ALPHA, spec_a, nlag=2)
+    want_ac.columns = [c.replace("ac_", "acc_ac_") for c in want_ac.columns]
+    want_cc = oracle.crosscov(corpus[1], ALPHA, spec_a, spec_b, nlag=2)
+    want_cc.columns = [c.replace("cc_", "acc_cc_") for c in want_cc.columns]
+    _compare(got, want_ac)
+    _compare(got, want_cc)
+
+
 def test_latency(corpus):
     _compare(run_turn(corpus, "Latency"), oracle.latency(corpus[1]),
              keys=("conv_id", "turn_idx"))
