@@ -58,6 +58,7 @@ def make_backfill_fn(
     gap_seconds: float = 1800.0,
     assign_turn_idx: bool = True,
     out_dir: str | None = None,
+    dedup: bool = False,
 ):
     names: list[str] = []
     for k in kernels:
@@ -68,6 +69,18 @@ def make_backfill_fn(
         if "_bucket" in table.column_names:  # kept when committing partitions
             bucket = int(table["_bucket"][0].as_py())
             table = table.drop_columns(["_bucket"])
+        if dedup and table.num_rows > 1 and not assign_turn_idx:
+            # idempotent re-ingest: duplicated (conv_id, turn_idx) rows are
+            # adjacent after the in-bucket sort — keep the first; free here
+            # (no extra shuffle, SURVEY §2.8)
+            conv = np.asarray(
+                table["conv_id"].to_numpy(zero_copy_only=False), dtype=object
+            )
+            ti = table["turn_idx"].to_numpy(zero_copy_only=False)
+            keep = np.ones(table.num_rows, dtype=bool)
+            keep[1:] = (conv[1:] != conv[:-1]) | (ti[1:] != ti[:-1])
+            if not keep.all():
+                table = table.filter(pa.array(keep))
         ctx = ConvContext(table, alphabet)
         if assign_turn_idx:
             ti = ctx.pos.astype(np.int32)
@@ -130,6 +143,7 @@ def backfill_to_dir(
     order_cols: tuple[str, ...] = ("conv_id", "ts", "event_id"),
     assign_turn_idx: bool = True,
     project: tuple[str, ...] | None = None,
+    dedup: bool = False,
 ) -> list[dict]:
     """Resumable partitioned backfill: skips buckets already committed (their
     ``_SUCCESS.json`` exists), atomically commits the rest, returns the
@@ -145,7 +159,7 @@ def backfill_to_dir(
     kernels = [make_kernel(n, alphabet, p)[1] for n, p in specs]
     fn = make_backfill_fn(
         kernels, alphabet, gap_seconds=gap_seconds,
-        assign_turn_idx=assign_turn_idx, out_dir=out_dir,
+        assign_turn_idx=assign_turn_idx, out_dir=out_dir, dedup=dedup,
     )
     if done:
         done_arr = np.array(sorted(done), dtype=np.uint32)

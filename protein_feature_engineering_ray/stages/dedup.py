@@ -7,8 +7,12 @@ as first-class engine operators for the 100 TB training-data path:
   re-ingest; also used on ``(conv_id, turn_idx)`` for transcript ingest).
 - ``minhash_lsh_candidates`` / ``minhash_dedup``: shingle -> minhash ->
   banded LSH buckets -> candidate groups -> verified Jaccard; the scale path
-  is one groupby on (band, band_hash) — no all-pairs.
-- ``simhash64``: 64-bit simhash per doc + hamming-bucket candidates.
+  is one groupby on (band, band_hash) — no all-pairs.  (MinHash: Broder,
+  "On the resemblance and containment of documents", 1997; banding: Leskovec
+  et al., Mining of Massive Datasets ch. 3.)
+- ``simhash64``: 64-bit simhash per doc + hamming-bucket candidates
+  (Charikar, "Similarity estimation techniques from rounding algorithms",
+  STOC 2002).
 - ``ngram_jaccard``: exact verifier for a candidate pair list (broadcast).
 - ``embedding_neardup``: cosine-threshold near-dup over an embedding column
   (LSH random-hyperplane buckets, then in-bucket exact cosine).

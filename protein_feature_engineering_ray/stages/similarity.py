@@ -11,7 +11,9 @@ scalable).
   fractions among top-k (the ``_KNN`` feature, feature.py:3855-3856).
 - ``ivf_knn``: scale path — k-means-style coarse centroids (fit on a driver
   sample), per-batch assignment to ``n_probe`` nearest centroid buckets, then
-  exact search within buckets.
+  exact search within buckets (the IVF/coarse-quantizer scheme of Jégou,
+  Douze & Schmid, "Product quantization for nearest neighbor search",
+  TPAMI 2011 — without the PQ residual codes).
 """
 
 from __future__ import annotations

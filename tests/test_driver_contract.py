@@ -64,6 +64,21 @@ def test_query_matches_oracle(contract, con, name):
             assert a.astype(str).equals(w.astype(str)), c
 
 
+def test_entry_smoke():
+    """Driver smoke: entry() runs on sf0.001 with >=0 rows, stable schema."""
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = ds.to_pandas() if not isinstance(ds, pd.DataFrame) else ds
+    assert len(df) >= 0
+    assert {"conv_id", "turn_idx", "ts", "session_idx", "latency_sec"} <= set(
+        df.columns
+    )
+    # schema stability across calls
+    df2 = e.entry().to_pandas()
+    assert list(df.columns) == list(df2.columns)
+
+
 def test_every_oracle_has_query(contract):
     queries, oracles = contract
     assert set(oracles) <= set(queries)

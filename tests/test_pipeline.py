@@ -84,6 +84,28 @@ def test_backfill_and_resume(tmp_path):
     assert len(read_manifest(part)) == len(completed_buckets(part))
 
 
+def test_backfill_dedup_on_ingest(tmp_path):
+    """Duplicated (conv_id, turn_idx) rows are dropped inside the bucket
+    pass (idempotent re-ingest) — output equals the clean corpus's."""
+    clean = str(tmp_path / "clean")
+    dup = str(tmp_path / "dup")
+    backfill_to_dir(
+        synth_transcripts(n_convs=12, duplicates=False), clean,
+        num_buckets=5, alphabet=ALPHA, order_cols=ORDER, assign_turn_idx=False,
+    )
+    dup_ds = synth_transcripts(n_convs=12, duplicates=True)
+    assert dup_ds.count() > synth_transcripts(
+        n_convs=12, duplicates=False
+    ).count()
+    backfill_to_dir(
+        dup_ds, dup, num_buckets=5, alphabet=ALPHA, order_cols=ORDER,
+        assign_turn_idx=False, dedup=True,
+    )
+    a = _read_sorted(clean)
+    b = _read_sorted(dup)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_order_invariance():
     """Shuffled input blocks -> identical output (SURVEY §5.3)."""
     from protein_feature_engineering_ray.core.executor import conv_features
