@@ -79,48 +79,106 @@ def _sql_gaac() -> str:
     )
 
 
-def _sql_ngram(n: int, prefix: str, normalize: bool) -> str:
+def _sql_ngram(n: int, prefix: str, normalize: bool, grouped: bool = False) -> str:
+    from itertools import product
+
+    letters = GROUPS if grouped else LETTERS
+    sym = GROUP_SQL + " " if grouped else "role "
     pair_cols = []
-    for a in LETTERS:
-        for b in LETTERS:
-            cond = f"role = '{a}' AND nxt = '{b}'"
-            if normalize:
-                expr = f"count(*) FILTER ({cond}) / count(nxt)"
-            else:
-                expr = f"CAST(count(*) FILTER ({cond}) AS DOUBLE)"
-            pair_cols.append(f'{expr} AS "{prefix}_{a}.{b}"')
+    for tup in product(letters, repeat=n):
+        conds = [f"g0 = '{tup[0]}'"] + [
+            f"nxt{i} = '{s}'" for i, s in enumerate(tup[1:], start=1)
+        ]
+        cond = " AND ".join(conds)
+        if normalize:
+            expr = f"count(*) FILTER ({cond}) / count(nxt{n-1})"
+        else:
+            expr = f"CAST(count(*) FILTER ({cond}) AS DOUBLE)"
+        pair_cols.append(f'{expr} AS "{prefix}_' + ".".join(tup) + '"')
     cols = ",\n    ".join(pair_cols)
+    leads = ",\n         ".join(
+        f"lead({sym.strip()}, {i}) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+        f" AS nxt{i}"
+        for i in range(1, n)
+    )
+    # count(nxt{n-1}) counts rows where ALL leads exist only when the last
+    # lead exists — with contiguous turns that equals len-(n-1), matching the
+    # kernel's pair count
     return (
         f"{TRANSCRIPTS_SQL_CTE}, t2 AS (\n"
-        "  SELECT conv_id, role,\n"
-        "         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt\n"
+        f"  SELECT conv_id, {sym}AS g0,\n         {leads}\n"
         "  FROM transcripts)\n"
         f"SELECT conv_id,\n    {cols}\nFROM t2 GROUP BY conv_id"
     )
 
 
-def _sql_cksaap(kspace: int) -> str:
+def _sql_cksaap(kspace: int, grouped: bool = False) -> str:
+    letters = GROUPS if grouped else LETTERS
+    sym = GROUP_SQL if grouped else "role"
+    prefix = "cksaagp" if grouped else "cksaap"
     selects = []
     for g in range(kspace + 1):
         d = g + 1
         sub = []
-        for a in LETTERS:
-            for b in LETTERS:
+        for a in letters:
+            for b in letters:
                 sub.append(
-                    f"count(*) FILTER (role = '{a}' AND nxt{d} = '{b}') / count(nxt{d})"
-                    f' AS "cksaap_g{g}_{a}.{b}"'
+                    f"count(*) FILTER (g0 = '{a}' AND nxt{d} = '{b}') / count(nxt{d})"
+                    f' AS "{prefix}_g{g}_{a}.{b}"'
                 )
         selects.append((d, sub))
     leads = ",\n         ".join(
-        f"lead(role, {d}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt{d}"
+        f"lead({sym}, {d}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt{d}"
         for d in range(1, kspace + 2)
     )
     all_cols = ",\n    ".join(c for _, sub in selects for c in sub)
     return (
         f"{TRANSCRIPTS_SQL_CTE}, t2 AS (\n"
-        f"  SELECT conv_id, role,\n         {leads}\n  FROM transcripts)\n"
+        f"  SELECT conv_id, {sym} AS g0,\n         {leads}\n  FROM transcripts)\n"
         f"SELECT conv_id,\n    {all_cols}\nFROM t2 GROUP BY conv_id"
     )
+
+
+def _sql_egaac(w: int) -> str:
+    cols = ",\n    ".join(
+        f"sum(CASE WHEN grp = '{s}' THEN 1 ELSE 0 END) OVER "
+        f"({WIN} ROWS BETWEEN {w-1} PRECEDING AND CURRENT ROW) / "
+        f"count(*) OVER ({WIN} ROWS BETWEEN {w-1} PRECEDING AND CURRENT ROW)"
+        f' AS "egaac{w}_{s}"'
+        for s in GROUPS
+    )
+    return (
+        f"{TRANSCRIPTS_SQL_CTE}, t2 AS (SELECT conv_id, turn_idx, "
+        f"{GROUP_SQL} AS grp FROM transcripts)\n"
+        f"SELECT conv_id, turn_idx,\n    {cols}\nFROM t2"
+    )
+
+
+def _sql_ctdd() -> str:
+    quants = (0.0, 0.25, 0.5, 0.75, 1.0)
+    sel = []
+    for g in GROUPS:
+        for q in quants:
+            sel.append(
+                "coalesce(max(CASE WHEN p.grp = '%s' AND p.q = %s THEN "
+                "(p.turn_idx + 1) / l.L * 100 END), 0.0) AS \"ctdd_%s_p%d\""
+                % (g, repr(q), g, int(q * 100))
+            )
+    cols = ",\n    ".join(sel)
+    qvals = ", ".join(f"({q})" for q in quants)
+    return f"""{TRANSCRIPTS_SQL_CTE}, t2 AS (
+  SELECT conv_id, turn_idx, {GROUP_SQL} AS grp FROM transcripts),
+ lens AS (SELECT conv_id, CAST(count(*) AS DOUBLE) AS L FROM transcripts GROUP BY conv_id),
+ occ AS (SELECT conv_id, grp, turn_idx,
+         row_number() OVER (PARTITION BY conv_id, grp ORDER BY turn_idx) AS rn,
+         count(*) OVER (PARTITION BY conv_id, grp) AS cnt FROM t2),
+ picks AS (SELECT o.conv_id, o.grp, qs.q, o.turn_idx FROM occ o
+   CROSS JOIN (VALUES {qvals}) qs(q)
+   WHERE o.rn = greatest(1, CAST(ceil(o.cnt * qs.q) AS BIGINT)))
+SELECT l.conv_id,
+    {cols}
+FROM lens l LEFT JOIN picks p ON p.conv_id = l.conv_id
+GROUP BY l.conv_id, l.L"""
 
 
 def _sql_ctdt() -> str:
@@ -360,6 +418,26 @@ def q_dpc_counts(sf):
 
 def q_cksaap(sf):
     return _conv(sf, [("CKSAAP", {"kspace": 2})])
+
+
+def q_tpc(sf):
+    return _conv(sf, [("TPC", {})])
+
+
+def q_gdpc(sf):
+    return _conv(sf, [("GDPC", {})])
+
+
+def q_gtpc(sf):
+    return _conv(sf, [("GTPC", {})])
+
+
+def q_cksaagp(sf):
+    return _conv(sf, [("CKSAAGP", {"kspace": 2})])
+
+
+def q_egaac(sf):
+    return _drop_ts(_turn(sf, [("RollingComposition", {"w": 4, "grouped": True})]))
 
 
 def q_ctdt(sf):
@@ -617,7 +695,12 @@ QUERIES: dict[str, Callable] = {
     "gaac": q_gaac,
     "dpc": q_dpc,
     "dpc_counts": q_dpc_counts,
+    "tpc": q_tpc,
+    "gdpc": q_gdpc,
+    "gtpc": q_gtpc,
     "cksaap": q_cksaap,
+    "cksaagp": q_cksaagp,
+    "egaac": q_egaac,
     "ctdt": q_ctdt,
     "stride_k2": q_stride,
     "lambda_k2": q_lambda,
@@ -658,7 +741,13 @@ ORACLES: dict[str, str] = {
     "gaac": _sql_gaac(),
     "dpc": _sql_ngram(2, "dpc", True),
     "dpc_counts": _sql_ngram(2, "dpc", False),
+    "tpc": _sql_ngram(3, "tpc", True),
+    "gdpc": _sql_ngram(2, "gdpc", True, grouped=True),
+    "gtpc": _sql_ngram(3, "gtpc", True, grouped=True),
     "cksaap": _sql_cksaap(2),
+    "cksaagp": _sql_cksaap(2, grouped=True),
+    "egaac": _sql_egaac(4),
+    "ctdd": _sql_ctdd(),
     "ctdt": _sql_ctdt(),
     "stride_k2": _sql_stride(2, 1),
     "lambda_k2": _sql_lambda(2, 2),
