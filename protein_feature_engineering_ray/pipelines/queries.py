@@ -80,62 +80,89 @@ def _sql_gaac() -> str:
 
 
 def _sql_ngram(n: int, prefix: str, normalize: bool, grouped: bool = False) -> str:
+    """Wide n-gram composition via a PRE-AGGREGATED long gram table + a
+    MAX(CASE) pivot.  A direct 125-FILTER-aggregate form poisons DuckDB
+    1.0.0's allocator at its default 64 threads (repeated runs in one
+    connection start failing with bad_alloc) — pre-aggregating first keeps
+    the pivot input tiny and the connection healthy."""
     from itertools import product
 
     letters = GROUPS if grouped else LETTERS
     sym = GROUP_SQL + " " if grouped else "role "
-    pair_cols = []
-    for tup in product(letters, repeat=n):
-        conds = [f"g0 = '{tup[0]}'"] + [
-            f"nxt{i} = '{s}'" for i, s in enumerate(tup[1:], start=1)
-        ]
-        cond = " AND ".join(conds)
-        if normalize:
-            expr = f"count(*) FILTER ({cond}) / count(nxt{n-1})"
-        else:
-            expr = f"CAST(count(*) FILTER ({cond}) AS DOUBLE)"
-        pair_cols.append(f'{expr} AS "{prefix}_' + ".".join(tup) + '"')
-    cols = ",\n    ".join(pair_cols)
     leads = ",\n         ".join(
         f"lead({sym.strip()}, {i}) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
         f" AS nxt{i}"
         for i in range(1, n)
     )
-    # count(nxt{n-1}) counts rows where ALL leads exist only when the last
-    # lead exists — with contiguous turns that equals len-(n-1), matching the
-    # kernel's pair count
+    gram_expr = " || '.' || ".join(["g0"] + [f"nxt{i}" for i in range(1, n)])
+    pivot_cols = []
+    for tup in product(letters, repeat=n):
+        gram = ".".join(tup)
+        base = f"coalesce(max(CASE WHEN g.gram = '{gram}' THEN g.cnt END), 0)"
+        if normalize:
+            expr = f"{base} / greatest(t.tot, 1)"
+        else:
+            expr = f"CAST({base} AS DOUBLE)"
+        pivot_cols.append(f'{expr} AS "{prefix}_{gram}"')
+    cols = ",\n    ".join(pivot_cols)
     return (
         f"{TRANSCRIPTS_SQL_CTE}, t2 AS (\n"
         f"  SELECT conv_id, {sym}AS g0,\n         {leads}\n"
-        "  FROM transcripts)\n"
-        f"SELECT conv_id,\n    {cols}\nFROM t2 GROUP BY conv_id"
+        "  FROM transcripts),\n"
+        f" grams AS (SELECT conv_id, {gram_expr} AS gram FROM t2"
+        f" WHERE nxt{n-1} IS NOT NULL),\n"
+        " gramcnt AS (SELECT conv_id, gram, count(*) AS cnt FROM grams"
+        " GROUP BY conv_id, gram),\n"
+        # every conv keeps a row even with zero grams (single-turn convs)
+        f" tot AS (SELECT conv_id, count(nxt{n-1}) AS tot FROM t2"
+        " GROUP BY conv_id)\n"
+        f"SELECT t.conv_id,\n    {cols}\n"
+        "FROM tot t LEFT JOIN gramcnt g ON g.conv_id = t.conv_id\n"
+        "GROUP BY t.conv_id, t.tot"
     )
 
 
 def _sql_cksaap(kspace: int, grouped: bool = False) -> str:
+    """k-spaced pair composition via pre-aggregated (gap, pair) counts + a
+    MAX(CASE) pivot (see _sql_ngram for why not a wide FILTER aggregate)."""
     letters = GROUPS if grouped else LETTERS
     sym = GROUP_SQL if grouped else "role"
     prefix = "cksaagp" if grouped else "cksaap"
-    selects = []
-    for g in range(kspace + 1):
-        d = g + 1
-        sub = []
-        for a in letters:
-            for b in letters:
-                sub.append(
-                    f"count(*) FILTER (g0 = '{a}' AND nxt{d} = '{b}') / count(nxt{d})"
-                    f' AS "{prefix}_g{g}_{a}.{b}"'
-                )
-        selects.append((d, sub))
     leads = ",\n         ".join(
         f"lead({sym}, {d}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt{d}"
         for d in range(1, kspace + 2)
     )
-    all_cols = ",\n    ".join(c for _, sub in selects for c in sub)
+    gram_selects = "\n  UNION ALL\n".join(
+        f"  SELECT conv_id, {d - 1} AS gap, g0 || '.' || nxt{d} AS pair"
+        f" FROM t2 WHERE nxt{d} IS NOT NULL"
+        for d in range(1, kspace + 2)
+    )
+    tot_cols = ", ".join(
+        f"count(nxt{d}) AS tot{d - 1}" for d in range(1, kspace + 2)
+    )
+    pivot = []
+    for g in range(kspace + 1):
+        for a in letters:
+            for b in letters:
+                base = (
+                    f"coalesce(max(CASE WHEN p.gap = {g} AND p.pair = "
+                    f"'{a}.{b}' THEN p.cnt END), 0)"
+                )
+                pivot.append(
+                    f'{base} / greatest(t.tot{g}, 1) AS "{prefix}_g{g}_{a}.{b}"'
+                )
+    cols = ",\n    ".join(pivot)
+    tots = ", ".join(f"t.tot{g}" for g in range(kspace + 1))
     return (
         f"{TRANSCRIPTS_SQL_CTE}, t2 AS (\n"
-        f"  SELECT conv_id, {sym} AS g0,\n         {leads}\n  FROM transcripts)\n"
-        f"SELECT conv_id,\n    {all_cols}\nFROM t2 GROUP BY conv_id"
+        f"  SELECT conv_id, {sym} AS g0,\n         {leads}\n  FROM transcripts),\n"
+        f" grams AS (\n{gram_selects}),\n"
+        " paircnt AS (SELECT conv_id, gap, pair, count(*) AS cnt FROM grams"
+        " GROUP BY conv_id, gap, pair),\n"
+        f" tot AS (SELECT conv_id, {tot_cols} FROM t2 GROUP BY conv_id)\n"
+        f"SELECT t.conv_id,\n    {cols}\n"
+        "FROM tot t LEFT JOIN paircnt p ON p.conv_id = t.conv_id\n"
+        f"GROUP BY t.conv_id, {tots}"
     )
 
 

@@ -60,16 +60,21 @@ def main(sf_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    import time
+
     failures = 0
     for name, fn in qs.items():
+        t0 = time.perf_counter()
         try:
             got = canon(to_df(fn(sf_dir)))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
             failures += 1
             continue
+        q_sec = time.perf_counter() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(got)} rows, {len(got.columns)} cols)")
+            print(f"ok   {name}: rows-only ({len(got)} rows, "
+                  f"{len(got.columns)} cols) [{q_sec:.1f}s]")
             continue
         want = canon(con.execute(oracles[name]).df())
         if len(got) != len(want):
@@ -103,7 +108,7 @@ def main(sf_dir: str) -> int:
         elif soft:
             print(f"warn {name}: allclose but not bit-exact: {[c for c,_ in soft][:5]}")
         else:
-            print(f"ok   {name}: {len(got)} rows bit-exact")
+            print(f"ok   {name}: {len(got)} rows bit-exact [{q_sec:.1f}s]")
     ray.shutdown()
     return failures
 
