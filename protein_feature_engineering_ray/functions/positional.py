@@ -84,6 +84,30 @@ EVENT_ZSCALE = np.array(
     ]
 )
 
+# AESNN3 analogue (feature.py:1003-1025): an alternative FROZEN 3-d code per
+# letter — distinct table, same lookup mechanics.
+EVENT_AESNN3 = np.array(
+    [
+        [-0.99, -0.61, 0.00],
+        [0.28, -0.99, -0.22],
+        [0.77, -0.90, 0.15],
+        [-0.63, 0.98, 0.46],
+        [0.10, 0.47, -0.11],
+    ]
+)
+
+# BLOSUM-row analogue (feature.py:1382-1427): per-letter similarity profile
+# over the whole alphabet (5 columns per letter), FROZEN symmetric matrix.
+EVENT_BLOSUM = np.array(
+    [
+        [4.0, -1.0, 0.0, -2.0, 1.0],
+        [-1.0, 5.0, -3.0, 0.0, -2.0],
+        [0.0, -3.0, 6.0, 1.0, -1.0],
+        [-2.0, 0.0, 1.0, 5.0, 0.0],
+        [1.0, -2.0, -1.0, 0.0, 4.0],
+    ]
+)
+
 
 class MultiHotProperties:
     """Overlapping (non-exclusive) property membership bits per turn — the

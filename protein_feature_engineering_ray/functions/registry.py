@@ -114,6 +114,21 @@ REGISTRY: dict[str, tuple[str, Callable[[Alphabet, dict[str, Any]], Any]]] = {
         _letters(a, True), grouped=True)),
     "PropertyLookup": ("turn", lambda a, p: pos.PropertyLookup(
         _letters(a, False), _prop_table(a, p), prefix=p.get("prefix", "prop"))),
+    # frozen-table lookup variants (ZScale 1335-1381 / AESNN3 998-1044 /
+    # BLOSUM62 1382-1427 analogues); fall back to the generic table for
+    # non-5-letter alphabets
+    "ZScale": ("turn", lambda a, p: pos.PropertyLookup(
+        _letters(a, False),
+        pos.EVENT_ZSCALE if a.size == 5 else _prop_table(a, p),
+        prefix="zscale")),
+    "AESNN3": ("turn", lambda a, p: pos.PropertyLookup(
+        _letters(a, False),
+        pos.EVENT_AESNN3 if a.size == 5 else _prop_table(a, p),
+        prefix="aesnn3")),
+    "BlosumRow": ("turn", lambda a, p: pos.PropertyLookup(
+        _letters(a, False),
+        pos.EVENT_BLOSUM if a.size == 5 else _prop_table(a, p),
+        prefix="blosum")),
     "LagLead": ("turn", lambda a, p: pos.LagLead(
         p.get("col", "value"), offsets=tuple(p.get("offsets", (1, 2))),
         lead=p.get("lead", False))),

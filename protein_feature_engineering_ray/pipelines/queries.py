@@ -380,6 +380,25 @@ SQL_ASOF_ORDERS = f"""{TRANSCRIPTS_SQL_CTE}SELECT t.conv_id, t.turn_idx,
       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order_price
 FROM transcripts t"""
 
+def _sql_lookup() -> str:
+    from protein_feature_engineering_ray.functions.positional import (
+        EVENT_AESNN3,
+        EVENT_BLOSUM,
+        EVENT_ZSCALE,
+    )
+
+    cols = []
+    for prefix, table in (("zscale", EVENT_ZSCALE), ("aesnn3", EVENT_AESNN3),
+                          ("blosum", EVENT_BLOSUM)):
+        for j in range(table.shape[1]):
+            cases = " ".join(
+                f"WHEN '{s}' THEN {table[i, j]!r}" for i, s in enumerate(LETTERS)
+            )
+            cols.append(f'CASE role {cases} END AS "{prefix}_{j}"')
+    colsql = ",\n    ".join(cols)
+    return f"{TRANSCRIPTS_SQL_CTE}SELECT conv_id, turn_idx,\n    {colsql}\nFROM transcripts"
+
+
 def _sql_multihot() -> str:
     from protein_feature_engineering_ray.functions.positional import EVENT_PROPS
 
@@ -595,6 +614,12 @@ def q_multihot(sf):
     return _drop_ts(_turn(sf, [("MultiHot", {})]))
 
 
+def q_lookup(sf):
+    return _drop_ts(
+        _turn(sf, [("ZScale", {}), ("AESNN3", {}), ("BlosumRow", {})])
+    )
+
+
 def q_distance_pair(sf):
     return _conv(sf, [("DistancePair", {"distance": 2})])
 
@@ -744,6 +769,7 @@ QUERIES: dict[str, Callable] = {
     "token_count": q_token_count,
     "exact_dedup": q_exact_dedup,
     "multihot": q_multihot,
+    "property_lookup": q_lookup,
     "distance_pair": q_distance_pair,
     # rows-only:
     "dde": q_dde,
@@ -791,5 +817,6 @@ ORACLES: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "multihot": _sql_multihot(),
+    "property_lookup": _sql_lookup(),
     "distance_pair": _sql_distance_pair(2),
 }

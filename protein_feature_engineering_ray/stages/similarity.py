@@ -93,31 +93,40 @@ def knn_train_partition(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    ks: list[int] | None = None,
     test_frac_mod: int = 5,
 ) -> pd.DataFrame:
     """_KNN discipline (feature.py:3832): rows with ``id % test_frac_mod == 0``
     are 'testing' queries; neighbors come ONLY from 'training' rows.  Emits
-    per-query fraction of each label among the top-k training neighbors."""
+    per-query fraction of each label among the top-k training neighbors, for
+    every k in ``ks`` (the reference sweeps 30 k values, feature.py:3811-3812;
+    one search at max(ks), prefixes reused)."""
     def _split(t: pa.Table, want_test: bool) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         m = (ids % test_frac_mod == 0) == want_test
         return t.filter(pa.array(m))
 
+    ks = sorted(ks or [k])
     tdf = ds.map_batches(
         lambda t: _split(t, True), batch_format="pyarrow"
     ).to_pandas()
     Q = np.stack(tdf[vec_col].to_numpy())
     train = ds.map_batches(lambda t: _split(t, False), batch_format="pyarrow")
-    nbrs = knn_brute(train, Q, tdf[id_col].to_numpy(), k=k,
+    nbrs = knn_brute(train, Q, tdf[id_col].to_numpy(), k=ks[-1],
                      id_col=id_col, vec_col=vec_col)
     lab = ds.select_columns([id_col, label_col]).to_pandas()
     merged = nbrs.merge(lab, left_on="nbr_id", right_on=id_col)
-    frac = (
-        merged.groupby(["query_id", label_col]).size().unstack(fill_value=0)
-    )
-    frac = frac.div(frac.sum(axis=1), axis=0)
-    frac.columns = [f"knn_label_{c}" for c in frac.columns]
-    return frac.reset_index()
+    out = None
+    for kk in ks:
+        sub = merged[merged["rank"] < kk]
+        frac = (
+            sub.groupby(["query_id", label_col]).size().unstack(fill_value=0)
+        )
+        frac = frac.div(frac.sum(axis=1), axis=0)
+        suffix = f"_k{kk}" if len(ks) > 1 else ""
+        frac.columns = [f"knn_label_{c}{suffix}" for c in frac.columns]
+        out = frac if out is None else out.join(frac, how="outer")
+    return out.reset_index()
 
 
 def ivf_knn(
