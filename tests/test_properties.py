@@ -1,0 +1,142 @@
+"""Property-based kernel tests (hypothesis) — SURVEY.md §5.3.
+
+These exercise the segment-vectorized kernels directly on in-memory Arrow
+tables via ``ConvContext`` (no Ray round-trip per example), against the
+loop-style oracle, over randomized corpora: ragged conversation lengths,
+unknown roles, single-turn conversations, equal timestamps.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from protein_feature_engineering_ray.core.context import ConvContext
+from protein_feature_engineering_ray.functions import composition as comp
+from protein_feature_engineering_ray.functions import positional as pos
+from protein_feature_engineering_ray.schema import Alphabet
+
+from tests import oracle
+
+ALPHA = Alphabet(
+    letters=("a", "b", "c"),
+    groups={"g1": ("a", "b"), "g2": ("c",)},
+)
+ROLES = ["a", "b", "c", "???"]  # includes an unknown (encodes to -1)
+
+
+@st.composite
+def corpora(draw):
+    n_convs = draw(st.integers(1, 6))
+    rows = []
+    for k in range(n_convs):
+        length = draw(st.integers(1, 12))
+        t = 0
+        for j in range(length):
+            role = draw(st.sampled_from(ROLES))
+            t += draw(st.integers(0, 5))  # allows equal-ts ties
+            rows.append(
+                {"conv_id": f"c{k}", "turn_idx": j, "role": role,
+                 "text": f"c{k}:{j}", "tool": "",
+                 "ts": np.datetime64(1_700_000_000_000_000 + t * 1_000_000, "us"),
+                 "value": float(draw(st.integers(-5, 5)))}
+            )
+    return pd.DataFrame(rows)
+
+
+def _ctx(df: pd.DataFrame) -> ConvContext:
+    df = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return ConvContext(pa.Table.from_pandas(df, preserve_index=False), ALPHA)
+
+
+def _frame(ctx, kernel) -> pd.DataFrame:
+    m = np.atleast_2d(kernel.apply(ctx).T).T
+    out = pd.DataFrame(m, columns=kernel.names())
+    out.insert(0, "conv_id", ctx.conv_ids)
+    return out
+
+
+def _check(got: pd.DataFrame, want: pd.DataFrame, keys=("conv_id",)):
+    got = got.sort_values(list(keys)).reset_index(drop=True)
+    want = want.sort_values(list(keys)).reset_index(drop=True)
+    for c in want.columns:
+        if c in keys:
+            continue
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
+            rtol=1e-9, atol=1e-12, err_msg=c,
+        )
+
+
+@settings(max_examples=40, deadline=None)
+@given(corpora())
+def test_composition_properties(df):
+    ctx = _ctx(df)
+    _check(_frame(ctx, comp.CompositionK(list(ALPHA.letters))),
+           oracle.composition(df, ALPHA))
+    _check(_frame(ctx, comp.NGramComposition(list(ALPHA.letters), n=2)),
+           oracle.ngram(df, ALPHA, n=2))
+    _check(_frame(ctx, comp.KSpacedPairs(list(ALPHA.letters), kspace=2)),
+           oracle.kspaced(df, ALPHA, kspace=2))
+    _check(_frame(ctx, comp.CTDDistribution(list(ALPHA.groups))),
+           oracle.ctdd(df, ALPHA))
+    _check(_frame(ctx, comp.StridedKTuple(list(ALPHA.groups), k=2, gap=1)),
+           oracle.stride_ktuple(df, ALPHA, k=2, gap=1))
+
+
+@settings(max_examples=40, deadline=None)
+@given(corpora())
+def test_rolling_properties(df):
+    ctx = _ctx(df)
+    kern = pos.RollingComposition(list(ALPHA.letters), w=3)
+    m = kern.apply(ctx)
+    got = pd.DataFrame(m, columns=kern.names())
+    srt = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got.insert(0, "conv_id", srt["conv_id"])
+    got.insert(1, "turn_idx", srt["turn_idx"])
+    _check(got, oracle.rolling_composition(df, ALPHA, w=3),
+           keys=("conv_id", "turn_idx"))
+    # invariant: rolling composition rows over VALID codes sum to <= 1 and
+    # equal the valid fraction of the window
+    assert (m.sum(axis=1) <= 1.0 + 1e-12).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(corpora(), st.integers(1, 4))
+def test_lag_properties(df, lag):
+    ctx = _ctx(df)
+    kern = pos.LagLead("value", offsets=(lag,))
+    m = kern.apply(ctx)[:, 0]
+    srt = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # invariant: first `lag` rows of every conversation are NaN, the rest
+    # equal the value `lag` rows back
+    for cid, g in srt.groupby("conv_id"):
+        vals = m[g.index.to_numpy()]
+        assert np.isnan(vals[: min(lag, len(g))]).all()
+        if len(g) > lag:
+            np.testing.assert_array_equal(
+                vals[lag:], g["value"].to_numpy()[:-lag]
+            )
+
+
+def test_empty_and_degenerate():
+    # empty table
+    empty = pd.DataFrame({"conv_id": pd.Series([], dtype=str),
+                          "turn_idx": pd.Series([], dtype=np.int32),
+                          "role": pd.Series([], dtype=str),
+                          "text": pd.Series([], dtype=str),
+                          "tool": pd.Series([], dtype=str),
+                          "ts": pd.Series([], dtype="datetime64[us]"),
+                          "value": pd.Series([], dtype=float)})
+    ctx = ConvContext(pa.Table.from_pandas(empty, preserve_index=False), ALPHA)
+    out = comp.CompositionK(list(ALPHA.letters)).apply(ctx)
+    assert out.shape == (0, 3)
+    # all-unknown conversation: composition all zero
+    df = pd.DataFrame({"conv_id": ["x"] * 3, "turn_idx": [0, 1, 2],
+                       "role": ["?", "?", "?"], "text": [""] * 3,
+                       "tool": [""] * 3,
+                       "ts": pd.to_datetime([0, 1, 2], unit="s").astype("datetime64[us]"),
+                       "value": [1.0, 2.0, 3.0]})
+    ctx = ConvContext(pa.Table.from_pandas(df, preserve_index=False), ALPHA)
+    assert (comp.CompositionK(list(ALPHA.letters)).apply(ctx) == 0).all()
