@@ -21,17 +21,20 @@ from protein_feature_engineering_ray.schema import Alphabet
 
 
 class ConvContext:
-    def __init__(self, table: pa.Table, alphabet: Alphabet):
+    def __init__(self, table: pa.Table, alphabet: Alphabet, seg_col: str = "conv_id"):
         self.table = table
         self.alphabet = alphabet
         self.n = table.num_rows
+        self.seg_col = seg_col
 
     def col_np(self, name: str):
         return self.table[name].to_numpy(zero_copy_only=False)
 
     @cached_property
     def conv_ids_rows(self) -> np.ndarray:
-        return np.asarray(self.col_np("conv_id"), dtype=object)
+        """Segmentation key per row (``conv_id``, or the salted chunk key in
+        chunked mode — see executor.turn_features_chunked)."""
+        return np.asarray(self.col_np(self.seg_col), dtype=object)
 
     @cached_property
     def starts(self) -> np.ndarray:

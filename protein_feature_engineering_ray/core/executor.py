@@ -119,6 +119,96 @@ def conv_features(
     return grouped_buckets(ds, fn, num_buckets=num_buckets, order_cols=order_cols)
 
 
+def turn_features_chunked(
+    ds: ray.data.Dataset,
+    kernels: Sequence[TurnKernel],
+    alphabet: Alphabet = DEFAULT_ALPHABET,
+    chunk_size: int = 100_000,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-turn features for arbitrarily long conversations (SURVEY §7.4
+    'skewed conversations': the salted path).
+
+    A conversation is split into ``chunk_size``-turn chunks keyed
+    ``conv_id#chunk`` — DIFFERENT chunks hash to different buckets, so a
+    10^8-turn conversation no longer has to fit one worker.  Each chunk also
+    receives the last ``L`` rows of its predecessor as read-only context
+    (``L`` = max declared kernel ``lookback``), so backward-looking kernels
+    (lag, latency, rolling windows, per-turn lookups) produce EXACTLY the
+    same values as the unchunked path; kernels with unbounded lookback
+    (expanding windows, position-in-conversation) declare ``lookback=None``
+    and are rejected here.
+
+    Requires a valid ``turn_idx`` column (canonical transcripts; run the
+    co-location pass once to assign it for events-derived tables).
+    """
+    lookbacks = []
+    for k in kernels:
+        lb = getattr(k, "lookback", None)
+        if lb is None:
+            raise ValueError(
+                f"kernel {type(k).__name__} has unbounded lookback; it needs "
+                "the whole conversation (use turn_features, or raise "
+                "num_buckets for skew)"
+            )
+        lookbacks.append(int(lb))
+    L = max(lookbacks) if lookbacks else 0
+    if L >= chunk_size:
+        raise ValueError(f"lookback {L} must be < chunk_size {chunk_size}")
+
+    fn_names = feature_names(kernels)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ti = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = ti // chunk_size
+        conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False), dtype=object)
+        salt = np.array(
+            [f"{c}#{k:09d}" for c, k in zip(conv, chunk)], dtype=object
+        )
+        own = t.append_column("_salt", pa.array(salt, pa.string()))
+        own = own.append_column(
+            "_ctx", pa.array(np.zeros(len(t), dtype=np.int8), pa.int8())
+        )
+        if L == 0:
+            return own
+        # rows in the last L positions of a chunk also feed the NEXT chunk
+        # as context
+        tail = (ti % chunk_size) >= (chunk_size - L)
+        if not tail.any():
+            return own
+        idx = np.flatnonzero(tail)
+        ctx_rows = t.take(pa.array(idx))
+        ctx_salt = np.array(
+            [f"{c}#{k + 1:09d}" for c, k in zip(conv[idx], chunk[idx])],
+            dtype=object,
+        )
+        ctx_rows = ctx_rows.append_column("_salt", pa.array(ctx_salt, pa.string()))
+        ctx_rows = ctx_rows.append_column(
+            "_ctx", pa.array(np.ones(len(idx), dtype=np.int8), pa.int8())
+        )
+        return pa.concat_tables([own, ctx_rows])
+
+    def chunk_fn(table: pa.Table) -> pa.Table:
+        # context rows of chunk k have smaller turn_idx than its own rows, so
+        # sorting by (salt, turn_idx) puts them first — exactly the prefix a
+        # backward-looking kernel needs
+        ctx = ConvContext(table, alphabet, seg_col="_salt")
+        mats = [np.atleast_2d(k.apply(ctx).T).T for k in kernels]
+        own = table["_ctx"].to_numpy(zero_copy_only=False) == 0
+        keys = {
+            "conv_id": table["conv_id"].filter(pa.array(own)),
+            "turn_idx": table["turn_idx"].filter(pa.array(own)),
+            "ts": table["ts"].filter(pa.array(own)),
+        }
+        return _feature_table(keys, [m[own] for m in mats], fn_names)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return grouped_buckets(
+        exploded, chunk_fn, num_buckets=num_buckets, key="_salt",
+        order_cols=("_salt", "turn_idx"),
+    )
+
+
 def turn_features(
     ds: ray.data.Dataset,
     kernels: Sequence[TurnKernel],

@@ -8,6 +8,10 @@ window ever crosses a conversation boundary.
 Counting-based outputs are exact integer arithmetic + one division, matching
 SQL window functions (``ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW``)
 bit-for-bit.
+Kernels declare ``lookback``: the number of PRECEDING same-conversation rows
+their output at a row depends on (0 = none, int = bounded, None = unbounded /
+whole conversation).  Bounded-lookback kernels are eligible for chunked
+mega-conversation processing (executor.turn_features_chunked).
 """
 
 from __future__ import annotations
@@ -27,6 +31,8 @@ class OneHot:
     """Per-turn one-hot role encoding (``_binary``, feature.py:626-654; grouped
     variants 655-997).  Unknown role -> all zeros (the reference's ``-`` row,
     feature.py:640-646)."""
+
+    lookback = 0
 
     def __init__(self, letters: list[str], grouped: bool = False, prefix: str | None = None):
         self.letters = letters
@@ -53,6 +59,8 @@ class PropertyLookup:
     DuckDB oracle can embed the identical constants); unknown roles -> 0 rows
     (reference feature.py:1320-1326).
     """
+
+    lookback = 0
 
     def __init__(self, letters: list[str], table: np.ndarray, prefix: str = "prop"):
         self.letters = letters
@@ -118,6 +126,8 @@ class MultiHotProperties:
     SQL oracle can embed identical CASE lists).
     """
 
+    lookback = 0
+
     def __init__(self, letters: list[str], props: dict[str, tuple[str, ...]],
                  prefix: str = "opf"):
         self.letters = letters
@@ -159,6 +169,10 @@ class LagLead:
         self.lead = lead
         self.prefix = prefix or (("lead_" if lead else "lag_") + col)
 
+    @property
+    def lookback(self):
+        return None if self.lead else max(self.offsets)
+
     def names(self) -> list[str]:
         return [f"{self.prefix}_{n}" for n in self.offsets]
 
@@ -181,6 +195,8 @@ class Latency:
     series the autocorrelation family consumes; north-star 'inter-turn latency
     stats').  First turn of a conversation -> NaN.  Exact: int64 µs difference
     divided by 1e6."""
+
+    lookback = 1
 
     def names(self) -> list[str]:
         return ["latency_sec"]
@@ -208,6 +224,10 @@ class RollingComposition:
         self.grouped = grouped
         self.prefix = prefix or (f"egaac{w}" if grouped else f"eaac{w}")
 
+    @property
+    def lookback(self):
+        return self.w - 1
+
     def names(self) -> list[str]:
         return [f"{self.prefix}_{s}" for s in self.letters]
 
@@ -228,6 +248,8 @@ class ExpandingComposition:
     """Cumulative (expanding-window) role composition — the reference's
     *type-2 cumulative shell* semantics (feature.py:4292ff: 'everything up to
     horizon'), anchored per turn: share of each role among turns 0..j."""
+
+    lookback = None  # unbounded: needs the whole conversation prefix
 
     def __init__(self, letters: list[str], grouped: bool = False, prefix: str | None = None):
         self.letters = letters
@@ -260,6 +282,10 @@ class RollingStats:
         self.col = col
         self.w = w
         self.prefix = prefix or f"roll{w}_{col}"
+
+    @property
+    def lookback(self):
+        return self.w - 1
 
     def names(self) -> list[str]:
         return [f"{self.prefix}_{s}" for s in ("count", "sum", "mean", "min", "max")]
@@ -298,6 +324,8 @@ class PositionFeatures:
     """Per-turn position block: 0-based index, reverse index, relative
     position in [0,1] (reference positional headers, e.g. feature.py:465-467)."""
 
+    lookback = None  # needs the conversation length
+
     def names(self) -> list[str]:
         return ["pos_idx", "pos_rev", "pos_frac"]
 
@@ -312,6 +340,8 @@ class PositionFeatures:
 class TextLen:
     """Per-turn text length in characters — cheap per-turn numeric property
     (the notebooks' tokenized-length analogue, ESM_embed.ipynb cell 2)."""
+
+    lookback = 0
 
     def names(self) -> list[str]:
         return ["text_len"]

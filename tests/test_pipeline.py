@@ -238,6 +238,56 @@ def test_media_plumbing():
         MediaFeatureActor(fake=False)({})
 
 
+def test_chunked_turn_features_equivalence():
+    """Salted chunked processing == whole-conversation processing for every
+    bounded-lookback kernel, including across chunk boundaries of the mega
+    conversation (chunk_size far below its 400 turns)."""
+    from protein_feature_engineering_ray.core.executor import (
+        turn_features,
+        turn_features_chunked,
+    )
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+
+    specs = [
+        ("Latency", {}),
+        ("RollingComposition", {"w": 5}),
+        ("RollingStats", {"col": "latency2", "w": 4}),
+        ("LagLead", {"col": "latency2", "offsets": (1, 3)}),
+        ("OneHot", {}),
+        ("TextLen", {}),
+    ]
+    pdf = synth_transcripts(n_convs=16, duplicates=False, as_pandas=True)
+    # add a numeric col for the value-kernels
+    pdf["latency2"] = np.arange(len(pdf), dtype=float)
+    ds = ray.data.from_pandas(pdf).repartition(4)
+    ks = lambda: [make_kernel(n, ALPHA, p)[1] for n, p in specs]  # noqa: E731
+    whole = (
+        turn_features(ds, ks(), alphabet=ALPHA, num_buckets=5)
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    chunked = (
+        turn_features_chunked(ds, ks(), alphabet=ALPHA, chunk_size=7,
+                              num_buckets=9)
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(whole) == len(chunked) == len(pdf)
+    pd.testing.assert_frame_equal(whole, chunked)
+
+    # unbounded-lookback kernels are rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unbounded lookback"):
+        turn_features_chunked(
+            ds, [make_kernel("ExpandingComposition", ALPHA)[1]],
+            alphabet=ALPHA, chunk_size=7,
+        )
+    with _pytest.raises(ValueError, match="lookback"):
+        turn_features_chunked(
+            ds, [make_kernel("RollingStats", ALPHA, {"col": "latency2", "w": 9})[1]],
+            alphabet=ALPHA, chunk_size=8,
+        )
+
+
 def test_vector_output_matches_columns():
     """vector_col packs the same values in declared feature order."""
     from protein_feature_engineering_ray.core.executor import (
