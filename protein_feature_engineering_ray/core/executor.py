@@ -119,6 +119,118 @@ def conv_features(
     return grouped_buckets(ds, fn, num_buckets=num_buckets, order_cols=order_cols)
 
 
+def _explode_chunks(ds: ray.data.Dataset, chunk_size: int, L: int) -> ray.data.Dataset:
+    """Salt rows into ``conv_id#chunk`` groups; rows in the last ``L``
+    positions of a chunk are duplicated into the next chunk as read-only
+    context (``_ctx=1``).  Requires a valid ``turn_idx``."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ti = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = ti // chunk_size
+        conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False), dtype=object)
+        salt = np.array(
+            [f"{c}#{k:09d}" for c, k in zip(conv, chunk)], dtype=object
+        )
+        own = t.append_column("_salt", pa.array(salt, pa.string()))
+        own = own.append_column(
+            "_ctx", pa.array(np.zeros(len(t), dtype=np.int8), pa.int8())
+        )
+        if L == 0:
+            return own
+        tail = (ti % chunk_size) >= (chunk_size - L)
+        if not tail.any():
+            return own
+        idx = np.flatnonzero(tail)
+        ctx_rows = t.take(pa.array(idx))
+        ctx_salt = np.array(
+            [f"{c}#{k + 1:09d}" for c, k in zip(conv[idx], chunk[idx])],
+            dtype=object,
+        )
+        ctx_rows = ctx_rows.append_column("_salt", pa.array(ctx_salt, pa.string()))
+        ctx_rows = ctx_rows.append_column(
+            "_ctx", pa.array(np.ones(len(idx), dtype=np.int8), pa.int8())
+        )
+        return pa.concat_tables([own, ctx_rows])
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def conv_features_chunked(
+    ds: ray.data.Dataset,
+    kernels: Sequence[ConvKernel],
+    alphabet: Alphabet = DEFAULT_ALPHABET,
+    chunk_size: int = 100_000,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Conversation-level DECOMPOSABLE descriptors for arbitrarily long
+    conversations: salted per-chunk partial counts (grams anchored at their
+    last row, context prefix supplying cross-boundary grams) -> per-conv
+    merge (integer sum) -> finalize (normalization).  Exactly equals the
+    unchunked path; kernels must expose ``counts``/``finalize`` and a bounded
+    ``lookback`` (CompositionK, NGramComposition, KSpacedPairs,
+    CTDTransition, Strided/Lambda tuples are NOT yet decomposable-safe
+    because their grids depend on absolute position)."""
+    for k in kernels:
+        if not hasattr(k, "counts") or getattr(k, "lookback", None) is None:
+            raise ValueError(
+                f"kernel {type(k).__name__} is not decomposable "
+                "(needs counts/finalize and bounded lookback)"
+            )
+    L = max(int(k.lookback) for k in kernels) if kernels else 0
+    if L >= chunk_size:
+        raise ValueError(f"lookback {L} must be < chunk_size {chunk_size}")
+    all_names = feature_names(kernels)
+
+    def partial_fn(table: pa.Table) -> pa.Table:
+        ctx = ConvContext(table, alphabet, seg_col="_salt")
+        own = table["_ctx"].to_numpy(zero_copy_only=False) == 0
+        mats = [k.counts(ctx, anchor=own) for k in kernels]
+        conv = np.asarray(
+            table["conv_id"].to_numpy(zero_copy_only=False), dtype=object
+        )[ctx.starts[:-1]]
+        cols = {"conv_id": pa.array(conv, pa.string())}
+        j = 0
+        for m in mats:
+            for c in range(m.shape[1]):
+                cols[f"_p{j}"] = pa.array(m[:, c], pa.int64())
+                j += 1
+        return pa.table(cols)
+
+    def merge_fn(table: pa.Table) -> pa.Table:
+        conv = np.asarray(
+            table["conv_id"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        from protein_feature_engineering_ray.core.bucket import segment_starts
+
+        starts = segment_starts(conv)
+        width = table.num_columns - 1
+        mat = np.column_stack(
+            [table[f"_p{j}"].to_numpy(zero_copy_only=False) for j in range(width)]
+        ).astype(np.int64)
+        summed = np.add.reduceat(mat, starts[:-1], axis=0)
+        cols = {"conv_id": pa.array(conv[starts[:-1]], pa.string())}
+        off = 0
+        outs = []
+        for k in kernels:
+            wk = k.counts_width
+            fin = k.finalize(summed[:, off : off + wk])
+            outs.append(np.atleast_2d(fin.T).T)
+            off += wk
+        mat_out = np.concatenate(outs, axis=1)
+        for j, name in enumerate(all_names):
+            cols[name] = pa.array(mat_out[:, j])
+        return pa.table(cols)
+
+    partials = grouped_buckets(
+        _explode_chunks(ds, chunk_size, L), partial_fn,
+        num_buckets=num_buckets, key="_salt", order_cols=("_salt", "turn_idx"),
+    )
+    return grouped_buckets(
+        partials, merge_fn, num_buckets=num_buckets, key="conv_id",
+        order_cols=("conv_id",),
+    )
+
+
 def turn_features_chunked(
     ds: ray.data.Dataset,
     kernels: Sequence[TurnKernel],

@@ -50,17 +50,34 @@ class CompositionK:
         self.normalize = normalize
         self.prefix = prefix or ("gaac" if grouped else "aac")
 
+    lookback = 0  # decomposable: partial counts merge across chunks
+
+    @property
+    def counts_width(self):
+        return len(self.letters)
+
     def names(self) -> list[str]:
         return [f"{self.prefix}_{s}" for s in self.letters]
 
-    def apply(self, ctx: ConvContext) -> np.ndarray:
+    def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
         codes, width, _ = _codes_of(ctx, self.grouped)
-        counts = _seg_code_counts(ctx.seg_of_row, codes, ctx.n_segs, width)
+        if anchor is None:
+            return _seg_code_counts(ctx.seg_of_row, codes, ctx.n_segs, width)
+        sel = (codes >= 0) & anchor
+        out = np.zeros((ctx.n_segs, width), dtype=np.int64)
+        if sel.any():
+            np.add.at(out, (ctx.seg_of_row[sel], codes[sel]), 1)
+        return out
+
+    def finalize(self, counts: np.ndarray) -> np.ndarray:
         if not self.normalize:
             return counts.astype(np.float64)
         denom = counts.sum(axis=1, keepdims=True).astype(np.float64)
         denom[denom == 0] = 1.0
         return counts / denom
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        return self.finalize(self.counts(ctx))
 
 
 class NGramComposition:
@@ -87,7 +104,17 @@ class NGramComposition:
             return [f"{self.prefix}_{a}.{b}" for a in L for b in L]
         return [f"{self.prefix}_{a}.{b}.{c}" for a in L for b in L for c in L]
 
-    def apply(self, ctx: ConvContext) -> np.ndarray:
+    @property
+    def lookback(self):
+        return self.n - 1
+
+    @property
+    def counts_width(self):
+        return len(self.letters) ** self.n
+
+    def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
+        """Gram counts ANCHORED AT THE LAST ELEMENT (so a gram spanning a
+        chunk boundary is counted by exactly the chunk owning its last row)."""
         codes, A, _ = _codes_of(ctx, self.grouped)
         n, seg = ctx.n, ctx.seg_of_row
         width = A**self.n
@@ -102,13 +129,21 @@ class NGramComposition:
                 gram = gram * A + nxt
                 ok &= nxt >= 0
             sel = mask & ok
+            if anchor is not None:
+                sel = sel & anchor[k:]
             if sel.any():
-                np.add.at(out, (seg[:-k][sel], gram[sel]), 1)
+                np.add.at(out, (seg[k:][sel], gram[sel]), 1)
+        return out
+
+    def finalize(self, counts: np.ndarray) -> np.ndarray:
         if not self.normalize:
-            return out.astype(np.float64)
-        denom = out.sum(axis=1, keepdims=True).astype(np.float64)
+            return counts.astype(np.float64)
+        denom = counts.sum(axis=1, keepdims=True).astype(np.float64)
         denom[denom == 0] = 1.0
-        return out / denom
+        return counts / denom
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        return self.finalize(self.counts(ctx))
 
 
 class DDE:
@@ -171,7 +206,16 @@ class KSpacedPairs:
             for b in L
         ]
 
-    def apply(self, ctx: ConvContext) -> np.ndarray:
+    @property
+    def lookback(self):
+        return self.kspace + 1
+
+    @property
+    def counts_width(self):
+        A = len(self.letters)
+        return (self.kspace + 1) * A * A
+
+    def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
         codes, A, _ = _codes_of(ctx, self.grouped)
         n, seg = ctx.n, ctx.seg_of_row
         blocks = []
@@ -182,8 +226,18 @@ class KSpacedPairs:
                 mask = seg[:-d] == seg[d:]
                 a, b = codes[:-d], codes[d:]
                 sel = mask & (a >= 0) & (b >= 0)
+                if anchor is not None:
+                    sel = sel & anchor[d:]
                 if sel.any():
-                    np.add.at(out, (seg[:-d][sel], a[sel] * A + b[sel]), 1)
+                    np.add.at(out, (seg[d:][sel], a[sel] * A + b[sel]), 1)
+            blocks.append(out)
+        return np.concatenate(blocks, axis=1)
+
+    def finalize(self, counts: np.ndarray) -> np.ndarray:
+        A = len(self.letters)
+        blocks = []
+        for g in range(self.kspace + 1):
+            out = counts[:, g * A * A : (g + 1) * A * A]
             if self.normalize:
                 denom = out.sum(axis=1, keepdims=True).astype(np.float64)
                 denom[denom == 0] = 1.0
@@ -191,6 +245,9 @@ class KSpacedPairs:
             else:
                 blocks.append(out.astype(np.float64))
         return np.concatenate(blocks, axis=1)
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        return self.finalize(self.counts(ctx))
 
 
 class CTDComposition:
@@ -218,27 +275,43 @@ class CTDTransition:
         G = self.groups
         return [f"ctdt_{G[i]}.{G[j]}" for i in range(len(G)) for j in range(i + 1, len(G))]
 
-    def apply(self, ctx: ConvContext) -> np.ndarray:
+    lookback = 1
+
+    @property
+    def counts_width(self):
+        G = len(self.groups)
+        return G * (G - 1) // 2 + 1
+
+    def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
+        """Partial layout: transition-pair counts + trailing denominator
+        column (total adjacent valid pairs), both mergeable."""
         codes = ctx.group_codes
         G = len(self.groups)
         n, seg = ctx.n, ctx.seg_of_row
         pair_idx = [(i, j) for i in range(G) for j in range(i + 1, G)]
-        out = np.zeros((ctx.n_segs, len(pair_idx)), dtype=np.int64)
-        denom = np.zeros((ctx.n_segs, 1), dtype=np.int64)
+        out = np.zeros((ctx.n_segs, len(pair_idx) + 1), dtype=np.int64)
         if n > 1:
             mask = (seg[:-1] == seg[1:]) & (codes[:-1] >= 0) & (codes[1:] >= 0)
+            if anchor is not None:
+                mask = mask & anchor[1:]
             a = np.minimum(codes[:-1], codes[1:])
             b = np.maximum(codes[:-1], codes[1:])
-            np.add.at(denom[:, 0], seg[:-1][mask], 1)
+            np.add.at(out[:, -1], seg[1:][mask], 1)
             lut = np.full((G, G), -1, dtype=np.int64)
             for k, (i, j) in enumerate(pair_idx):
                 lut[i, j] = k
             sel = mask & (a != b)
             if sel.any():
-                np.add.at(out, (seg[:-1][sel], lut[a[sel], b[sel]]), 1)
-        d = denom.astype(np.float64)
+                np.add.at(out[:, :-1], (seg[1:][sel], lut[a[sel], b[sel]]), 1)
+        return out
+
+    def finalize(self, counts: np.ndarray) -> np.ndarray:
+        d = counts[:, -1:].astype(np.float64)
         d[d == 0] = 1.0
-        return out / d
+        return counts[:, :-1] / d
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        return self.finalize(self.counts(ctx))
 
 
 class CTDDistribution:

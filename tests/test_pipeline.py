@@ -288,6 +288,42 @@ def test_chunked_turn_features_equivalence():
         )
 
 
+def test_chunked_conv_features_equivalence():
+    """Salted partial-count aggregation == whole-conversation descriptors for
+    the decomposable composition kernels, across chunk boundaries."""
+    from protein_feature_engineering_ray.core.executor import (
+        conv_features,
+        conv_features_chunked,
+    )
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+
+    specs = [
+        ("AAC", {}),
+        ("GAAC", {}),
+        ("DPC", {}),
+        ("TPC", {"normalize": False}),
+        ("CKSAAP", {"kspace": 2}),
+        ("CTDT", {}),
+    ]
+    ds = synth_transcripts(n_convs=16, duplicates=False)
+    ks = lambda: [make_kernel(n, ALPHA, p)[1] for n, p in specs]  # noqa: E731
+    whole = (
+        conv_features(ds, ks(), alphabet=ALPHA, num_buckets=5)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    chunked = (
+        conv_features_chunked(ds, ks(), alphabet=ALPHA, chunk_size=7,
+                              num_buckets=9)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(whole, chunked)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not decomposable"):
+        conv_features_chunked(ds, [make_kernel("DDE", ALPHA)[1]], alphabet=ALPHA)
+
+
 def test_vector_output_matches_columns():
     """vector_col packs the same values in declared feature order."""
     from protein_feature_engineering_ray.core.executor import (
