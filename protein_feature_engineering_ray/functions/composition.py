@@ -319,8 +319,10 @@ class CTDDistribution:
 
     For each role group: position (as % of conversation length) of the 1st,
     25%, 50%, 75% and 100%-th occurrence of that group; 0 when absent.
-    Matches the reference's ``ceil(q * count)``-th occurrence rule and its
-    ``pos / len * 100`` scaling.
+    Matches the reference's ``Count1`` rule — the ``floor(q * count)``-th
+    occurrence clamped to a minimum of 1 — and its ``pos / len * 100``
+    scaling.  (Round 1 used ceil here; the reference uses floor, so e.g.
+    count=6, q=0.25 selects the 1st occurrence, not the 2nd.)
     """
 
     QUANTS = (0.0, 0.25, 0.5, 0.75, 1.0)
@@ -351,8 +353,9 @@ class CTDDistribution:
             seg_base[1:] = np.cumsum(cnt_per_seg)[:-1]
             for qi, q in enumerate(self.QUANTS):
                 # target occurrence number per segment (reference Count1:
-                # ceil(count*q), minimum 1)
-                tgt = np.maximum(1, np.ceil(cnt_per_seg * q)).astype(np.int64)
+                # floor(count*q), minimum 1; q values are exact binary
+                # fractions so floor is float-safe)
+                tgt = np.maximum(1, np.floor(cnt_per_seg * q)).astype(np.int64)
                 # row where cum == seg_base + tgt and is_g
                 want = seg_base + tgt
                 hit = is_g & (cum == want[seg])

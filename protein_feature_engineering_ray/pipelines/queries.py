@@ -201,7 +201,7 @@ def _sql_ctdd() -> str:
          count(*) OVER (PARTITION BY conv_id, grp) AS cnt FROM t2),
  picks AS (SELECT o.conv_id, o.grp, qs.q, o.turn_idx FROM occ o
    CROSS JOIN (VALUES {qvals}) qs(q)
-   WHERE o.rn = greatest(1, CAST(ceil(o.cnt * qs.q) AS BIGINT)))
+   WHERE o.rn = greatest(1, CAST(floor(o.cnt * qs.q) AS BIGINT)))
 SELECT l.conv_id,
     {cols}
 FROM lens l LEFT JOIN picks p ON p.conv_id = l.conv_id
@@ -315,7 +315,7 @@ SQL_SESSIONS = f"""{TRANSCRIPTS_SQL_CTE}, t2 AS (
               THEN 1 ELSE 0 END AS brk
   FROM transcripts)
 SELECT conv_id, turn_idx,
-       sum(brk) OVER ({WIN} ROWS UNBOUNDED PRECEDING) AS session_idx
+       CAST(sum(brk) OVER ({WIN} ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
 FROM t2"""
 
 SQL_SESSION_STATS = f"""{TRANSCRIPTS_SQL_CTE}, t2 AS (
@@ -325,7 +325,7 @@ SQL_SESSION_STATS = f"""{TRANSCRIPTS_SQL_CTE}, t2 AS (
               THEN 1 ELSE 0 END AS brk
   FROM transcripts),
  t3 AS (SELECT conv_id, ts,
-               sum(brk) OVER ({WIN} ROWS UNBOUNDED PRECEDING) AS session_idx
+               CAST(sum(brk) OVER ({WIN} ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         FROM t2)
 SELECT conv_id, session_idx,
        CAST(count(*) AS DOUBLE) AS n_turns,
@@ -344,7 +344,7 @@ def _sql_session_comp() -> str:
               THEN 1 ELSE 0 END AS brk
   FROM transcripts),
  t3 AS (SELECT conv_id, role,
-               sum(brk) OVER ({WIN} ROWS UNBOUNDED PRECEDING) AS session_idx
+               CAST(sum(brk) OVER ({WIN} ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         FROM t2)
 SELECT conv_id, session_idx, count(*) AS n_turns,
     {cols}

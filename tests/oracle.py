@@ -201,7 +201,7 @@ def ctdd(df, alpha: Alphabet) -> pd.DataFrame:
                 if not positions:
                     rec[col] = 0.0
                 else:
-                    k = max(1, int(np.ceil(len(positions) * q)))
+                    k = max(1, int(np.floor(len(positions) * q)))
                     rec[col] = (positions[k - 1] + 1) / L * 100.0
         rows.append(rec)
     return pd.DataFrame(rows)

@@ -43,7 +43,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
@@ -64,6 +64,8 @@ def main(sf_dir: str) -> int:
 
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             got = canon(to_df(fn(sf_dir)))
@@ -88,6 +90,14 @@ def main(sf_dir: str) -> int:
         bad = []
         for c in got.columns:
             a, w = got[c], want[c]
+            # The driver hashes the raw frame, so an int64-vs-float64 dtype
+            # divergence fails its gate even when values match (round-1
+            # sessions lesson). Treat kind mismatch as a hard failure.
+            if a.dtype.kind != w.dtype.kind and {a.dtype.kind, w.dtype.kind} <= {
+                "i", "u", "f"
+            }:
+                bad.append((c, f"dtype {a.dtype} vs {w.dtype}"))
+                continue
             if a.dtype.kind == "f" or w.dtype.kind == "f":
                 av = a.to_numpy(dtype=float)
                 wv = w.to_numpy(dtype=float)
@@ -100,7 +110,7 @@ def main(sf_dir: str) -> int:
             else:
                 if not a.astype(str).equals(w.astype(str)):
                     bad.append((c, "values"))
-        hard = [b for b in bad if b[1] == "values"]
+        hard = [b for b in bad if b[1] != "bits"]
         soft = [b for b in bad if b[1] == "bits"]
         if hard:
             print(f"FAIL {name}: mismatched {hard[:5]}")
@@ -114,4 +124,5 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+                  sys.argv[2:] or None))
