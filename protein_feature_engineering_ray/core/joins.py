@@ -1,0 +1,143 @@
+"""Coarse-bucket hash joins (inner / left_outer / left_semi / left_anti).
+
+Ray 2.49's native ``Dataset.join`` hash-shuffles each side into
+``num_partitions`` pyarrow tables and joins them pairwise with Acero — but an
+EMPTY partition is built as a schema-less table, and Acero then fails with
+"No match for FieldRef on right side of the join" whenever any partition
+receives no rows (guaranteed at test scale, possible at any scale).  Acero
+also rejects list-typed payload columns outright.
+
+This module instead expresses a join as the engine's one idiom for wide
+operations: tag each side, union them under one superset schema, shuffle ONCE
+on a coarse key-hash bucket (push-based sort shuffle, see config.py), and
+merge the co-located sides vectorized in pandas inside each fat bucket.
+Empty buckets simply produce no groups — no schema-less partitions — and
+payload columns of any type ride through untouched.
+
+Scale notes: one shuffle per join; ``num_buckets`` plays the same role as in
+core/bucket.py (unit of shuffle parallelism — a bucket must fit a worker's
+heap).  Key skew: a hot join key skews only its bucket; salt upstream if a
+single key's rows exceed a bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_SIDE = "_join_side"
+_JB = "_jb"
+
+
+def _key_bucket(df: pd.DataFrame, num_buckets: int) -> np.ndarray:
+    """Process-stable bucket of each row's key tuple (combined row hash).
+    Key dtypes must match across sides — same requirement as any hash join."""
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def bucket_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    right_on: list[str] | None = None,
+    how: str = "inner",
+    num_buckets: int = 64,
+    right_suffix: str = "_r",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Join two Datasets on equality of ``on`` (left) vs ``right_on`` (right).
+
+    ``how``: "inner" | "left_outer" | "left_semi" | "left_anti".
+    semi/anti return left columns only; inner/left_outer append the right
+    side's non-key columns (collisions renamed with ``right_suffix``).
+
+    Pass ``left_cols`` / ``right_cols`` (column name lists) when known to
+    avoid a schema-probe execution of each input's lineage.
+    """
+    assert how in ("inner", "left_outer", "left_semi", "left_anti"), how
+    on = list(on)
+    right_on = list(right_on or on)
+    assert len(on) == len(right_on)
+
+    def _schema(ds, cols):
+        if cols is not None:
+            return list(cols), None
+        s = ds.schema()
+        return list(s.names), list(s.types)
+
+    lnames, ltypes = _schema(left, left_cols)
+    rnames, rtypes = _schema(right, right_cols)
+    # right value (non-key) columns, renamed on collision with ANY left col
+    rvals = [c for c in rnames if c not in right_on]
+    rv_out = [c + right_suffix if c in lnames else c for c in rvals]
+    keep_right = how in ("inner", "left_outer")
+    out_names = lnames + (rv_out if keep_right else [])
+
+    # unified wire schema: left cols + right value cols (+ _side, _jb);
+    # right keys travel IN the left key column slots
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # schema-less empty block from an upstream groupby
+            return pa.table({})
+        cols = {c: t[c] for c in lnames}
+        for c, oc in zip(rvals, rv_out):
+            cols[oc] = pa.nulls(len(t))
+        key_df = t.select(on).to_pandas()
+        cols[_JB] = pa.array(_key_bucket(key_df, num_buckets), pa.int32())
+        cols[_SIDE] = pa.array(np.zeros(len(t), dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({})
+        cols = {}
+        for lk, rk in zip(on, right_on):
+            cols[lk] = t[rk]
+        for c in lnames:
+            if c not in on:
+                cols[c] = pa.nulls(len(t))
+        for c, oc in zip(rvals, rv_out):
+            cols[oc] = t[c]
+        key_df = t.select(right_on).to_pandas()
+        cols[_JB] = pa.array(_key_bucket(key_df, num_buckets), pa.int32())
+        cols[_SIDE] = pa.array(np.ones(len(t), dtype=np.int8), pa.int8())
+        # order must match pad_left for the union
+        return pa.table({c: cols[c] for c in lnames + rv_out + [_JB, _SIDE]})
+
+    def merge(g: pa.Table) -> pd.DataFrame:
+        # split sides BEFORE pandas conversion: within its own rows every
+        # column is null-free, so int64 keys stay int64 (a joint conversion
+        # would see the other side's padding nulls and promote to float64,
+        # silently breaking the next join's key hash)
+        import pyarrow.compute as pc
+
+        side = g[_SIDE]
+        Lv = g.filter(pc.equal(side, 0)).select(lnames).to_pandas()
+        R = g.filter(pc.equal(side, 1))
+        if how == "inner" or how == "left_outer":
+            Rv = R.select(on + rv_out).to_pandas()
+            out = Lv.merge(
+                Rv, on=on, how="inner" if how == "inner" else "left",
+                suffixes=(None, None),
+            )
+            return out[out_names]
+        # semi/anti: dedupe right keys, probe membership
+        rk = R.select(on).to_pandas().drop_duplicates()
+        m = Lv.merge(rk, on=on, how="left", indicator=True)["_merge"]
+        mask = (m == "both").to_numpy()
+        if how == "left_anti":
+            mask = ~mask
+        return Lv[mask]
+
+    lt = left.map_batches(pad_left, batch_format="pyarrow")
+    rt = right.map_batches(pad_right, batch_format="pyarrow")
+    return (
+        lt.union(rt)
+        .groupby(_JB)
+        .map_groups(merge, batch_format="pyarrow")
+    )

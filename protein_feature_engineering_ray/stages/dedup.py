@@ -29,6 +29,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from protein_feature_engineering_ray.core.joins import bucket_join
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -39,23 +41,32 @@ def exact_dedup(
     key_cols: list[str],
     order_col: str | None = None,
     num_buckets: int = 64,
+    _hash_fn=None,
 ) -> ray.data.Dataset:
     """Keep one row per distinct ``key_cols`` tuple (the first under
     ``order_col``, or an arbitrary-but-deterministic min).
 
-    hash(key) partition -> per-group head(1): one shuffle, no global sort.
+    hash(key) partition -> per-group first per ACTUAL key tuple: one shuffle,
+    no global sort.  The 64-bit hash is used ONLY to route rows — rows with
+    equal keys always share a hash so they land in one bucket — while the
+    keep/drop decision compares the real key columns, so a 64-bit collision
+    between distinct keys (expected ~1e4 times at 1e12 rows) never drops a
+    legitimate row.
     """
 
+    # _hash_fn is test-only: inject a degenerate hash to force collisions
+    hash_fn = _hash_fn or (
+        lambda df: pd.util.hash_pandas_object(df, index=False).to_numpy()
+    )
+
     def add_key(t: pa.Table) -> pa.Table:
-        key = pd.util.hash_pandas_object(
-            t.select(key_cols).to_pandas(), index=False
-        ).to_numpy()
+        key = np.asarray(hash_fn(t.select(key_cols).to_pandas()), dtype=np.uint64)
         return t.append_column("_dkey", pa.array(key, pa.uint64()))
 
     def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
-        sort_cols = ["_dkey"] + ([order_col] if order_col else [])
+        sort_cols = list(key_cols) + ([order_col] if order_col else [])
         g = g.sort_values(sort_cols, kind="mergesort")
-        out = g.groupby("_dkey", sort=False).head(1)
+        out = g.drop_duplicates(subset=key_cols, keep="first")
         return out.drop(columns=["_dkey", "_bucket"])
 
     withkey = ds.map_batches(add_key, batch_format="pyarrow")
@@ -128,22 +139,50 @@ def minhash_signatures(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def minhash_lsh_candidates(
-    sigs: ray.data.Dataset,
-    id_col: str = "doc_id",
-    bands: int = 16,
-    rows_per_band: int = 4,
+def _sig_matrix(col, n: int) -> np.ndarray:
+    """Signature column -> (n, num_perm) uint64; accepts FixedSizeList,
+    Ray's tensor extension (post-pandas round-trips), or packed binary
+    (the join-transport encoding — Acero joins reject list payloads)."""
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        vals = col.to_numpy(zero_copy_only=False)
+        return np.stack([np.frombuffer(v, dtype=np.uint64) for v in vals])
+    raw = col.to_numpy(zero_copy_only=False)
+    return np.stack(list(raw)).astype(np.uint64).reshape(n, -1)
+
+
+def pack_signatures(
+    sigs: ray.data.Dataset, id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """Explode signatures to (band, band_hash) rows; groupby emits candidate
-    groups (>=2 docs sharing a band hash).  Output: band, band_hash, doc_ids
-    (list).  The groupby on the banded key is the only shuffle."""
+    """(id, minhash list) -> (id, minhash binary): the join-transport form."""
+
+    def pack(t: pa.Table) -> pa.Table:
+        m = _sig_matrix(t["minhash"], len(t))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "minhash": pa.array([row.tobytes() for row in m], pa.binary()),
+            }
+        )
+
+    return sigs.map_batches(pack, batch_format="pyarrow")
+
+
+def _banded_rows(
+    sigs: ray.data.Dataset,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    coarse_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Explode signatures to (id, band, band_hash, _bucket) rows.  The
+    coarse ``_bucket`` (band_hash % coarse_buckets) is what Ray shuffles on —
+    a few fat groups, with exact per-(band, band_hash) grouping done
+    vectorized in pandas inside each bucket (NOT one Ray group per tiny LSH
+    key: that costs ~10ms scheduler overhead per key)."""
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        # column may be FixedSizeList or (after a pandas round-trip) Ray's
-        # tensor extension type; both yield row-arrays via to_numpy
-        raw = t["minhash"].to_numpy(zero_copy_only=False)
-        sig = np.stack(list(raw)).astype(np.uint64).reshape(len(ids), -1)
+        sig = _sig_matrix(t["minhash"], len(ids))
         out_ids, out_band, out_hash = [], [], []
         for bi in range(bands):
             chunk = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
@@ -162,15 +201,26 @@ def minhash_lsh_candidates(
         )
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        # coarse-bucket the (band, band_hash) key space so Ray shuffles into
-        # a few fat groups, and the per-key grouping happens vectorized in
-        # pandas inside each bucket (NOT one Ray group per tiny LSH key —
-        # that is ~10ms of scheduler overhead per key)
         b = (
             t["band_hash"].to_numpy(zero_copy_only=False)
-            % np.uint64(64)
+            % np.uint64(coarse_buckets)
         ).astype(np.uint32)
         return t.append_column("_bucket", pa.array(b, pa.uint32()))
+
+    return sigs.map_batches(explode, batch_format="pyarrow").map_batches(
+        add_bucket, batch_format="pyarrow"
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> ray.data.Dataset:
+    """Candidate GROUPS (>=2 docs sharing a band hash) from banded LSH.
+    Output: band, band_hash, doc_ids (list).  One shuffle (the coarse-bucket
+    groupby in ``_banded_rows``)."""
 
     def collect(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
@@ -191,11 +241,171 @@ def minhash_lsh_candidates(
         return out
 
     return (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
+        _banded_rows(sigs, id_col, bands, rows_per_band)
         .groupby("_bucket")
         .map_groups(collect, batch_format="pandas")
     )
+
+
+def minhash_candidate_pairs(
+    sigs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> ray.data.Dataset:
+    """Distinct star-edge candidate pairs ``(id_a < id_b)`` from banded LSH:
+    within every (band, band_hash) group each member pairs with the group
+    min.  Stars are enough to CONNECT a group — the downstream connected-
+    components pass recovers full clusters — so candidate volume stays
+    O(group size), not O(group size^2)."""
+
+    base = _banded_rows(sigs, id_col, bands, rows_per_band)
+
+    def collect_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
+        g = g[sizes >= 2]
+        if len(g) == 0:
+            idt = g[id_col].dtype if id_col in g else np.int64
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=idt),
+                 "id_b": pd.Series([], dtype=idt)}
+            )
+        g = g.sort_values(["band", "band_hash", id_col], kind="mergesort")
+        first = g.groupby(["band", "band_hash"])[id_col].transform("first")
+        m = (g[id_col] != first).to_numpy()
+        out = pd.DataFrame(
+            {"id_a": first.to_numpy()[m], "id_b": g[id_col].to_numpy()[m]}
+        )
+        # dedupe within the bucket; the cross-bucket dedupe is the groupby
+        # below (the same pair can fire in several bands -> several buckets)
+        return out.drop_duplicates()
+
+    # NOTE: the same pair can fire in several bands -> several buckets, so a
+    # few duplicate pairs survive (within-bucket dedupe only).  Downstream
+    # verification + components are insensitive to duplicate edges, and
+    # skipping the global (id_a, id_b) dedupe saves one full shuffle.
+    return (
+        base.groupby("_bucket").map_groups(collect_pairs, batch_format="pandas")
+    )
+
+
+def verify_pairs(
+    pairs: ray.data.Dataset,
+    packed_sigs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed pair verification: join both endpoints' (binary-packed)
+    signatures onto the pair list, score signature Jaccard (fraction of equal
+    minhash perms) per pair vectorized, keep >= threshold.  No driver-side
+    signature table.  (bucket_join, not Dataset.join: Acero rejects the
+    binary payloads' sibling list types and empty hash partitions — see
+    core/joins.py.)"""
+    j = bucket_join(
+        pairs, packed_sigs, on=["id_a"], right_on=[id_col], how="inner",
+        num_buckets=num_buckets, left_cols=["id_a", "id_b"],
+        right_cols=[id_col, "minhash"],
+    )
+    j = bucket_join(
+        j, packed_sigs, on=["id_b"], right_on=[id_col], how="inner",
+        num_buckets=num_buckets, right_suffix="_b",
+        left_cols=["id_a", "id_b", "minhash"], right_cols=[id_col, "minhash"],
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"id_a": t["id_a"], "id_b": t["id_b"],
+                 "sig_jaccard": pa.array([], pa.float64())}
+            )
+        A = _sig_matrix(t["minhash"], len(t))
+        B = _sig_matrix(t["minhash_b"], len(t))
+        sim = (A == B).mean(axis=1)
+        keep = sim >= threshold
+        return pa.table(
+            {
+                "id_a": t["id_a"].filter(pa.array(keep)),
+                "id_b": t["id_b"].filter(pa.array(keep)),
+                "sig_jaccard": pa.array(sim[keep], pa.float64()),
+            }
+        )
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    num_buckets: int = 64,
+    max_iters: int = 25,
+) -> ray.data.Dataset:
+    """Min-label propagation over an undirected edge list (id_a, id_b) ->
+    (node, label) with label = the component's minimum id.  Each iteration is
+    one join + one groupby over the EDGE set (O(dup pairs), never O(corpus));
+    converges in O(component diameter) rounds — near-dup clusters from star
+    edges have tiny diameters.  Labels are materialized per round so the
+    lineage does not grow with the iteration count."""
+
+    def fwd(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["id_a"], "dst": t["id_b"]})
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["id_b"], "dst": t["id_a"]})
+
+    und = (
+        edges.map_batches(fwd, batch_format="pyarrow")
+        .union(edges.map_batches(rev, batch_format="pyarrow"))
+        .materialize()
+    )
+
+    def init(t: pa.Table) -> pa.Table:
+        lab = pc.if_else(
+            pc.less(t["min(dst)"], t["src"]), t["min(dst)"], t["src"]
+        )
+        return pa.table({"node": t["src"], "label": lab})
+
+    labels = (
+        und.groupby("src").min("dst")
+        .map_batches(init, batch_format="pyarrow")
+        .materialize()
+    )
+    for _ in range(max_iters):
+        msgs = bucket_join(
+            und, labels, on=["src"], right_on=["node"], how="inner",
+            num_buckets=num_buckets, left_cols=["src", "dst"],
+            right_cols=["node", "label"],
+        )
+        inc = msgs.groupby("dst").min("label")
+        new = bucket_join(
+            labels, inc, on=["node"], right_on=["dst"], how="left_outer",
+            num_buckets=num_buckets, left_cols=["node", "label"],
+            right_cols=["dst", "min(label)"],
+        )
+
+        def upd(t: pa.Table) -> pa.Table:
+            old = t["label"]
+            # the left_outer pandas merge can surface unmatched int labels as
+            # float64 (NaN padding); compare in the promoted type, then cast
+            # back to the label's own type (ids are exact well past 2^52)
+            m = t["min(label)"]
+            lab = pc.if_else(
+                pc.is_null(m), old, pc.if_else(pc.less(m, old), m, old)
+            )
+            lab = pc.cast(lab, old.type)
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "label": lab,
+                    "_chg": pc.cast(pc.less(lab, old), pa.int64()),
+                }
+            )
+
+        stepped = new.map_batches(upd, batch_format="pyarrow").materialize()
+        changed = stepped.sum("_chg")
+        labels = stepped.drop_columns(["_chg"])
+        if not changed:
+            break
+    return labels
 
 
 def minhash_dedup(
@@ -206,44 +416,75 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    num_buckets: int = 64,
+    cc_local_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
-    """Full near-dup pipeline: signature -> LSH candidates -> per-group keep
-    min id, drop the rest.  Returns the deduplicated original rows.
+    """Full near-dup pipeline: signature -> banded LSH star-edge candidates
+    -> join-verified signature Jaccard -> connected components -> keep the
+    min id per component, drop the rest.
 
-    Candidate-pair verification uses signature Jaccard (fraction of equal
-    minhashes) >= threshold; union of drops is collected driver-side (the
-    candidate set is tiny relative to the corpus — log if it is not)."""
+    Scale design: the signature table and candidate pairs NEVER land on the
+    driver — signatures are join-verified distributively (``verify_pairs``)
+    and every intermediate is O(candidate pairs), which banding keeps
+    near-linear in the true dup count.  Components run over the VERIFIED
+    edge list (O(dup pairs), strictly smaller): union-find driver-side while
+    it is provably small (``edges.count() <= cc_local_threshold``, a few MB
+    — drops then broadcast once via ``ray.put``), distributed min-label
+    propagation + anti-join beyond that (a dup-heavy 100 TB corpus)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(ds, id_col, text_col, num_perm, shingle_k)
-    sig_mat = sigs.to_pandas()  # id -> signature lookup (small: ids+sigs only)
-    lut = {
-        r[id_col]: np.asarray(r["minhash"], dtype=np.uint64)
-        for _, r in sig_mat.iterrows()
-    }
-    cands = minhash_lsh_candidates(
-        ray.data.from_pandas(sig_mat), id_col, bands, rows_per_band
-    ).to_pandas()
-    drop: set = set()
-    if "doc_ids" not in cands.columns:  # no candidate groups at all
-        cands = pd.DataFrame({"doc_ids": []})
-    for ids in cands["doc_ids"]:
-        ids = sorted(ids)
-        keep = ids[0]
-        for other in ids[1:]:
-            if other in drop:
-                continue
-            sim = float((lut[keep] == lut[other]).mean())
-            if sim >= threshold:
-                drop.add(other)
-    drop_ref = ray.put(drop)
+    packed = pack_signatures(
+        minhash_signatures(ds, id_col, text_col, num_perm, shingle_k), id_col
+    ).materialize()  # reused by candidates AND both verify joins
+    pairs = minhash_candidate_pairs(packed, id_col, bands, rows_per_band)
+    edges = verify_pairs(
+        pairs, packed, id_col, threshold, num_buckets
+    ).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ds
 
-    def filter_fn(t: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        mask = np.asarray([i not in d for i in ids])
-        return t.filter(pa.array(mask))
+    if n_edges <= cc_local_threshold:
+        # bounded local path: the edge list (not signatures, not candidates)
+        # is small; classic union-find, then one broadcast filter
+        epdf = edges.select_columns(["id_a", "id_b"]).to_pandas()
+        parent: dict = {}
 
-    return ds.map_batches(filter_fn, batch_format="pyarrow")
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(epdf["id_a"], epdf["id_b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id so the kept representative is the min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        drop_set = {x for x in parent if find(x) != x}
+        drop_ref = ray.put(drop_set)
+
+        def filter_fn(t: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            mask = np.asarray([i not in d for i in ids], dtype=bool)
+            return t.filter(pa.array(mask))
+
+        return ds.map_batches(filter_fn, batch_format="pyarrow")
+
+    labels = connected_components(edges, num_buckets)
+
+    def drops_only(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["node"], t["label"])
+        return pa.table({"_drop_id": t["node"].filter(keep)})
+
+    drops = labels.map_batches(drops_only, batch_format="pyarrow")
+    return bucket_join(
+        ds, drops, on=[id_col], right_on=["_drop_id"], how="left_anti",
+        num_buckets=num_buckets, right_cols=["_drop_id"],
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,127 @@
+"""Tests for the coarse-bucket join (core/joins.py), connected components,
+and the distributed dedup paths built on them."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from protein_feature_engineering_ray.core.joins import bucket_join
+
+
+def _pdf(d):
+    return pd.DataFrame(d)
+
+
+def test_bucket_join_inner_and_outer():
+    left = ray.data.from_pandas(
+        _pdf({"k": [1, 2, 3, 4], "x": [10, 20, 30, 40]})
+    )
+    right = ray.data.from_pandas(_pdf({"id": [2, 4, 4, 5], "y": [9, 8, 7, 6]}))
+    inner = (
+        bucket_join(left, right, on=["k"], right_on=["id"], how="inner",
+                    num_buckets=4)
+        .to_pandas().sort_values(["k", "y"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        inner, _pdf({"k": [2, 4, 4], "x": [20, 40, 40], "y": [9, 7, 8]})
+    )
+    outer = (
+        bucket_join(left, right, on=["k"], right_on=["id"], how="left_outer",
+                    num_buckets=4)
+        .to_pandas().sort_values(["k", "y"]).reset_index(drop=True)
+    )
+    assert len(outer) == 5  # 1 and 3 survive unmatched
+    assert outer[outer["k"] == 1]["y"].isna().all()
+
+
+def test_bucket_join_semi_anti_and_collision_suffix():
+    left = ray.data.from_pandas(_pdf({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}))
+    right = ray.data.from_pandas(_pdf({"k": [2, 2, 9], "v": [99.0, 98.0, 0.0]}))
+    semi = bucket_join(left, right, on=["k"], how="left_semi",
+                       num_buckets=3).to_pandas()
+    assert sorted(semi["k"]) == [2] and list(semi.columns) == ["k", "v"]
+    anti = bucket_join(left, right, on=["k"], how="left_anti",
+                       num_buckets=3).to_pandas()
+    assert sorted(anti["k"]) == [1, 3]
+    inner = bucket_join(left, right, on=["k"], how="inner",
+                        num_buckets=3).to_pandas()
+    assert sorted(inner.columns) == ["k", "v", "v_r"]
+    assert len(inner) == 2  # one left row x two right matches
+
+
+def test_bucket_join_int_keys_stay_int_through_chained_joins():
+    # regression: pandas-side conversion of a group containing the other
+    # side's padding nulls promoted int64 keys to float64, silently emptying
+    # the next join
+    a = ray.data.from_pandas(_pdf({"id_a": [1, 2], "id_b": [10, 20]}))
+    sig = ray.data.from_pandas(_pdf({"doc": [1, 2, 10, 20],
+                                     "payload": [b"a", b"b", b"c", b"d"]}))
+    j = bucket_join(a, sig, on=["id_a"], right_on=["doc"], how="inner",
+                    num_buckets=4, left_cols=["id_a", "id_b"],
+                    right_cols=["doc", "payload"])
+    j = bucket_join(j, sig, on=["id_b"], right_on=["doc"], how="inner",
+                    num_buckets=4, right_suffix="_b",
+                    left_cols=["id_a", "id_b", "payload"],
+                    right_cols=["doc", "payload"])
+    out = j.to_pandas().sort_values("id_a")
+    assert list(out["id_a"]) == [1, 2]
+    assert list(out["payload"]) == [b"a", b"b"]
+    assert list(out["payload_b"]) == [b"c", b"d"]
+
+
+def test_connected_components_chain_and_islands():
+    from protein_feature_engineering_ray.stages.dedup import connected_components
+
+    # chain 1-2-3-4 (via star edges from overlapping groups), island 7-8,
+    # singleton edges absent for 99
+    edges = ray.data.from_pandas(
+        _pdf({"id_a": [1, 2, 3, 7], "id_b": [2, 3, 4, 8]})
+    )
+    lab = connected_components(edges, num_buckets=4).to_pandas()
+    got = dict(zip(lab["node"], lab["label"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_exact_dedup_hash_collision_soundness():
+    from protein_feature_engineering_ray.stages.dedup import exact_dedup
+
+    pdf = _pdf({"key": [f"k{i}" for i in range(20)], "val": range(20)})
+    # degenerate hash: EVERY distinct key collides into one _dkey
+    out = exact_dedup(
+        ray.data.from_pandas(pdf), key_cols=["key"], num_buckets=4,
+        _hash_fn=lambda df: np.zeros(len(df), dtype=np.uint64),
+    ).to_pandas()
+    assert sorted(out["key"]) == sorted(pdf["key"]), (
+        "distinct keys sharing a hash were dropped"
+    )
+
+
+def test_minhash_dedup_dup_heavy_corpus():
+    """>30% duplicates, overlapping clusters; fully distributed path."""
+    from protein_feature_engineering_ray.stages.dedup import minhash_dedup
+
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in range(300)]
+    base = [" ".join(rng.choice(words, size=50)) for _ in range(30)]
+    texts = list(base)
+    expect_dropped = set()
+    # 3 near-copies of each of the first 10 docs -> 30 dups over 60 docs
+    for i in range(10):
+        for j in range(3):
+            src = base[i].split()
+            src[5 + j] = f"MUT{j}"
+            texts.append(" ".join(src))
+            expect_dropped.add(len(texts) - 1)
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    # cc_local_threshold=0 forces the fully-distributed components + anti-join
+    # path (the 100 TB route); the default bounded-local path is covered by
+    # test_minhash_dedup_finds_planted_neardups
+    out = minhash_dedup(
+        ray.data.from_pandas(df), threshold=0.5, num_buckets=8,
+        cc_local_threshold=0,
+    ).to_pandas()
+    kept = set(out["doc_id"])
+    assert kept.isdisjoint(expect_dropped)
+    # every original survives (originals are mutually dissimilar)
+    assert set(range(30)) <= kept
+    assert len(out) == 30
