@@ -24,42 +24,99 @@ _STOPWORDS = {
 }
 
 
+def _tokens_flat(texts: pa.ChunkedArray | pa.Array, pattern: str):
+    """Split every text by ``pattern``; return (flat tokens, row offsets).
+
+    One Arrow kernel call for the whole batch — the flat token array plus
+    int offsets is the segment-vectorized layout every downstream stat
+    (counts, lengths, memberships) reduces over with numpy, no Python row
+    loop."""
+    toks = pc.split_pattern_regex(texts, pattern)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return toks.flatten(), toks.offsets.to_numpy(zero_copy_only=False)
+
+
+def _set_column(t: pa.Table, name: str, arr: pa.Array) -> pa.Table:
+    """Overwrite-or-append (matches the pandas assignment the actors had)."""
+    if name in t.schema.names:
+        return t.set_column(t.schema.get_field_index(name), name, arr)
+    return t.append_column(name, arr)
+
+
+def _segment_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum ``values`` within each [offsets[i], offsets[i+1]) segment."""
+    c = np.concatenate([[0], np.cumsum(values, dtype=np.float64)])
+    return c[offsets[1:]] - c[offsets[:-1]]
+
+
+def _distinct_per_row(h: np.ndarray, rid: np.ndarray, n_rows: int) -> np.ndarray:
+    """Count distinct hash values per row id (sort + transition count)."""
+    if len(h) == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    order = np.lexsort((h, rid))
+    hs, rs = h[order], rid[order]
+    new = np.empty(len(hs), dtype=bool)
+    new[0] = True
+    new[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+    return np.bincount(rs[new], minlength=n_rows)
+
+
 class TextQuality:
     """Quality-scoring actor: token counts, char classes, stopword ratio,
-    repetition.  Compiles patterns once per actor (actor-pool stage)."""
+    repetition.  Fully vectorized: Arrow regex kernels produce a flat token
+    array + offsets per batch; every stat is a numpy segment reduction.
+    Stopword hash set built once per actor."""
+
+    WORD_SPLIT = r"[^A-Za-z0-9_']+"  # complement of the word class
 
     def __init__(self):
-        import re
+        self.stop_en_h = pd.util.hash_array(
+            np.asarray(sorted(_STOPWORDS["en"]), dtype=object)
+        ).astype(np.uint64)
 
-        self.word_re = re.compile(r"[A-Za-z0-9_']+")
-        self.punct_re = re.compile(r"[.,;:!?]")
-        self.stop_en = _STOPWORDS["en"]
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].fillna("")
-        words = texts.map(self.word_re.findall)
-        n_words = words.map(len)
-        batch["n_chars"] = texts.str.len().astype("int64")
-        batch["n_words"] = n_words.astype("int64")
-        batch["avg_word_len"] = words.map(
-            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"], "")
+        n = len(t)
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        flat, offsets = _tokens_flat(texts, self.WORD_SPLIT)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        nonempty = tok_len > 0  # split artifacts at string boundaries
+        n_words = _segment_sum(nonempty, offsets).astype(np.int64)
+        sum_len = _segment_sum(tok_len, offsets)  # empties add 0
+        denom_w = np.maximum(n_words, 1)
+        n_punct = pc.count_substring_regex(texts, r"[.,;:!?]").to_numpy(
+            zero_copy_only=False
         )
-        batch["punct_ratio"] = texts.map(
-            lambda t: len(self.punct_re.findall(t))
-        ) / np.maximum(batch["n_chars"], 1)
-        batch["stopword_ratio"] = words.map(
-            lambda ws: sum(1 for w in ws if w.lower() in self.stop_en)
-        ) / np.maximum(n_words, 1)
-        batch["uniq_word_ratio"] = words.map(
-            lambda ws: len({w.lower() for w in ws})
-        ) / np.maximum(n_words, 1)
-        return batch
+        lower_h = pd.util.hash_array(
+            np.asarray(
+                pc.utf8_lower(flat).to_numpy(zero_copy_only=False),
+                dtype=object,
+            )
+        ).astype(np.uint64)
+        is_stop = np.isin(lower_h, self.stop_en_h) & nonempty
+        n_stop = _segment_sum(is_stop, offsets)
+        rid = np.repeat(np.arange(n), np.diff(offsets))
+        n_uniq = _distinct_per_row(lower_h[nonempty], rid[nonempty], n)
+        out = t
+        for name, arr in (
+            ("n_chars", pa.array(n_chars.astype(np.int64), pa.int64())),
+            ("n_words", pa.array(n_words, pa.int64())),
+            ("avg_word_len", pa.array(sum_len / denom_w, pa.float64())),
+            ("punct_ratio",
+             pa.array(n_punct / np.maximum(n_chars, 1), pa.float64())),
+            ("stopword_ratio", pa.array(n_stop / denom_w, pa.float64())),
+            ("uniq_word_ratio",
+             pa.array(n_uniq / denom_w, pa.float64())),
+        ):
+            out = _set_column(out, name, arr)
+        return out
 
 
 def text_quality(ds: ray.data.Dataset, concurrency: int = 4,
                  batch_size: int = 4096) -> ray.data.Dataset:
     return ds.map_batches(
-        TextQuality, batch_format="pandas", concurrency=concurrency,
+        TextQuality, batch_format="pyarrow", concurrency=concurrency,
         batch_size=batch_size,
     )
 
@@ -77,32 +134,66 @@ def token_count(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
 
 
 class LangId:
-    """Language-ID actor: character-n-gram + stopword heuristic over the 4
-    profiled languages; 'zh' by CJK codepoint share; 'und' when no signal."""
+    """Language-ID actor: stopword-overlap heuristic over the 4 profiled
+    languages ('zh' by CJK codepoint share, 'und' when no signal).
+    Vectorized: one CJK regex count per batch, whitespace tokens flattened
+    once, per-language DISTINCT-stopword overlap via hash membership +
+    segment reduction.  Profile hash sets built once per actor."""
+
+    LANGS = tuple(_STOPWORDS)  # tie-break order matches dict iteration
 
     def __init__(self):
-        self.profiles = {k: v for k, v in _STOPWORDS.items()}
+        self.prof_h = [
+            np.unique(
+                pd.util.hash_array(
+                    np.asarray(sorted(_STOPWORDS[lang]), dtype=object)
+                ).astype(np.uint64)
+            )
+            for lang in self.LANGS
+        ]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def ident(t: str) -> str:
-            if not t:
-                return "und"
-            cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
-            if cjk / max(len(t), 1) > 0.05:
-                return "zh"
-            words = set(t.lower().split())
-            scores = {
-                lang: len(words & prof) for lang, prof in self.profiles.items()
-            }
-            best = max(scores, key=scores.get)
-            return best if scores[best] > 0 else "und"
-
-        batch["lang_pred"] = batch["text"].fillna("").map(ident)
-        return batch
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"], "")
+        n = len(t)
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        cjk = pc.count_substring_regex(texts, r"[一-鿿]").to_numpy(
+            zero_copy_only=False
+        )
+        flat, offsets = _tokens_flat(pc.utf8_lower(texts), r"\s+")
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        nonempty = tok_len > 0
+        h = pd.util.hash_array(
+            np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        ).astype(np.uint64)
+        rid = np.repeat(np.arange(n), np.diff(offsets))
+        # distinct (row, word) pairs once; then per-language membership sums
+        hh, rr = h[nonempty], rid[nonempty]
+        if len(hh):
+            order = np.lexsort((hh, rr))
+            hs, rs = hh[order], rr[order]
+            first = np.empty(len(hs), dtype=bool)
+            first[0] = True
+            first[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+            hs, rs = hs[first], rs[first]
+        else:
+            hs = np.empty(0, dtype=np.uint64)
+            rs = np.empty(0, dtype=np.int64)
+        scores = np.zeros((n, len(self.LANGS)), dtype=np.int64)
+        for li, ph in enumerate(self.prof_h):
+            m = np.isin(hs, ph)
+            if m.any():
+                scores[:, li] = np.bincount(rs[m], minlength=n)
+        best = scores.argmax(axis=1)  # first max wins = dict-order tie-break
+        pred = np.asarray(self.LANGS, dtype=object)[best]
+        pred[scores.max(axis=1) == 0] = "und"
+        pred[cjk / np.maximum(n_chars, 1) > 0.05] = "zh"
+        pred[n_chars == 0] = "und"
+        return _set_column(t, "lang_pred", pa.array(pred, pa.string()))
 
 
 def lang_id(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=concurrency)
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=concurrency)
 
 
 def fingerprint(ds: ray.data.Dataset, text_col: str = "text",

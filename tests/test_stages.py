@@ -198,3 +198,76 @@ def test_minmax(corpus):
     x = mm["latency_sec"].to_numpy()
     assert np.nanmin(x) >= 0 and np.nanmax(x) <= 1
     assert not np.isnan(x).any()  # NaNs replaced by scaled mean
+
+
+def test_text_quality_and_langid_match_row_reference():
+    """Vectorized Arrow/numpy text stages must equal a per-row Python
+    reference on boundary cases (empty, null, CJK, unicode, repeated words,
+    leading/trailing separators)."""
+    import re
+
+    from protein_feature_engineering_ray.stages.text import (
+        _STOPWORDS,
+        lang_id,
+        text_quality,
+    )
+
+    texts = [
+        "the quick brown fox, the lazy dog!",
+        "",
+        None,
+        "   spaced   out   the the THE   ",
+        "der die das und ist ein zu den",
+        "这是一个中文句子 with some english words mixed in",
+        "it's a test_case with 'quotes' and numbers 123",
+        "no-stop-words here just hyphens...",
+        "¿dónde está el baño? el el la la",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        lang_id(text_quality(ray.data.from_pandas(df), concurrency=2),
+                concurrency=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    word_re = re.compile(r"[A-Za-z0-9_']+")
+    punct_re = re.compile(r"[.,;:!?]")
+    stop_en = _STOPWORDS["en"]
+    for i, t in enumerate(texts):
+        t = t or ""
+        ws = word_re.findall(t)
+        nw = len(ws)
+        assert out.loc[i, "n_chars"] == len(t)
+        assert out.loc[i, "n_words"] == nw
+        np.testing.assert_allclose(
+            out.loc[i, "avg_word_len"],
+            float(np.mean([len(w) for w in ws])) if ws else 0.0,
+        )
+        np.testing.assert_allclose(
+            out.loc[i, "punct_ratio"],
+            len(punct_re.findall(t)) / max(len(t), 1),
+        )
+        np.testing.assert_allclose(
+            out.loc[i, "stopword_ratio"],
+            sum(1 for w in ws if w.lower() in stop_en) / max(nw, 1),
+        )
+        np.testing.assert_allclose(
+            out.loc[i, "uniq_word_ratio"],
+            len({w.lower() for w in ws}) / max(nw, 1),
+        )
+        # per-row language reference (the round-1 actor's exact rule)
+        if not t:
+            expect = "und"
+        else:
+            cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+            if cjk / max(len(t), 1) > 0.05:
+                expect = "zh"
+            else:
+                words = set(t.lower().split())
+                scores = {
+                    lang: len(words & prof)
+                    for lang, prof in _STOPWORDS.items()
+                }
+                best = max(scores, key=scores.get)
+                expect = best if scores[best] > 0 else "und"
+        assert out.loc[i, "lang_pred"] == expect, (i, t)
