@@ -708,7 +708,7 @@ def q_pca(sf):
     from protein_feature_engineering_ray.stages.reduce import pca_fit, pca_transform
 
     vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
-    model = pca_fit(vecs, vec_col="embedding", k=2)
+    model = pca_fit(vecs, vec_col="embedding", k=2, sample_by="vec_id")
     return pca_transform(vecs, model, vec_col="embedding").select_columns(
         ["vec_id", "pc0", "pc1"]
     )
@@ -718,7 +718,7 @@ def q_kmeans(sf):
     from protein_feature_engineering_ray.stages.reduce import kmeans_assign, kmeans_fit
 
     vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
-    C = kmeans_fit(vecs, vec_col="embedding", k=8)
+    C = kmeans_fit(vecs, vec_col="embedding", k=8, sample_by="vec_id")
     return kmeans_assign(vecs, C, vec_col="embedding").select_columns(
         ["vec_id", "cluster"]
     )

@@ -15,20 +15,51 @@ import ray
 import ray.data
 
 
-def _sample_matrix(ds, cols: list[str] | None, vec_col: str | None, limit: int):
-    df = ds.limit(limit).to_pandas()
+def bounded_sample(ds, limit: int, sample_by: str | None = None,
+                   seed: int = 17) -> "ray.data.Dataset":
+    """UNBIASED bounded fit sample — never ``limit()``, which takes the
+    first blocks and biases every fit on sorted/clustered input.
+
+    With ``sample_by``: content-hash thinning on that column — deterministic
+    AND invariant to input order/partitioning (the same rows are sampled no
+    matter how the corpus is laid out); expected size ~= limit (binomial,
+    uncapped so the invariance holds).  Without: seeded ``random_sample``
+    capped at ``limit``."""
+    n = ds.count()
+    if n <= limit:
+        return ds
+    if sample_by is not None:
+        keep_mod = int(np.ceil(n / limit))
+
+        def thin(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(
+                np.asarray(t[sample_by].to_numpy(zero_copy_only=False),
+                           dtype=object)
+            )
+            return t.filter(pa.array(h % np.uint64(keep_mod) == 0))
+
+        return ds.map_batches(thin, batch_format="pyarrow")
+    return ds.random_sample(min(1.0, 1.2 * limit / n), seed=seed).limit(limit)
+
+
+def _sample_matrix(ds, cols: list[str] | None, vec_col: str | None,
+                   limit: int, sample_by: str | None = None):
+    df = bounded_sample(ds, limit, sample_by).to_pandas()
     if vec_col is not None:
         X = np.stack(df[vec_col].to_numpy()).astype(np.float64)
     else:
         X = df[cols].to_numpy(dtype=np.float64)
-    return X
+    # canonical row order: downstream fits (argmax ties, rng picks) become
+    # independent of block arrival order
+    return X[np.lexsort(X.T[::-1])] if len(X) else X
 
 
 def pca_fit(ds, cols: list[str] | None = None, vec_col: str | None = None,
-            k: int = 2, sample_limit: int = 10000) -> dict:
+            k: int = 2, sample_limit: int = 10000,
+            sample_by: str | None = None) -> dict:
     """Driver-side PCA fit (numpy SVD on a bounded sample): returns the
     broadcastable model {mean, components}."""
-    X = _sample_matrix(ds, cols, vec_col, sample_limit)
+    X = _sample_matrix(ds, cols, vec_col, sample_limit, sample_by)
     mean = X.mean(axis=0)
     Xc = X - mean
     _u, _s, vt = np.linalg.svd(Xc, full_matrices=False)
@@ -63,14 +94,19 @@ def pca_transform(ds, model: dict, cols: list[str] | None = None,
 
 def kmeans_fit(ds, cols: list[str] | None = None, vec_col: str | None = None,
                k: int = 8, iters: int = 20, sample_limit: int = 10000,
-               seed: int = 17) -> np.ndarray:
+               seed: int = 17, sample_by: str | None = None) -> np.ndarray:
     """Driver-side Lloyd iterations on a bounded sample -> centroids."""
-    X = _sample_matrix(ds, cols, vec_col, sample_limit)
+    X = _sample_matrix(ds, cols, vec_col, sample_limit, sample_by)
     # deterministic farthest-point init (robust to the local optima random
-    # init hits on well-separated clusters)
+    # init hits on well-separated clusters); anchor on the sample's
+    # lexicographically-extreme point so the init does not depend on row
+    # order within the sample
     k_eff = min(k, len(X))
-    idx = [0]
-    d2 = ((X - X[0]) ** 2).sum(axis=1)
+    if len(X) == 0:
+        return np.empty((0, 0))
+    start = int(np.lexsort(X.T[::-1])[0])
+    idx = [start]
+    d2 = ((X - X[start]) ** 2).sum(axis=1)
     for _ in range(1, k_eff):
         nxt = int(d2.argmax())
         idx.append(nxt)

@@ -49,10 +49,13 @@ def knn_brute(
     """Exact top-k cosine neighbors of each query over the corpus Dataset.
 
     Streaming: per corpus batch, matmul against the broadcast query matrix,
-    keep a per-query running top-k (merged driver-side per batch partials —
-    the partials are (n_queries × k), tiny)."""
+    emit a (n_queries × k) partial; the driver folds each arriving partial
+    into ONE running (n_queries × k) top-k state via ``iter_batches`` — a
+    streaming reduce with O(nq·k) driver memory, never a concat of all
+    block partials."""
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(Q)
+    nq = len(Q)
 
     def partial(t: pa.Table) -> pa.Table:
         Qm = ray.get(q_ref)
@@ -70,21 +73,44 @@ def knn_brute(
             }
         )
 
-    parts = corpus.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # running per-query state: sims (nq, k) and ids (nq, k) object-padded
+    run_sim = np.full((nq, 0), -np.inf)
+    run_nbr = np.empty((nq, 0), dtype=object)
+    parts = corpus.map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pandas", batch_size=None):
+        if len(b) == 0:
+            continue
+        # fold this partial into the running top-k (vectorized per query)
+        width = int(b.groupby("q").size().max())
+        sim_b = np.full((nq, width), -np.inf)
+        nbr_b = np.empty((nq, width), dtype=object)
+        qi = b["q"].to_numpy()
+        pos = b.groupby("q").cumcount().to_numpy()
+        sim_b[qi, pos] = b["sim"].to_numpy()
+        nbr_b[qi, pos] = b["nbr"].to_numpy()
+        run_sim = np.concatenate([run_sim, sim_b], axis=1)
+        run_nbr = np.concatenate([run_nbr, nbr_b], axis=1)
+        if run_sim.shape[1] > k:
+            sel = np.argpartition(-run_sim, k - 1, axis=1)[:, :k]
+            run_sim = np.take_along_axis(run_sim, sel, axis=1)
+            run_nbr = np.take_along_axis(run_nbr, sel, axis=1)
+
     out = []
-    for qi, g in parts.groupby("q"):
-        g = g.nlargest(k, "sim")
+    for qi in range(nq):
+        valid = np.isfinite(run_sim[qi])
+        order = np.argsort(-run_sim[qi][valid], kind="stable")[:k]
         out.append(
             pd.DataFrame(
                 {
                     "query_id": query_ids[qi],
-                    "rank": np.arange(len(g)),
-                    "nbr_id": g["nbr"].to_numpy(),
-                    "cosine": g["sim"].to_numpy(),
+                    "rank": np.arange(len(order)),
+                    "nbr_id": run_nbr[qi][valid][order],
+                    "cosine": run_sim[qi][valid][order],
                 }
             )
         )
-    return pd.concat(out, ignore_index=True)
+    # nbr ids rode in an object-padded matrix; restore their native dtype
+    return pd.concat(out, ignore_index=True).infer_objects()
 
 
 def knn_train_partition(
@@ -95,27 +121,50 @@ def knn_train_partition(
     k: int = 10,
     ks: list[int] | None = None,
     test_frac_mod: int = 5,
+    max_queries: int = 4096,
 ) -> pd.DataFrame:
     """_KNN discipline (feature.py:3832): rows with ``id % test_frac_mod == 0``
     are 'testing' queries; neighbors come ONLY from 'training' rows.  Emits
     per-query fraction of each label among the top-k training neighbors, for
     every k in ``ks`` (the reference sweeps 30 k values, feature.py:3811-3812;
-    one search at max(ks), prefixes reused)."""
+    one search at max(ks), prefixes reused).
+
+    Bounded memory: only up to ``max_queries`` query vectors are collected
+    (content-hash thinned when the test split is larger — deterministic and
+    input-order-invariant); neighbor labels are joined DISTRIBUTIVELY onto
+    the (nq × k) neighbor list via bucket_join, never a full driver-side
+    label table."""
+    from protein_feature_engineering_ray.core.joins import bucket_join
+
     def _split(t: pa.Table, want_test: bool) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         m = (ids % test_frac_mod == 0) == want_test
         return t.filter(pa.array(m))
 
     ks = sorted(ks or [k])
-    tdf = ds.map_batches(
-        lambda t: _split(t, True), batch_format="pyarrow"
-    ).to_pandas()
+    test = ds.map_batches(lambda t: _split(t, True), batch_format="pyarrow")
+    n_test = test.count()
+    if n_test > max_queries:
+        keep_mod = int(np.ceil(n_test / max_queries))
+
+        def thin(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(
+                np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                           dtype=object)
+            )
+            return t.filter(pa.array(h % keep_mod == 0))
+
+        test = test.map_batches(thin, batch_format="pyarrow")
+    tdf = test.select_columns([id_col, vec_col]).to_pandas()
     Q = np.stack(tdf[vec_col].to_numpy())
     train = ds.map_batches(lambda t: _split(t, False), batch_format="pyarrow")
     nbrs = knn_brute(train, Q, tdf[id_col].to_numpy(), k=ks[-1],
                      id_col=id_col, vec_col=vec_col)
-    lab = ds.select_columns([id_col, label_col]).to_pandas()
-    merged = nbrs.merge(lab, left_on="nbr_id", right_on=id_col)
+    merged = bucket_join(
+        ray.data.from_pandas(nbrs), ds.select_columns([id_col, label_col]),
+        on=["nbr_id"], right_on=[id_col], how="inner", num_buckets=32,
+        left_cols=list(nbrs.columns), right_cols=[id_col, label_col],
+    ).to_pandas()
     out = None
     for kk in ks:
         sub = merged[merged["rank"] < kk]
@@ -141,14 +190,20 @@ def ivf_knn(
     sample_limit: int = 4096,
     seed: int = 11,
 ) -> pd.DataFrame:
-    """IVF approximate top-k: coarse centroids from a driver-side sample
-    (Lloyd iterations on <= sample_limit rows), corpus rows searched only in
-    the ``n_probe`` centroid cells nearest each query."""
+    """IVF approximate top-k: coarse centroids from a bounded UNBIASED
+    sample (content-hash thinned on ``id_col`` — deterministic and
+    input-order-invariant, unlike ``limit()`` which sees only the first
+    blocks of a sorted corpus), corpus rows searched only in the
+    ``n_probe`` centroid cells nearest each query."""
+    from protein_feature_engineering_ray.stages.reduce import bounded_sample
+
     samp = _normalize(
         np.stack(
-            corpus.limit(sample_limit).to_pandas()[vec_col].to_numpy()
+            bounded_sample(corpus, sample_limit, sample_by=id_col)
+            .select_columns([vec_col]).to_pandas()[vec_col].to_numpy()
         ).astype(np.float64)
     )
+    samp = samp[np.lexsort(samp.T[::-1])]  # order-invariant rng picks
     rng = np.random.default_rng(seed)
     C = samp[rng.choice(len(samp), size=min(n_centroids, len(samp)), replace=False)]
     for _ in range(8):

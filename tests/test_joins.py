@@ -125,3 +125,44 @@ def test_minhash_dedup_dup_heavy_corpus():
     # every original survives (originals are mutually dissimilar)
     assert set(range(30)) <= kept
     assert len(out) == 30
+
+
+def test_fit_sampling_order_invariance():
+    """pca/kmeans/ivf fit samples are content-hash based: shuffling the
+    input row order must not change the fitted model or cluster census
+    (regression for the limit()-takes-first-blocks bias)."""
+    from protein_feature_engineering_ray.stages.reduce import (
+        kmeans_assign,
+        kmeans_fit,
+        pca_fit,
+    )
+
+    rng = np.random.default_rng(23)
+    # 3 well-separated clusters, ids interleaved so a prefix sample would
+    # see a biased mix
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    X = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(400, 2)) for c in centers]
+    )
+    ids = np.arange(len(X))
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    shuffled = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    # sorted-by-cluster order vs shuffled order
+    fits = []
+    for frame in (df, shuffled):
+        ds = ray.data.from_pandas(frame)
+        C = kmeans_fit(ds, vec_col="embedding", k=3, sample_limit=300,
+                       sample_by="vec_id")
+        counts = (
+            kmeans_assign(ds, C, vec_col="embedding")
+            .to_pandas().groupby("cluster").size().sort_index()
+        )
+        model = pca_fit(ds, vec_col="embedding", k=2, sample_limit=300,
+                        sample_by="vec_id")
+        fits.append((C, counts, model))
+    (C0, n0, m0), (C1, n1, m1) = fits
+    np.testing.assert_allclose(C0, C1)
+    pd.testing.assert_series_equal(n0, n1)
+    np.testing.assert_allclose(m0["mean"], m1["mean"])
+    np.testing.assert_allclose(m0["components"], m1["components"])
+    assert sorted(n0.to_numpy()) == [400, 400, 400]
