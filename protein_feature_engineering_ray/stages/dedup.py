@@ -541,63 +541,145 @@ def embedding_neardup(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 3,
+    reps: int = 4,
+    max_bucket: int = 4096,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Cosine near-duplicate pairs via random-hyperplane LSH buckets.
+    """Cosine near-duplicate pairs via BANDED random-hyperplane LSH.
 
-    Bucket = sign pattern of ``n_planes`` fixed random hyperplanes (docs with
-    cos >= threshold almost surely share it for small angles); exact cosine
-    verification inside each bucket (numpy matmul).  Output: (id_a, id_b,
-    cosine) pairs with id_a < id_b."""
+    ``reps`` independent ``n_planes``-bit sign codes per vector (planes drawn
+    ONCE here, captured by the batch fn — not regenerated per batch); a pair
+    is a candidate if it collides in ANY rep, so near-dups straddling one
+    hyperplane are recovered by another rep (recall ~ 1-(1-p^n)^reps vs the
+    single-code p^n).  Exact cosine verification inside each (rep, code)
+    cell, with an overflow guard: cells larger than ``max_bucket`` split
+    recursively on additional deterministic hyperplanes, so no cell ever
+    does more than O(max_bucket^2) work — a hot cell at corpus scale can no
+    longer trigger an all-pairs blowup (pairs crossing an overflow split may
+    be missed in that rep; other reps compensate).  Duplicate hits across
+    reps are reduced by a final (id_a, id_b) groupby.  Output: (id_a, id_b,
+    cosine), id_a < id_b."""
+    rngs = np.random.default_rng(seed)
+    plane_seeds = rngs.integers(0, 2**31, size=reps)
+
+    def _planes(rep_seed: int, dim: int, n: int) -> np.ndarray:
+        return np.random.default_rng(int(rep_seed)).normal(size=(dim, n))
+
+    planes_cache: dict = {}
 
     def bucket(t: pa.Table) -> pa.Table:
         vecs = np.asarray(
             t[vec_col].combine_chunks().flatten()
         ).reshape(len(t), -1).astype(np.float64)
-        rng = np.random.default_rng(seed)
-        planes = rng.normal(size=(vecs.shape[1], n_planes))
-        signs = (vecs @ planes) > 0
-        key = np.zeros(len(vecs), dtype=np.uint32)
-        for j in range(n_planes):
-            key |= signs[:, j].astype(np.uint32) << np.uint32(j)
+        dim = vecs.shape[1]
+        ids_out, vec_idx, rep_out, code_out = [], [], [], []
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        for rep in range(reps):
+            key = (rep, dim)
+            if key not in planes_cache:
+                planes_cache[key] = _planes(plane_seeds[rep], dim, n_planes)
+            signs = (vecs @ planes_cache[key]) > 0
+            code = np.zeros(len(vecs), dtype=np.uint32)
+            for j in range(n_planes):
+                code |= signs[:, j].astype(np.uint32) << np.uint32(j)
+            ids_out.append(ids)
+            vec_idx.append(np.arange(len(vecs)))
+            rep_out.append(np.full(len(vecs), rep, dtype=np.int16))
+            code_out.append(code)
+        rep_all = np.concatenate(rep_out)
+        code_all = np.concatenate(code_out)
+        cell = rep_all.astype(np.uint64) << np.uint64(32) | code_all
+        vecs_rep = vecs[np.concatenate(vec_idx)]
+        flat = pa.array(vecs_rep.reshape(-1), pa.float64())
         return pa.table(
             {
-                id_col: t[id_col],
-                vec_col: t[vec_col],
-                "lsh_key": pa.array(key, pa.uint32()),
-                # coarse Ray shuffle bucket; exact lsh_key grouping happens
+                id_col: pa.array(np.concatenate(ids_out)),
+                vec_col: pa.FixedSizeListArray.from_arrays(flat, dim),
+                "rep": pa.array(rep_all, pa.int16()),
+                "code": pa.array(code_all, pa.uint32()),
+                # coarse Ray shuffle bucket; exact (rep, code) grouping is
                 # vectorized inside each fat bucket
-                "_bucket": pa.array(key % np.uint32(64), pa.uint32()),
+                "_bucket": pa.array(
+                    (cell * np.uint64(2654435761)) % np.uint64(num_buckets),
+                    pa.uint64(),
+                ),
             }
         )
 
+    def _emit_cell(ids, V, rep, depth, out):
+        if len(ids) < 2:
+            return
+        if len(ids) > max_bucket:
+            if depth >= 20:
+                # unsplittable cell (e.g. many IDENTICAL vectors agree with
+                # every extra plane): star edges to the min id — O(n), and
+                # exactly what a dedup consumer needs (connects the cluster)
+                order = np.argsort(ids)
+                ids_s, V_s = ids[order], V[order]
+                sims = V_s[1:] @ V_s[0]
+                keep = sims >= threshold
+                out.append(
+                    (np.full(int(keep.sum()), ids_s[0]), ids_s[1:][keep],
+                     sims[keep])
+                )
+                return
+            # overflow: deterministic extra hyperplane, recurse both halves
+            dim = V.shape[1]
+            extra = _planes(
+                (int(plane_seeds[rep]) * 1000003 + depth + 1) % (2**31),
+                dim, 1,
+            )[:, 0]
+            side = (V @ extra) > 0
+            if side.all() or (~side).all():
+                _emit_cell(ids, V, rep, depth + 20, out)  # force star path
+                return
+            _emit_cell(ids[side], V[side], rep, depth + 1, out)
+            _emit_cell(ids[~side], V[~side], rep, depth + 1, out)
+            return
+        sim = V @ V.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sim[ia, ib] >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        out.append((np.minimum(a, b), np.maximum(a, b), sim[ia[keep], ib[keep]]))
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_s = [], [], []
-        for _, sub in g.groupby("lsh_key", sort=False):
+        out: list = []
+        for (rep, _code), sub in g.groupby(["rep", "code"], sort=False):
             if len(sub) < 2:
                 continue
             ids = sub[id_col].to_numpy()
             V = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
-            V = V / np.linalg.norm(V, axis=1, keepdims=True)
-            sim = V @ V.T
-            ia, ib = np.triu_indices(len(ids), k=1)
-            keep = sim[ia, ib] >= threshold
-            a, b = ids[ia[keep]], ids[ib[keep]]
-            out_a.append(np.minimum(a, b))
-            out_b.append(np.maximum(a, b))
-            out_s.append(sim[ia[keep], ib[keep]])
-        if not out_a:
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            _emit_cell(ids, V, int(rep), 0, out)
+        if not out:
             return pd.DataFrame(
                 {"id_a": pd.Series([], dtype=np.int64),
                  "id_b": pd.Series([], dtype=np.int64),
                  "cosine": pd.Series([], dtype=np.float64)}
             )
         return pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
-             "cosine": np.concatenate(out_s)}
+            {"id_a": np.concatenate([o[0] for o in out]),
+             "id_b": np.concatenate([o[1] for o in out]),
+             "cosine": np.concatenate([o[2] for o in out])}
         )
 
-    return (
+    hits = (
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(pairs, batch_format="pandas")
     )
+    # a pair colliding in several reps appears once per rep: reduce
+    dedup = hits.groupby(["id_a", "id_b"]).max("cosine")
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # schema-less empty block (no hits at all)
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {"id_a": t["id_a"], "id_b": t["id_b"], "cosine": t["max(cosine)"]}
+        )
+
+    return dedup.map_batches(rename, batch_format="pyarrow")

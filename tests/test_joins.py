@@ -166,3 +166,49 @@ def test_fit_sampling_order_invariance():
     np.testing.assert_allclose(m0["mean"], m1["mean"])
     np.testing.assert_allclose(m0["components"], m1["components"])
     assert sorted(n0.to_numpy()) == [400, 400, 400]
+
+
+def test_embedding_neardup_banded_recall_and_caps():
+    """Banded (multi-rep) hyperplane LSH must recover at least as many
+    planted near-dup pairs as a single projection, and overflow cells must
+    split (or star) instead of running all-pairs."""
+    from protein_feature_engineering_ray.stages.dedup import embedding_neardup
+
+    rng = np.random.default_rng(31)
+    dim = 16
+    base = rng.normal(size=(40, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = [v for v in base]
+    planted = set()
+    for i in range(12):  # near-dup of base i with a small perturbation
+        v = base[i] + rng.normal(scale=0.05, size=dim)
+        v /= np.linalg.norm(v)
+        vecs.append(v)
+        planted.add((i, 40 + i))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs)), "embedding": [list(v) for v in vecs]}
+    )
+
+    def recovered(reps):
+        out = embedding_neardup(
+            ray.data.from_pandas(df), threshold=0.9, n_planes=8, reps=reps,
+        ).to_pandas()
+        return {(a, b) for a, b in zip(out["id_a"], out["id_b"])} & planted
+
+    r1, r4 = recovered(1), recovered(4)
+    assert r4 >= r1
+    assert len(r4) >= 10  # banded recall near-complete on 12 planted pairs
+
+    # cap path: 60 IDENTICAL vectors in one cell with max_bucket=10 must
+    # still link the whole cluster (star edges), not all-pairs-explode
+    same = np.tile(base[0], (60, 1))
+    df2 = pd.DataFrame(
+        {"vec_id": np.arange(60), "embedding": [list(v) for v in same]}
+    )
+    out2 = embedding_neardup(
+        ray.data.from_pandas(df2), threshold=0.99, n_planes=4, reps=2,
+        max_bucket=10,
+    ).to_pandas()
+    # star edges from min id connect all 60 into one component
+    assert set(out2["id_a"]) == {0}
+    assert set(out2["id_b"]) == set(range(1, 60))
