@@ -162,21 +162,42 @@ def conv_features_chunked(
     chunk_size: int = 100_000,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
 ) -> ray.data.Dataset:
-    """Conversation-level DECOMPOSABLE descriptors for arbitrarily long
-    conversations: salted per-chunk partial counts (grams anchored at their
-    last row, context prefix supplying cross-boundary grams) -> per-conv
-    merge (integer sum) -> finalize (normalization).  Exactly equals the
-    unchunked path; kernels must expose ``counts``/``finalize`` and a bounded
-    ``lookback`` (CompositionK, NGramComposition, KSpacedPairs,
-    CTDTransition, Strided/Lambda tuples are NOT yet decomposable-safe
-    because their grids depend on absolute position)."""
+    """Conversation-level descriptors for arbitrarily long conversations:
+    salted per-chunk partials -> per-conv merge -> finalize.
+
+    Two merge protocols, chosen per kernel:
+
+    - SUM-mergeable (``counts``/``counts_width``/``finalize`` + bounded
+      ``lookback``): per-chunk partial counts (grams anchored at their last
+      row, a context prefix supplying cross-boundary grams), merged by
+      plain per-conv summation.  Count kernels stay EXACTLY equal to the
+      unchunked path (partials travel as float64; integer counts are exact
+      well past 2^52).  Covers CompositionK / NGramComposition /
+      KSpacedPairs / CTDTransition / DDE and the raw-positional lag kernels
+      (SOCNumber / QSOrder / PAAC / APAAC, float partials — allclose, not
+      bit-equal, because chunk sums reorder float addition).
+    - ORDER-mergeable (``counts`` + ``merge_ordered`` + ``lookback == 0``):
+      kernels whose pair structure lives on a NaN-COMPACTED series (NMBroto
+      / AC / Moran / Geary) emit self-contained per-chunk stats incl. the
+      first/last ``nlag`` valid boundary values; ``merge_ordered`` stitches
+      chunks IN ORDER (cross-boundary lag products reconstructed from the
+      boundary values), correct for ANY interior-NaN pattern without
+      context rows.
+
+    Strided/Lambda tuples stay excluded (grids on absolute position)."""
     for k in kernels:
-        if not hasattr(k, "counts") or getattr(k, "lookback", None) is None:
+        ordered = hasattr(k, "merge_ordered")
+        if not hasattr(k, "counts") or (
+            not ordered and getattr(k, "lookback", None) is None
+        ):
             raise ValueError(
                 f"kernel {type(k).__name__} is not decomposable "
-                "(needs counts/finalize and bounded lookback)"
+                "(needs counts/finalize [+ bounded lookback] or "
+                "counts/merge_ordered)"
             )
-    L = max(int(k.lookback) for k in kernels) if kernels else 0
+    L = max(
+        (int(getattr(k, "lookback", 0) or 0) for k in kernels), default=0
+    )
     if L >= chunk_size:
         raise ValueError(f"lookback {L} must be < chunk_size {chunk_size}")
     all_names = feature_names(kernels)
@@ -185,14 +206,27 @@ def conv_features_chunked(
         ctx = ConvContext(table, alphabet, seg_col="_salt")
         own = table["_ctx"].to_numpy(zero_copy_only=False) == 0
         mats = [k.counts(ctx, anchor=own) for k in kernels]
+        first = ctx.starts[:-1]
         conv = np.asarray(
             table["conv_id"].to_numpy(zero_copy_only=False), dtype=object
-        )[ctx.starts[:-1]]
-        cols = {"conv_id": pa.array(conv, pa.string())}
+        )[first]
+        # chunk index: parse the salt suffix (conv#NNNNNNNNN) so the merge
+        # can restore chunk order for order-mergeable kernels
+        salts = np.asarray(
+            table["_salt"].to_numpy(zero_copy_only=False), dtype=object
+        )[first]
+        chunk_idx = np.array([int(s.rsplit("#", 1)[1]) for s in salts],
+                             dtype=np.int64)
+        cols = {
+            "conv_id": pa.array(conv, pa.string()),
+            "_chunk": pa.array(chunk_idx, pa.int64()),
+        }
         j = 0
         for m in mats:
             for c in range(m.shape[1]):
-                cols[f"_p{j}"] = pa.array(m[:, c], pa.int64())
+                cols[f"_p{j}"] = pa.array(
+                    m[:, c].astype(np.float64), pa.float64()
+                )
                 j += 1
         return pa.table(cols)
 
@@ -203,18 +237,28 @@ def conv_features_chunked(
         from protein_feature_engineering_ray.core.bucket import segment_starts
 
         starts = segment_starts(conv)
-        width = table.num_columns - 1
+        width = table.num_columns - 2
         mat = np.column_stack(
             [table[f"_p{j}"].to_numpy(zero_copy_only=False) for j in range(width)]
-        ).astype(np.int64)
-        summed = np.add.reduceat(mat, starts[:-1], axis=0)
+        ).astype(np.float64)
+        n_conv = len(starts) - 1
         cols = {"conv_id": pa.array(conv[starts[:-1]], pa.string())}
         off = 0
         outs = []
         for k in kernels:
             wk = k.counts_width
-            fin = k.finalize(summed[:, off : off + wk])
-            outs.append(np.atleast_2d(fin.T).T)
+            sub = mat[:, off : off + wk]
+            if hasattr(k, "merge_ordered"):
+                # rows arrive (conv, _chunk)-sorted: combine each conv's
+                # chunk partials left-to-right (tiny row count: one row per
+                # 100k-turn chunk)
+                fin = np.empty((n_conv, len(k.names())), dtype=np.float64)
+                for ci in range(n_conv):
+                    fin[ci] = k.merge_ordered(sub[starts[ci]:starts[ci + 1]])
+            else:
+                summed = np.add.reduceat(sub, starts[:-1], axis=0)
+                fin = np.atleast_2d(k.finalize(summed).T).T
+            outs.append(fin)
             off += wk
         mat_out = np.concatenate(outs, axis=1)
         for j, name in enumerate(all_names):
@@ -227,7 +271,7 @@ def conv_features_chunked(
     )
     return grouped_buckets(
         partials, merge_fn, num_buckets=num_buckets, key="conv_id",
-        order_cols=("conv_id",),
+        order_cols=("conv_id", "_chunk"),
     )
 
 

@@ -68,6 +68,23 @@ def _seg_reduce(values: np.ndarray, seg_row: np.ndarray, n_segs: int) -> np.ndar
 
 
 class _LagBase:
+    """Shared machinery for the compacted-series lag family (NMBroto / AC /
+    Moran / Geary), including the ORDER-mergeable chunked protocol: per-chunk
+    partials are raw-moment sums per lag plus the chunk's first/last ``nlag``
+    valid boundary values, so ``merge_ordered`` can stitch chunk partials in
+    order — cross-boundary lag products reconstructed exactly for any
+    interior-NaN pattern, with no context rows (``lookback = 0``).
+
+    Partial layout per segment (width = 10*nlag + 3):
+      per lag n=1..nlag: [Σ x_i·x_{i+n}, Σ x_i (heads), Σ x_{i+n} (tails),
+                          Σ x_i², Σ x_{i+n}², pair count]          (6·nlag)
+      global:            [Σ x, Σ x², N valid]                      (3)
+      boundary:          prefix vals, prefix mask, suffix vals,
+                          suffix mask (each nlag slots)            (4·nlag)
+    """
+
+    lookback = 0  # chunked protocol: self-contained partials, no context
+
     def __init__(self, spec, nlag: int, prefix: str):
         self.spec = spec
         self.nlag = nlag
@@ -87,6 +104,114 @@ class _LagBase:
         out = np.zeros((ctx.n_segs, vals_c.shape[1]), dtype=np.float64)
         out[seg_map] = vals_c
         return out
+
+    # ---- chunked (order-mergeable) protocol ----
+
+    @property
+    def counts_width(self):
+        return 10 * self.nlag + 3
+
+    def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
+        nlag = self.nlag
+        out = np.zeros((ctx.n_segs, self.counts_width), dtype=np.float64)
+        # resolve the series on the FULL table, then restrict to own+valid
+        kind, arg = self.spec
+        if kind == "col":
+            x_full = ctx.numeric(arg)
+        else:
+            per_letter = np.asarray(arg, dtype=np.float64)
+            x_full = np.where(
+                ctx.codes >= 0, per_letter[np.clip(ctx.codes, 0, None)], np.nan
+            )
+        keep = ~np.isnan(x_full)
+        if anchor is not None:
+            keep &= anchor
+        x = x_full[keep]
+        segc = ctx.seg_of_row[keep]
+        st = segment_starts(segc)
+        lens = np.diff(st)
+        if len(x) == 0:
+            return out
+        seg_map = segc[st[:-1]]
+        nseg_c = len(lens)
+        seg_row = np.repeat(np.arange(nseg_c), lens)
+        # per-lag raw moments
+        for n in range(1, nlag + 1):
+            if len(x) > n:
+                mask = seg_row[:-n] == seg_row[n:]
+                segm = seg_row[:-n][mask]
+                h, t = x[:-n][mask], x[n:][mask]
+                base = (n - 1) * 6
+                blk = np.zeros((nseg_c, 6))
+                np.add.at(blk[:, 0], segm, h * t)
+                np.add.at(blk[:, 1], segm, h)
+                np.add.at(blk[:, 2], segm, t)
+                np.add.at(blk[:, 3], segm, h * h)
+                np.add.at(blk[:, 4], segm, t * t)
+                np.add.at(blk[:, 5], segm, np.ones(len(segm)))
+                out[seg_map, base : base + 6] = blk
+        g = 6 * nlag
+        sx = np.zeros(nseg_c)
+        np.add.at(sx, seg_row, x)
+        sxx = np.zeros(nseg_c)
+        np.add.at(sxx, seg_row, x * x)
+        out[seg_map, g] = sx
+        out[seg_map, g + 1] = sxx
+        out[seg_map, g + 2] = lens
+        # boundary values: first/last min(nlag, len) valid values per segment
+        b = g + 3
+        for j in range(nlag):
+            has = lens > j
+            pi = st[:-1][has] + j
+            out[seg_map[has], b + j] = x[pi]
+            out[seg_map[has], b + nlag + j] = 1.0
+            si = st[1:][has] - 1 - j
+            # suffix stored last-value-first at slot j = distance from end
+            out[seg_map[has], b + 2 * nlag + j] = x[si]
+            out[seg_map[has], b + 3 * nlag + j] = 1.0
+        return out
+
+    def merge_ordered(self, rows: np.ndarray) -> np.ndarray:
+        """Fold (n_chunks, width) chunk partials in chunk order into the
+        final per-conversation feature vector."""
+        nlag = self.nlag
+        g = 6 * nlag
+        b = g + 3
+        stats = np.zeros((nlag, 6))
+        glob = np.zeros(3)
+        suffix: np.ndarray = np.zeros(0)  # last min(nlag, N) values, in order
+        prefix: np.ndarray = np.zeros(0)
+        for row in rows:
+            nr = int(row[g + 2])
+            if nr == 0:
+                continue
+            pre_m = row[b + nlag : b + 2 * nlag].astype(bool)
+            pre = row[b : b + nlag][pre_m]  # first values, in order
+            suf_m = row[b + 3 * nlag : b + 4 * nlag].astype(bool)
+            suf = row[b + 2 * nlag : b + 3 * nlag][suf_m][::-1]  # in order
+            la = len(suffix)
+            # cross-boundary pairs per lag from (left suffix, right prefix)
+            for n in range(1, nlag + 1):
+                lo = max(0, n - la)
+                hi = min(n, len(pre))
+                for k in range(lo, hi):
+                    u = suffix[la - (n - k)]
+                    v = pre[k]
+                    s = stats[n - 1]
+                    s[0] += u * v
+                    s[1] += u
+                    s[2] += v
+                    s[3] += u * u
+                    s[4] += v * v
+                    s[5] += 1
+            stats += row[:g].reshape(nlag, 6)
+            glob += row[g : g + 3]
+            prefix = np.concatenate([prefix, pre])[: min(nlag, int(glob[2]))]
+            suffix = np.concatenate([suffix, suf])[-min(nlag, int(glob[2])):]
+        return self._finalize_stats(stats, glob)
+
+    def _finalize_stats(self, stats: np.ndarray, glob: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
 
 
 class NMBroto(_LagBase):
@@ -108,6 +233,10 @@ class NMBroto(_LagBase):
             cnt = np.maximum(lens - n, 0).astype(np.float64)
             cols[:, n - 1] = np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), 0.0)
         return self._emit(ctx, cols, seg_map)
+
+    def _finalize_stats(self, stats: np.ndarray, glob: np.ndarray) -> np.ndarray:
+        cnt = stats[:, 5]
+        return np.where(cnt > 0, stats[:, 0] / np.where(cnt == 0, 1, cnt), 0.0)
 
 
 class AutoCovariance(_LagBase):
@@ -133,6 +262,15 @@ class AutoCovariance(_LagBase):
             cnt = np.maximum(lens - n, 0).astype(np.float64)
             cols[:, n - 1] = np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), 0.0)
         return self._emit(ctx, cols, seg_map)
+
+    def _finalize_stats(self, stats: np.ndarray, glob: np.ndarray) -> np.ndarray:
+        sx, _sxx, N = glob
+        if N == 0:
+            return np.zeros(self.nlag)
+        mu = sx / N
+        sxy, sh, st, _, _, cnt = stats.T
+        s = sxy - mu * (sh + st) + cnt * mu * mu
+        return np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), 0.0)
 
 
 class Moran(_LagBase):
@@ -161,6 +299,17 @@ class Moran(_LagBase):
             num = np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), 0.0)
             cols[:, n - 1] = np.where(var > 0, num / np.where(var == 0, 1, var), 0.0)
         return self._emit(ctx, cols, seg_map)
+
+    def _finalize_stats(self, stats: np.ndarray, glob: np.ndarray) -> np.ndarray:
+        sx, sxx, N = glob
+        if N == 0:
+            return np.zeros(self.nlag)
+        mu = sx / N
+        var = sxx / N - mu * mu
+        sxy, sh, st, _, _, cnt = stats.T
+        s = sxy - mu * (sh + st) + cnt * mu * mu
+        num = np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), 0.0)
+        return np.where(var > 0, num / np.where(var == 0, 1, var), 0.0)
 
 
 class Geary(_LagBase):
@@ -191,6 +340,17 @@ class Geary(_LagBase):
             )
             cols[:, n - 1] = np.where(ss > 0, coef * s / np.where(ss == 0, 1, ss), 0.0)
         return self._emit(ctx, cols, seg_map)
+
+    def _finalize_stats(self, stats: np.ndarray, glob: np.ndarray) -> np.ndarray:
+        sx, sxx, N = glob
+        if N == 0:
+            return np.zeros(self.nlag)
+        mu = sx / N
+        ss = sxx - N * mu * mu
+        sxy, _sh, _st, sh2, st2, cnt = stats.T
+        s = sh2 - 2.0 * sxy + st2  # Σ (x_j - x_{j+n})², raw values
+        coef = np.where(cnt > 0, (N - 1) / (2.0 * np.where(cnt == 0, 1, cnt)), 0.0)
+        return np.where(ss > 0, coef * s / np.where(ss == 0, 1, ss), 0.0)
 
 
 class CrossCovariance:
@@ -265,22 +425,58 @@ class SOCNumber:
     def names(self) -> list[str]:
         return [f"{self.prefix}_tau{n}" for n in range(1, self.nlag + 1)]
 
-    def apply(self, ctx: ConvContext) -> np.ndarray:
-        codes = ctx.codes
-        seg = ctx.seg_of_row
+    # decomposable: lags are RAW-positional (pair anchored at its later row,
+    # the context prefix supplies earlier elements), so the standard
+    # sum-merge protocol applies; partials = per-lag Σ d² + own-row count
+    # (allclose vs unchunked — chunk sums reorder float addition)
+
+    @property
+    def lookback(self):
+        return self.nlag
+
+    @property
+    def counts_width(self):
+        return self.nlag + 1
+
+    def _pair_sums(self, ctx: ConvContext, anchor: np.ndarray | None):
+        """Per-segment per-lag Σ d²(c_i, c_{i+n}) with anchored pairs, plus
+        the own-row count (the raw length term of every denominator)."""
+        codes, seg = ctx.codes, ctx.seg_of_row
         d2 = self.dist * self.dist
-        cols = np.zeros((ctx.n_segs, self.nlag), dtype=np.float64)
+        sums = np.zeros((ctx.n_segs, self.nlag), dtype=np.float64)
         for n in range(1, self.nlag + 1):
             if ctx.n <= n:
                 break
             a, b = codes[:-n], codes[n:]
             mask = (seg[:-n] == seg[n:]) & (a >= 0) & (b >= 0)
+            if anchor is not None:
+                mask &= anchor[n:]
             vals = d2[a[mask], b[mask]]
-            s = np.zeros(ctx.n_segs)
-            np.add.at(s, seg[:-n][mask], vals)
-            cnt = np.maximum(ctx.lengths - n, 0).astype(np.float64)
-            cols[:, n - 1] = np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), 0.0)
+            np.add.at(sums[:, n - 1], seg[:-n][mask], vals)
+        if anchor is None:
+            own_len = ctx.lengths.astype(np.float64)
+        else:
+            own_len = np.zeros(ctx.n_segs)
+            np.add.at(own_len, seg, anchor.astype(np.float64))
+        return sums, own_len
+
+    def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
+        sums, own_len = self._pair_sums(ctx, anchor)
+        return np.concatenate([sums, own_len[:, None]], axis=1)
+
+    def finalize(self, counts: np.ndarray) -> np.ndarray:
+        sums = counts[:, : self.nlag]
+        lens = counts[:, self.nlag]
+        cols = np.zeros_like(sums)
+        for n in range(1, self.nlag + 1):
+            cnt = np.maximum(lens - n, 0).astype(np.float64)
+            cols[:, n - 1] = np.where(
+                cnt > 0, sums[:, n - 1] / np.where(cnt == 0, 1, cnt), 0.0
+            )
         return cols
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        return self.finalize(self.counts(ctx))
 
 
 class QSOrder:
@@ -300,23 +496,50 @@ class QSOrder:
             f"{self.prefix}_tau{n}" for n in range(1, self.nlag + 1)
         ]
 
-    def apply(self, ctx: ConvContext) -> np.ndarray:
-        from protein_feature_engineering_ray.functions.composition import (
-            _seg_code_counts,
+    # decomposable via the same raw-positional scheme as SOCNumber:
+    # partials = unigram counts + the SOC pair sums + own length
+
+    @property
+    def lookback(self):
+        return self.nlag
+
+    @property
+    def counts_width(self):
+        return len(self.letters) + self.soc.counts_width
+
+    def _unigram(self, ctx: ConvContext, anchor: np.ndarray | None) -> np.ndarray:
+        A = len(self.letters)
+        if anchor is None:
+            from protein_feature_engineering_ray.functions.composition import (
+                _seg_code_counts,
+            )
+
+            return _seg_code_counts(
+                ctx.seg_of_row, ctx.codes, ctx.n_segs, A
+            ).astype(np.float64)
+        out = np.zeros((ctx.n_segs, A), dtype=np.float64)
+        sel = (ctx.codes >= 0) & anchor
+        if sel.any():
+            np.add.at(out, (ctx.seg_of_row[sel], ctx.codes[sel]), 1.0)
+        return out
+
+    def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
+        return np.concatenate(
+            [self._unigram(ctx, anchor), self.soc.counts(ctx, anchor)], axis=1
         )
 
+    def finalize(self, counts: np.ndarray) -> np.ndarray:
         A = len(self.letters)
-        counts = _seg_code_counts(ctx.seg_of_row, ctx.codes, ctx.n_segs, A).astype(
-            np.float64
-        )
-        tau = self.soc.apply(ctx)  # (n_segs, nlag)
-        denom = counts.sum(axis=1, keepdims=True) + self.weight * tau.sum(
+        uni = counts[:, :A].astype(np.float64)
+        tau = self.soc.finalize(counts[:, A:])
+        denom = uni.sum(axis=1, keepdims=True) + self.weight * tau.sum(
             axis=1, keepdims=True
         )
         denom[denom == 0] = 1.0
-        f = counts / denom
-        tq = self.weight * tau / denom
-        return np.concatenate([f, tq], axis=1)
+        return np.concatenate([uni / denom, self.weight * tau / denom], axis=1)
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        return self.finalize(self.counts(ctx))
 
 
 class PAAC:
@@ -337,35 +560,69 @@ class PAAC:
             f"{self.prefix}_theta{n}" for n in range(1, self.lam + 1)
         ]
 
-    def apply(self, ctx: ConvContext) -> np.ndarray:
-        from protein_feature_engineering_ray.functions.composition import (
-            _seg_code_counts,
-        )
+    # decomposable (raw-positional lags): partials = unigram counts +
+    # per-lag Σ R(c_i, c_{i+n}) + own length
 
+    @property
+    def lookback(self):
+        return self.lam
+
+    @property
+    def counts_width(self):
+        return len(self.letters) + self.lam + 1
+
+    def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
         A = len(self.letters)
         codes, seg = ctx.codes, ctx.seg_of_row
         # R(a,b) = mean over properties of (p(a) - p(b))^2
         P = self.props  # (A, k)
         diff = P[:, None, :] - P[None, :, :]
         R = (diff * diff).mean(axis=2)  # (A, A)
-        thetas = np.zeros((ctx.n_segs, self.lam), dtype=np.float64)
+        sums = np.zeros((ctx.n_segs, self.lam), dtype=np.float64)
         for n in range(1, self.lam + 1):
             if ctx.n <= n:
                 break
             a, b = codes[:-n], codes[n:]
             mask = (seg[:-n] == seg[n:]) & (a >= 0) & (b >= 0)
-            s = np.zeros(ctx.n_segs)
-            np.add.at(s, seg[:-n][mask], R[a[mask], b[mask]])
-            cnt = np.maximum(ctx.lengths - n, 0).astype(np.float64)
-            thetas[:, n - 1] = np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), 0.0)
-        counts = _seg_code_counts(seg, codes, ctx.n_segs, A).astype(np.float64)
-        denom = counts.sum(axis=1, keepdims=True) + self.weight * thetas.sum(
+            if anchor is not None:
+                mask &= anchor[n:]
+            np.add.at(sums[:, n - 1], seg[:-n][mask], R[a[mask], b[mask]])
+        if anchor is None:
+            uni = np.zeros((ctx.n_segs, A), dtype=np.float64)
+            sel = codes >= 0
+            if sel.any():
+                np.add.at(uni, (seg[sel], codes[sel]), 1.0)
+            own_len = ctx.lengths.astype(np.float64)
+        else:
+            uni = np.zeros((ctx.n_segs, A), dtype=np.float64)
+            sel = (codes >= 0) & anchor
+            if sel.any():
+                np.add.at(uni, (seg[sel], codes[sel]), 1.0)
+            own_len = np.zeros(ctx.n_segs)
+            np.add.at(own_len, seg, anchor.astype(np.float64))
+        return np.concatenate([uni, sums, own_len[:, None]], axis=1)
+
+    def finalize(self, counts: np.ndarray) -> np.ndarray:
+        A = len(self.letters)
+        uni = counts[:, :A]
+        sums = counts[:, A : A + self.lam]
+        lens = counts[:, A + self.lam]
+        thetas = np.zeros_like(sums)
+        for n in range(1, self.lam + 1):
+            cnt = np.maximum(lens - n, 0).astype(np.float64)
+            thetas[:, n - 1] = np.where(
+                cnt > 0, sums[:, n - 1] / np.where(cnt == 0, 1, cnt), 0.0
+            )
+        denom = uni.sum(axis=1, keepdims=True) + self.weight * thetas.sum(
             axis=1, keepdims=True
         )
         denom[denom == 0] = 1.0
-        f = counts / denom
-        th = self.weight * thetas / denom
-        return np.concatenate([f, th], axis=1)
+        return np.concatenate(
+            [uni / denom, self.weight * thetas / denom], axis=1
+        )
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        return self.finalize(self.counts(ctx))
 
 
 class APAAC:
@@ -387,37 +644,69 @@ class APAAC:
             f"{self.prefix}_tau{n}p{j}" for n in range(1, self.lam + 1) for j in range(k)
         ]
 
-    def apply(self, ctx: ConvContext) -> np.ndarray:
-        from protein_feature_engineering_ray.functions.composition import (
-            _seg_code_counts,
-        )
+    # decomposable (raw-positional lags): partials = unigram counts +
+    # per-(lag, property) Σ p_j(c_i)·p_j(c_{i+n}) + own length
 
+    @property
+    def lookback(self):
+        return self.lam
+
+    @property
+    def counts_width(self):
+        return len(self.letters) + self.lam * self.props.shape[1] + 1
+
+    def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
         A = len(self.letters)
         k = self.props.shape[1]
         codes, seg = ctx.codes, ctx.seg_of_row
-        taus = np.zeros((ctx.n_segs, self.lam * k), dtype=np.float64)
+        sums = np.zeros((ctx.n_segs, self.lam * k), dtype=np.float64)
         for n in range(1, self.lam + 1):
             if ctx.n <= n:
                 break
             a, b = codes[:-n], codes[n:]
             mask = (seg[:-n] == seg[n:]) & (a >= 0) & (b >= 0)
+            if anchor is not None:
+                mask &= anchor[n:]
             segm = seg[:-n][mask]
-            cnt = np.maximum(ctx.lengths - n, 0).astype(np.float64)
             for j in range(k):
                 prod = self.props[a[mask], j] * self.props[b[mask], j]
-                s = np.zeros(ctx.n_segs)
-                np.add.at(s, segm, prod)
-                taus[:, (n - 1) * k + j] = np.where(
-                    cnt > 0, s / np.where(cnt == 0, 1, cnt), 0.0
-                )
-        counts = _seg_code_counts(seg, codes, ctx.n_segs, A).astype(np.float64)
-        denom = counts.sum(axis=1, keepdims=True) + self.weight * taus.sum(
+                np.add.at(sums[:, (n - 1) * k + j], segm, prod)
+        uni = np.zeros((ctx.n_segs, A), dtype=np.float64)
+        sel = codes >= 0
+        if anchor is not None:
+            sel = sel & anchor
+        if sel.any():
+            np.add.at(uni, (seg[sel], codes[sel]), 1.0)
+        if anchor is None:
+            own_len = ctx.lengths.astype(np.float64)
+        else:
+            own_len = np.zeros(ctx.n_segs)
+            np.add.at(own_len, seg, anchor.astype(np.float64))
+        return np.concatenate([uni, sums, own_len[:, None]], axis=1)
+
+    def finalize(self, counts: np.ndarray) -> np.ndarray:
+        A = len(self.letters)
+        k = self.props.shape[1]
+        uni = counts[:, :A]
+        sums = counts[:, A : A + self.lam * k]
+        lens = counts[:, A + self.lam * k]
+        taus = np.zeros_like(sums)
+        for n in range(1, self.lam + 1):
+            cnt = np.maximum(lens - n, 0).astype(np.float64)
+            safe = np.where(cnt == 0, 1, cnt)
+            for j in range(k):
+                c = (n - 1) * k + j
+                taus[:, c] = np.where(cnt > 0, sums[:, c] / safe, 0.0)
+        denom = uni.sum(axis=1, keepdims=True) + self.weight * taus.sum(
             axis=1, keepdims=True
         )
         denom[denom == 0] = 1.0
         return np.concatenate(
-            [counts / denom, self.weight * taus / denom], axis=1
+            [uni / denom, self.weight * taus / denom], axis=1
         )
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        return self.finalize(self.counts(ctx))
 
 
 class ACC:

@@ -158,27 +158,57 @@ class DDE:
 
     def __init__(self, letters: list[str]):
         self.letters = letters
+        self._bigram = NGramComposition(letters, n=2, normalize=False)
 
     def names(self) -> list[str]:
         return [f"dde_{a}.{b}" for a in self.letters for b in self.letters]
 
-    def apply(self, ctx: ConvContext) -> np.ndarray:
+    # --- decomposable protocol: partials = unigram counts + bigram counts
+    # (both integer, so the chunked float64 sum is exact and the finalize
+    # below reproduces apply() bit-for-bit)
+
+    @property
+    def lookback(self):
+        return 1  # cross-boundary bigrams come from a 1-row context prefix
+
+    @property
+    def counts_width(self):
+        A = len(self.letters)
+        return A + A * A
+
+    def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
         A = ctx.alphabet.size
-        uni = _seg_code_counts(ctx.seg_of_row, ctx.codes, ctx.n_segs, A).astype(np.float64)
+        if anchor is None:
+            uni = _seg_code_counts(ctx.seg_of_row, ctx.codes, ctx.n_segs, A)
+        else:
+            sel = (ctx.codes >= 0) & anchor
+            uni = np.zeros((ctx.n_segs, A), dtype=np.int64)
+            if sel.any():
+                np.add.at(uni, (ctx.seg_of_row[sel], ctx.codes[sel]), 1)
+        bi = self._bigram.counts(ctx, anchor=anchor)
+        return np.concatenate([uni, bi], axis=1)
+
+    def finalize(self, counts: np.ndarray) -> np.ndarray:
+        A = len(self.letters)
+        uni = counts[:, :A].astype(np.float64)
+        bi = counts[:, A:].astype(np.float64)
+        n_segs = len(counts)
         tot = uni.sum(axis=1, keepdims=True)
         tot[tot == 0] = 1.0
         p = uni / tot  # per-conv unigram marginals
-        bi = NGramComposition(self.letters, n=2, normalize=False).apply(ctx)
         npairs = bi.sum(axis=1, keepdims=True)
         safe = np.where(npairs == 0, 1.0, npairs)
         dc = bi / safe
         tm = p[:, :, None] * p[:, None, :]  # expected pair prob
-        tm = tm.reshape(ctx.n_segs, A * A)
+        tm = tm.reshape(n_segs, A * A)
         tv = tm * (1.0 - tm) / np.where(npairs == 0, 1.0, npairs)
         with np.errstate(divide="ignore", invalid="ignore"):
             out = (dc - tm) / np.sqrt(tv)
         out[~np.isfinite(out)] = 0.0
         return out
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        return self.finalize(self.counts(ctx))
 
 
 class KSpacedPairs:

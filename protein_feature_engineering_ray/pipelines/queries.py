@@ -635,6 +635,31 @@ def q_ctdd(sf):
     return _conv(sf, [("CTDD", {})])
 
 
+def q_ctdd_chunked(sf):
+    """Skew path: the two-pass chunked CTDD (rank statistics routed to
+    chunks) against the SAME bit-exact oracle as q_ctdd.  chunk_size is tiny
+    here so sf-scale conversations genuinely span many chunks."""
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.core.bucket import grouped_buckets
+    from protein_feature_engineering_ray.core.context import ConvContext
+    from protein_feature_engineering_ray.functions.ctdd_chunked import ctdd_chunked
+
+    def assign(table: pa.Table) -> pa.Table:
+        ctx = ConvContext(table, EVENT_ALPHABET)
+        ti = ctx.pos.astype(np.int32)
+        idx = table.column_names.index("turn_idx")
+        return table.set_column(idx, "turn_idx", pa.array(ti, pa.int32()))
+
+    canon = grouped_buckets(
+        from_events(sf), assign, num_buckets=NB, order_cols=ORDER
+    )
+    return ctdd_chunked(
+        canon, make_kernel("CTDD", EVENT_ALPHABET)[1], alphabet=EVENT_ALPHABET,
+        chunk_size=16, num_buckets=NB,
+    )
+
+
 def q_autocorr(sf):
     return _conv(
         sf,
@@ -774,6 +799,7 @@ QUERIES: dict[str, Callable] = {
     # rows-only:
     "dde": q_dde,
     "ctdd": q_ctdd,
+    "ctdd_chunked": q_ctdd_chunked,
     "autocorr": q_autocorr,
     "pseudo_order": q_pseudo,
     "zscore_aac": q_zscore_aac,
@@ -801,6 +827,7 @@ ORACLES: dict[str, str] = {
     "cksaagp": _sql_cksaap(2, grouped=True),
     "egaac": _sql_egaac(4),
     "ctdd": _sql_ctdd(),
+    "ctdd_chunked": _sql_ctdd(),
     "ctdt": _sql_ctdt(),
     "stride_k2": _sql_stride(2, 1),
     "lambda_k2": _sql_lambda(2, 2),

@@ -321,7 +321,62 @@ def test_chunked_conv_features_equivalence():
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="not decomposable"):
-        conv_features_chunked(ds, [make_kernel("DDE", ALPHA)[1]], alphabet=ALPHA)
+        conv_features_chunked(
+            ds, [make_kernel("StrideKTuple", ALPHA, {"k": 2, "gap": 1})[1]],
+            alphabet=ALPHA,
+        )
+
+
+def test_chunked_conv_lag_and_dde_equivalence():
+    """Round-2 decomposable kernels: DDE (integer partials, bit-exact) and
+    the full lag/autocorrelation family across chunk boundaries — the
+    order-merged compacted-series kernels (NMBroto/AC/Moran/Geary) with an
+    interior-NaN series, and the raw-positional sum-merged kernels
+    (SOCNumber/QSOrder/PAAC/APAAC).  Float sums reorder across chunks, so
+    allclose (tight) rather than bitwise."""
+    from protein_feature_engineering_ray.core.executor import (
+        conv_features,
+        conv_features_chunked,
+    )
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+
+    pdf = synth_transcripts(n_convs=14, duplicates=False, as_pandas=True)
+    # a numeric series with interior NaNs to exercise compaction stitching
+    rng = np.random.default_rng(41)
+    val = rng.normal(loc=3.0, scale=2.0, size=len(pdf))
+    val[rng.random(len(pdf)) < 0.15] = np.nan
+    pdf["value"] = val
+    ds = ray.data.from_pandas(pdf)
+    specs = [
+        ("DDE", {}),
+        ("NMBroto", {"nlag": 3}),
+        ("AC", {"nlag": 3}),
+        ("Moran", {"nlag": 3}),
+        ("Geary", {"nlag": 3}),
+        ("SOCNumber", {"nlag": 3}),
+        ("QSOrder", {"nlag": 3}),
+        ("PAAC", {"lam": 3}),
+        ("APAAC", {"lam": 3}),
+    ]
+    ks = lambda: [make_kernel(n, ALPHA, p)[1] for n, p in specs]  # noqa: E731
+    whole = (
+        conv_features(ds, ks(), alphabet=ALPHA, num_buckets=5)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    chunked = (
+        conv_features_chunked(ds, ks(), alphabet=ALPHA, chunk_size=6,
+                              num_buckets=9)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    assert list(whole.columns) == list(chunked.columns)
+    pd.testing.assert_series_equal(whole["conv_id"], chunked["conv_id"])
+    for c in whole.columns[1:]:
+        np.testing.assert_allclose(
+            whole[c], chunked[c], rtol=1e-9, atol=1e-12, err_msg=c
+        )
+    # DDE partials are integer counts: bit-exact, not just close
+    dde_cols = [c for c in whole.columns if c.startswith("dde_")]
+    pd.testing.assert_frame_equal(whole[dde_cols], chunked[dde_cols])
 
 
 def test_vector_output_matches_columns():
@@ -364,3 +419,25 @@ def test_session_stats_matches_sessionize():
     m = got.merge(want, on=["conv_id", "session_idx"], suffixes=("", "_o"))
     assert len(m) == len(want) == len(got)
     assert (m["n_turns"] == m["n_turns_o"]).all()
+
+
+def test_ctdd_chunked_equivalence():
+    """Two-pass chunked CTDD == unchunked CTDDistribution, including the
+    mega-conversation and empty-group defaults (rank statistics routed to
+    chunks, no conversation materialized whole)."""
+    from protein_feature_engineering_ray.core.executor import conv_features
+    from protein_feature_engineering_ray.functions.ctdd_chunked import ctdd_chunked
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+
+    ds = synth_transcripts(n_convs=14, duplicates=False)
+    k = make_kernel("CTDD", ALPHA)[1]
+    whole = (
+        conv_features(ds, [k], alphabet=ALPHA, num_buckets=5)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    chunked = (
+        ctdd_chunked(ds, make_kernel("CTDD", ALPHA)[1], alphabet=ALPHA,
+                     chunk_size=6, num_buckets=9)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(whole, chunked)
