@@ -758,6 +758,20 @@ def q_ivf_knn(sf):
     return ivf_knn(vecs, Q, qdf["vec_id"].to_numpy(), k=5)
 
 
+def q_embed_docs(sf):
+    """Closed-loop embedding stage: deterministic hash-projection model in
+    an actor pool with ESM-style token-budget micro-batching (rows-only —
+    the embedding column has no SQL analogue)."""
+    from protein_feature_engineering_ray.stages.embed import embed_docs
+
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return embed_docs(docs, dim=32, concurrency=2).select_columns(
+        ["doc_id", "n_model_tokens", "embedding"]
+    )
+
+
 def q_media(sf):
     from protein_feature_engineering_ray.stages.multimodal import (
         media_features,
@@ -805,6 +819,7 @@ QUERIES: dict[str, Callable] = {
     "zscore_aac": q_zscore_aac,
     "lang_quality": q_lang_quality,
     "minhash_dedup": q_minhash_dedup,
+    "embed_docs": q_embed_docs,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
     "knn_brute": q_knn,

@@ -212,3 +212,97 @@ def test_embedding_neardup_banded_recall_and_caps():
     # star edges from min id connect all 60 into one component
     assert set(out2["id_a"]) == {0}
     assert set(out2["id_b"]) == set(range(1, 60))
+
+
+def test_embed_actor_packing_and_determinism():
+    """Token-budget micro-batching must not change embeddings (packing is a
+    throughput concern only), batches must respect toks_per_batch, and the
+    model is deterministic across actors."""
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.stages.embed import (
+        EmbedActor,
+        embed_docs,
+    )
+
+    rng = np.random.default_rng(47)
+    texts = [
+        " ".join(f"w{rng.integers(0, 500)}" for _ in range(int(n)))
+        for n in rng.integers(0, 900, size=60)
+    ] + ["", "   ", "single"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+
+    tiny = EmbedActor(dim=16, toks_per_batch=64, truncation_seq_length=128)
+    big = EmbedActor(dim=16, toks_per_batch=10**9, truncation_seq_length=128)
+    t = pa.table({"doc_id": df.doc_id.to_numpy(), "text": df.text.to_numpy()})
+    e_tiny = np.stack(tiny(t)["embedding"].to_pandas().to_numpy())
+    e_big = np.stack(big(t)["embedding"].to_pandas().to_numpy())
+    np.testing.assert_array_equal(e_tiny, e_big)
+
+    # packing respects the budget (seqs longer than the budget get their own
+    # batch)
+    lens = tiny.model.token_lengths(df.text.to_numpy(dtype=object))
+    for b in tiny._micro_batches(lens):
+        assert len(b) == 1 or (lens[b] + 1).sum() <= 64
+
+    # distributed stage matches the local actor
+    out = (
+        embed_docs(ray.data.from_pandas(df), dim=16, concurrency=2,
+                   truncation_seq_length=128)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(np.stack(out["embedding"].to_numpy()), e_big)
+    # unit-norm (or zero for empty docs)
+    norms = np.linalg.norm(e_big, axis=1)
+    empty = lens == 0
+    np.testing.assert_allclose(norms[~empty], 1.0, rtol=1e-5)
+    np.testing.assert_array_equal(norms[empty], 0.0)
+
+
+def test_embed_to_dir_resume(tmp_path):
+    """Kill/resume equivalence for the embedding backfill: uncommitted
+    partitions recompute, committed ones are untouched, final output equals
+    a clean run."""
+    import os
+
+    from protein_feature_engineering_ray.stages.embed import embed_docs_to_dir
+    from protein_feature_engineering_ray.state.manifest import (
+        bucket_dir,
+        completed_buckets,
+    )
+
+    rng = np.random.default_rng(53)
+    texts = [" ".join(f"w{rng.integers(0, 99)}" for _ in range(20))
+             for _ in range(200)]
+    df = pd.DataFrame({"doc_id": np.arange(200), "text": texts})
+
+    def run(d):
+        return embed_docs_to_dir(
+            ray.data.from_pandas(df), d, num_buckets=6, dim=16
+        )
+
+    def read(d):
+        import pyarrow.parquet as pq
+
+        parts = [
+            pq.read_table(os.path.join(d, n, "data.parquet")).to_pandas()
+            for n in sorted(os.listdir(d)) if n.startswith("bucket=")
+        ]
+        return (
+            pd.concat(parts).sort_values("doc_id").reset_index(drop=True)
+        )
+
+    clean = str(tmp_path / "clean")
+    run(clean)
+    want = read(clean)
+    assert len(want) == 200
+
+    part = str(tmp_path / "part")
+    run(part)
+    done = sorted(completed_buckets(part))
+    for b in done[:2]:
+        os.remove(os.path.join(bucket_dir(part, b), "_SUCCESS.json"))
+    manifest2 = run(part)
+    assert sorted(m["bucket"] for m in manifest2) == done[:2]
+    got = read(part)
+    pd.testing.assert_frame_equal(got, want)
