@@ -289,16 +289,18 @@ def turn_features_chunked(
     ``conv_id#chunk`` — DIFFERENT chunks hash to different buckets, so a
     10^8-turn conversation no longer has to fit one worker.  Each chunk also
     receives the last ``L`` rows of its predecessor as read-only context
-    (``L`` = max declared kernel ``lookback``), so backward-looking kernels
-    (lag, latency, rolling windows, per-turn lookups) produce EXACTLY the
-    same values as the unchunked path; kernels with unbounded lookback
-    (expanding windows, position-in-conversation) declare ``lookback=None``
-    and are rejected here.
+    (``L`` = max declared kernel ``lookback``) and, symmetrically, the first
+    ``LA`` rows of its successor (``LA`` = max declared ``lookahead``), so
+    backward-looking kernels (lag, latency, rolling windows) AND
+    forward-looking ones (lead) produce EXACTLY the same values as the
+    unchunked path; kernels with unbounded lookback (expanding windows,
+    position-in-conversation) declare ``lookback=None`` and are rejected
+    here.
 
     Requires a valid ``turn_idx`` column (canonical transcripts; run the
     co-location pass once to assign it for events-derived tables).
     """
-    lookbacks = []
+    lookbacks, lookaheads = [], []
     for k in kernels:
         lb = getattr(k, "lookback", None)
         if lb is None:
@@ -308,9 +310,13 @@ def turn_features_chunked(
                 "num_buckets for skew)"
             )
         lookbacks.append(int(lb))
+        lookaheads.append(int(getattr(k, "lookahead", 0) or 0))
     L = max(lookbacks) if lookbacks else 0
-    if L >= chunk_size:
-        raise ValueError(f"lookback {L} must be < chunk_size {chunk_size}")
+    LA = max(lookaheads) if lookaheads else 0
+    if max(L, LA) >= chunk_size:
+        raise ValueError(
+            f"lookback {L} / lookahead {LA} must be < chunk_size {chunk_size}"
+        )
 
     fn_names = feature_names(kernels)
 
@@ -325,24 +331,45 @@ def turn_features_chunked(
         own = own.append_column(
             "_ctx", pa.array(np.zeros(len(t), dtype=np.int8), pa.int8())
         )
-        if L == 0:
-            return own
-        # rows in the last L positions of a chunk also feed the NEXT chunk
-        # as context
-        tail = (ti % chunk_size) >= (chunk_size - L)
-        if not tail.any():
-            return own
-        idx = np.flatnonzero(tail)
-        ctx_rows = t.take(pa.array(idx))
-        ctx_salt = np.array(
-            [f"{c}#{k + 1:09d}" for c, k in zip(conv[idx], chunk[idx])],
-            dtype=object,
-        )
-        ctx_rows = ctx_rows.append_column("_salt", pa.array(ctx_salt, pa.string()))
-        ctx_rows = ctx_rows.append_column(
-            "_ctx", pa.array(np.ones(len(idx), dtype=np.int8), pa.int8())
-        )
-        return pa.concat_tables([own, ctx_rows])
+        parts = [own]
+        if L > 0:
+            # rows in the last L positions of a chunk also feed the NEXT
+            # chunk as context
+            tail = (ti % chunk_size) >= (chunk_size - L)
+            if tail.any():
+                idx = np.flatnonzero(tail)
+                ctx_rows = t.take(pa.array(idx))
+                ctx_salt = np.array(
+                    [f"{c}#{k + 1:09d}" for c, k in zip(conv[idx], chunk[idx])],
+                    dtype=object,
+                )
+                ctx_rows = ctx_rows.append_column(
+                    "_salt", pa.array(ctx_salt, pa.string())
+                )
+                ctx_rows = ctx_rows.append_column(
+                    "_ctx", pa.array(np.ones(len(idx), dtype=np.int8), pa.int8())
+                )
+                parts.append(ctx_rows)
+        if LA > 0:
+            # rows in the first LA positions of a chunk also feed the
+            # PREVIOUS chunk as a context SUFFIX (sorted after its own rows
+            # by turn_idx — exactly the window a lead kernel reads)
+            head = ((ti % chunk_size) < LA) & (chunk > 0)
+            if head.any():
+                idx = np.flatnonzero(head)
+                ctx_rows = t.take(pa.array(idx))
+                ctx_salt = np.array(
+                    [f"{c}#{k - 1:09d}" for c, k in zip(conv[idx], chunk[idx])],
+                    dtype=object,
+                )
+                ctx_rows = ctx_rows.append_column(
+                    "_salt", pa.array(ctx_salt, pa.string())
+                )
+                ctx_rows = ctx_rows.append_column(
+                    "_ctx", pa.array(np.ones(len(idx), dtype=np.int8), pa.int8())
+                )
+                parts.append(ctx_rows)
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
     def chunk_fn(table: pa.Table) -> pa.Table:
         # context rows of chunk k have smaller turn_idx than its own rows, so

@@ -171,7 +171,13 @@ class LagLead:
 
     @property
     def lookback(self):
-        return None if self.lead else max(self.offsets)
+        return 0 if self.lead else max(self.offsets)
+
+    @property
+    def lookahead(self):
+        # forward-looking offsets need a bounded CONTEXT SUFFIX (the first
+        # rows of the next chunk), symmetric to the lag kernels' prefix
+        return max(self.offsets) if self.lead else 0
 
     def names(self) -> list[str]:
         return [f"{self.prefix}_{n}" for n in self.offsets]

@@ -253,6 +253,7 @@ def test_chunked_turn_features_equivalence():
         ("RollingComposition", {"w": 5}),
         ("RollingStats", {"col": "latency2", "w": 4}),
         ("LagLead", {"col": "latency2", "offsets": (1, 3)}),
+        ("LagLead", {"col": "latency2", "offsets": (1, 2), "lead": True}),
         ("OneHot", {}),
         ("TextLen", {}),
     ]
