@@ -120,11 +120,15 @@ def run_bench() -> dict:
     # exchange
     BACKFILL_COLS = ("conv_id", "event_id", "turn_idx", "role_code",
                      "tool_flag", "ts", "value")
+    # float32 + packed vector output: halves the output stream — the one
+    # term that cannot scale with cpu count on one node (BASELINE.md);
+    # correctness queries keep the float64 named-column default
     def one_backfill():
         shutil.rmtree(out_dir, ignore_errors=True)
         backfill_to_dir(pre_encode(replicated(), EVENT_ROLE_ALPHABET), out_dir,
                         num_buckets=num_buckets,
-                        turn_specs=EVENTS_TURN_SPECS, project=BACKFILL_COLS)
+                        turn_specs=EVENTS_TURN_SPECS, project=BACKFILL_COLS,
+                        vector_col="features", out_dtype="float32")
 
     def min_of(n, fn):
         best = None

@@ -44,22 +44,28 @@ def _feature_table(
     mats: list[np.ndarray],
     names: list[str],
     vector_col: str | None = None,
+    out_dtype: str = "float64",
 ) -> pa.Table:
     """Assemble keys + features.  ``vector_col`` packs ALL features into one
-    ``FixedSizeList<float64>[width]`` column instead of ``width`` named
-    columns — the layout for very wide descriptor stacks (the reference's
-    8,000-column TPC matrix, feature.py:611; SURVEY §7.4)."""
+    ``FixedSizeList[width]`` column instead of ``width`` named columns — the
+    layout for very wide descriptor stacks (the reference's 8,000-column TPC
+    matrix, feature.py:611; SURVEY §7.4).  ``out_dtype="float32"`` halves
+    output bytes (the backfill's output stream is the one term that does not
+    scale with cpu count on a single node — BASELINE.md); default float64
+    keeps bit-compat with the oracles."""
     cols = dict(key_cols)
     mat = np.concatenate([np.atleast_2d(m.T).T for m in mats], axis=1) if mats else None
+    np_dt = np.dtype(out_dtype)
+    pa_dt = pa.from_numpy_dtype(np_dt)
     if mat is not None:
         if vector_col is not None:
-            flat = np.ascontiguousarray(mat, dtype=np.float64).reshape(-1)
+            flat = np.ascontiguousarray(mat, dtype=np_dt).reshape(-1)
             cols[vector_col] = pa.FixedSizeListArray.from_arrays(
-                pa.array(flat, pa.float64()), mat.shape[1]
+                pa.array(flat, pa_dt), mat.shape[1]
             )
         else:
             for j, name in enumerate(names):
-                cols[name] = pa.array(mat[:, j])
+                cols[name] = pa.array(mat[:, j].astype(np_dt, copy=False), pa_dt)
     return pa.table(cols)
 
 

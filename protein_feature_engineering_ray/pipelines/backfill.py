@@ -59,6 +59,8 @@ def make_backfill_fn(
     assign_turn_idx: bool = True,
     out_dir: str | None = None,
     dedup: bool = False,
+    vector_col: str | None = None,
+    out_dtype: str = "float64",
 ):
     names: list[str] = []
     for k in kernels:
@@ -95,7 +97,8 @@ def make_backfill_fn(
             "ts": table["ts"],
             "session_idx": pa.array(sid, pa.int64()),
         }
-        out = _feature_table(keys, mats, names)
+        out = _feature_table(keys, mats, names, vector_col=vector_col,
+                             out_dtype=out_dtype)
         if out_dir is not None:
             convs = ctx.n_segs
             meta = commit_bucket(
@@ -144,6 +147,8 @@ def backfill_to_dir(
     assign_turn_idx: bool = True,
     project: tuple[str, ...] | None = None,
     dedup: bool = False,
+    vector_col: str | None = None,
+    out_dtype: str = "float64",
 ) -> list[dict]:
     """Resumable partitioned backfill: skips buckets already committed (their
     ``_SUCCESS.json`` exists), atomically commits the rest, returns the
@@ -151,7 +156,10 @@ def backfill_to_dir(
 
     ``project`` prunes columns BEFORE the co-location exchange (shuffle bytes
     are the scaling currency at 100 TB — never ship ``text`` through the
-    shuffle when no kernel reads it)."""
+    shuffle when no kernel reads it).  ``vector_col``/``out_dtype="float32"``
+    pack the feature stack into one FixedSizeList<float32> column — halves
+    the output stream, the one term that cannot scale with cpu count on a
+    single node (BASELINE.md)."""
     if project is not None:
         ds = ds.select_columns(list(project))
     done = completed_buckets(out_dir)
@@ -160,6 +168,7 @@ def backfill_to_dir(
     fn = make_backfill_fn(
         kernels, alphabet, gap_seconds=gap_seconds,
         assign_turn_idx=assign_turn_idx, out_dir=out_dir, dedup=dedup,
+        vector_col=vector_col, out_dtype=out_dtype,
     )
     if done:
         done_arr = np.array(sorted(done), dtype=np.uint32)

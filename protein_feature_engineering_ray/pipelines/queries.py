@@ -696,7 +696,13 @@ def q_minhash_dedup(sf):
     from protein_feature_engineering_ray.stages.dedup import minhash_dedup
 
     docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_dedup(docs, threshold=0.8).select_columns(["doc_id"])
+    # num_buckets sized to the sf-scale doc count (shuffle-task floor
+    # dominates tiny inputs) and in-band verification (2 fewer barriers;
+    # the "joins" path is the low-byte default at corpus scale) — outputs
+    # are identical, tested in test_minhash_verify_modes_agree
+    return minhash_dedup(
+        docs, threshold=0.8, num_buckets=16, verify="inband"
+    ).select_columns(["doc_id"])
 
 
 def q_simhash(sf):

@@ -173,12 +173,16 @@ def _banded_rows(
     bands: int,
     rows_per_band: int,
     coarse_buckets: int = 64,
+    carry_sig: bool = False,
 ) -> ray.data.Dataset:
     """Explode signatures to (id, band, band_hash, _bucket) rows.  The
     coarse ``_bucket`` (band_hash % coarse_buckets) is what Ray shuffles on —
     a few fat groups, with exact per-(band, band_hash) grouping done
     vectorized in pandas inside each bucket (NOT one Ray group per tiny LSH
-    key: that costs ~10ms scheduler overhead per key)."""
+    key: that costs ~10ms scheduler overhead per key).  ``carry_sig`` ships
+    the packed signature with every banded row (×bands byte inflation) so
+    the band group can VERIFY in place — the fewer-barriers tradeoff of
+    ``minhash_dedup(verify="inband")``."""
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -192,13 +196,15 @@ def _banded_rows(
             out_ids.append(ids)
             out_band.append(np.full(len(ids), bi, dtype=np.int32))
             out_hash.append(h.astype(np.uint64))
-        return pa.table(
-            {
-                id_col: pa.array(np.concatenate(out_ids)),
-                "band": pa.array(np.concatenate(out_band), pa.int32()),
-                "band_hash": pa.array(np.concatenate(out_hash), pa.uint64()),
-            }
-        )
+        cols = {
+            id_col: pa.array(np.concatenate(out_ids)),
+            "band": pa.array(np.concatenate(out_band), pa.int32()),
+            "band_hash": pa.array(np.concatenate(out_hash), pa.uint64()),
+        }
+        if carry_sig:
+            one = [row.tobytes() for row in sig]
+            cols["minhash"] = pa.array(one * bands, pa.binary())
+        return pa.table(cols)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = (
@@ -252,6 +258,7 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    coarse_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Distinct star-edge candidate pairs ``(id_a < id_b)`` from banded LSH:
     within every (band, band_hash) group each member pairs with the group
@@ -259,7 +266,7 @@ def minhash_candidate_pairs(
     components pass recovers full clusters — so candidate volume stays
     O(group size), not O(group size^2)."""
 
-    base = _banded_rows(sigs, id_col, bands, rows_per_band)
+    base = _banded_rows(sigs, id_col, bands, rows_per_band, coarse_buckets)
 
     def collect_pairs(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
@@ -286,6 +293,61 @@ def minhash_candidate_pairs(
     # skipping the global (id_a, id_b) dedupe saves one full shuffle.
     return (
         base.groupby("_bucket").map_groups(collect_pairs, batch_format="pandas")
+    )
+
+
+def verified_edges_inband(
+    packed_sigs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+    coarse_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Star-edge candidates AND signature-Jaccard verification in ONE
+    shuffle: each banded row carries its packed signature, so a (band,
+    band_hash) group verifies its members against the group min in place —
+    no join round-trips.  Trades ×bands signature bytes through the shuffle
+    for 2 fewer barriers; ``minhash_dedup(verify="joins")`` is the
+    low-byte alternative."""
+    base = _banded_rows(
+        packed_sigs, id_col, bands, rows_per_band, coarse_buckets,
+        carry_sig=True,
+    )
+
+    def collect_verify(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
+        g = g[sizes >= 2]
+        if len(g) == 0:
+            idt = g[id_col].dtype if id_col in g else np.int64
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=idt),
+                 "id_b": pd.Series([], dtype=idt),
+                 "sig_jaccard": pd.Series([], dtype=np.float64)}
+            )
+        g = g.sort_values(["band", "band_hash", id_col], kind="mergesort")
+        S = np.stack(
+            [np.frombuffer(v, dtype=np.uint64) for v in g["minhash"]]
+        )
+        # index of each row's group-first row, fully vectorized
+        n = len(g)
+        gb = g.groupby(["band", "band_hash"], sort=False)
+        first_idx = np.repeat(
+            np.concatenate([[0], np.cumsum(gb.size().to_numpy())[:-1]]),
+            gb.size().to_numpy(),
+        )
+        sim = (S == S[first_idx]).mean(axis=1)
+        ids = g[id_col].to_numpy()
+        is_first = np.arange(n) == first_idx
+        keep = (~is_first) & (sim >= threshold)
+        out = pd.DataFrame(
+            {"id_a": ids[first_idx[keep]], "id_b": ids[keep],
+             "sig_jaccard": sim[keep]}
+        )
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    return (
+        base.groupby("_bucket").map_groups(collect_verify, batch_format="pandas")
     )
 
 
@@ -418,6 +480,7 @@ def minhash_dedup(
     threshold: float = 0.8,
     num_buckets: int = 64,
     cc_local_threshold: int = 2_000_000,
+    verify: str = "joins",
 ) -> ray.data.Dataset:
     """Full near-dup pipeline: signature -> banded LSH star-edge candidates
     -> join-verified signature Jaccard -> connected components -> keep the
@@ -430,15 +493,30 @@ def minhash_dedup(
     edge list (O(dup pairs), strictly smaller): union-find driver-side while
     it is provably small (``edges.count() <= cc_local_threshold``, a few MB
     — drops then broadcast once via ``ray.put``), distributed min-label
-    propagation + anti-join beyond that (a dup-heavy 100 TB corpus)."""
+    propagation + anti-join beyond that (a dup-heavy 100 TB corpus).
+
+    ``verify``: "joins" (default — signatures shuffled once, candidate
+    pairs verified via two bucket joins; lowest total bytes) or "inband"
+    (signatures ride into the band groups and verify in place — ×bands
+    shuffle bytes but 2 fewer barriers; faster when latency floors dominate,
+    e.g. modest corpora on many cores)."""
     rows_per_band = num_perm // bands
     packed = pack_signatures(
         minhash_signatures(ds, id_col, text_col, num_perm, shingle_k), id_col
-    ).materialize()  # reused by candidates AND both verify joins
-    pairs = minhash_candidate_pairs(packed, id_col, bands, rows_per_band)
-    edges = verify_pairs(
-        pairs, packed, id_col, threshold, num_buckets
-    ).materialize()
+    )
+    if verify == "inband":
+        edges = verified_edges_inband(
+            packed, id_col, bands, rows_per_band, threshold,
+            coarse_buckets=num_buckets,
+        ).materialize()
+    else:
+        packed = packed.materialize()  # reused by candidates AND both joins
+        pairs = minhash_candidate_pairs(
+            packed, id_col, bands, rows_per_band, coarse_buckets=num_buckets
+        )
+        edges = verify_pairs(
+            pairs, packed, id_col, threshold, num_buckets
+        ).materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return ds

@@ -306,3 +306,25 @@ def test_embed_to_dir_resume(tmp_path):
     assert sorted(m["bucket"] for m in manifest2) == done[:2]
     got = read(part)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_minhash_verify_modes_agree():
+    """verify='joins' (low shuffle bytes) and verify='inband' (fewer
+    barriers) must keep exactly the same documents."""
+    from protein_feature_engineering_ray.stages.dedup import minhash_dedup
+
+    rng = np.random.default_rng(61)
+    words = [f"w{i}" for i in range(250)]
+    texts = [" ".join(rng.choice(words, size=40)) for _ in range(50)]
+    for i in range(8):
+        src = texts[i].split()
+        src[3] = "ALT"
+        texts.append(" ".join(src))
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df)
+    a = set(minhash_dedup(ds, threshold=0.5, num_buckets=8)
+            .to_pandas()["doc_id"])
+    b = set(minhash_dedup(ds, threshold=0.5, num_buckets=8, verify="inband")
+            .to_pandas()["doc_id"])
+    assert a == b
+    assert len(a) == 50

@@ -442,3 +442,31 @@ def test_ctdd_chunked_equivalence():
         .to_pandas().sort_values("conv_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(whole, chunked)
+
+
+def test_backfill_float32_packed_output(tmp_path):
+    """vector_col + float32 output: same rows/keys, features packed into one
+    FixedSizeList<float32> column matching the float64 named columns to
+    float32 precision."""
+    d64 = str(tmp_path / "f64")
+    d32 = str(tmp_path / "f32")
+    ds = synth_transcripts(n_convs=12, duplicates=False)
+    backfill_to_dir(ds, d64, num_buckets=4, alphabet=ALPHA, order_cols=ORDER,
+                    assign_turn_idx=False)
+    backfill_to_dir(
+        synth_transcripts(n_convs=12, duplicates=False), d32, num_buckets=4,
+        alphabet=ALPHA, order_cols=ORDER, assign_turn_idx=False,
+        vector_col="features", out_dtype="float32",
+    )
+    a = _read_sorted(d64).drop(columns=["bucket"], errors="ignore")
+    b = _read_sorted(d32).drop(columns=["bucket"], errors="ignore")
+    assert len(a) == len(b)
+    feat_cols = [c for c in a.columns
+                 if c not in ("conv_id", "turn_idx", "ts", "session_idx")]
+    assert list(b.columns) == ["conv_id", "turn_idx", "ts", "session_idx",
+                               "features"]
+    packed = np.stack(b["features"].to_numpy())
+    assert packed.dtype == np.float32
+    np.testing.assert_allclose(
+        packed, a[feat_cols].to_numpy(), rtol=1e-6, atol=1e-6
+    )
