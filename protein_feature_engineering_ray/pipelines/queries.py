@@ -778,6 +778,57 @@ def q_embed_docs(sf):
     )
 
 
+def q_model_tokens(sf):
+    """Token-budget accounting of the embed stage (whitespace tokens capped
+    at truncation_seq_length), bit-exact against SQL."""
+    from protein_feature_engineering_ray.stages.embed import embed_docs
+
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return embed_docs(docs, dim=8, concurrency=2).select_columns(
+        ["doc_id", "n_model_tokens"]
+    )
+
+
+SQL_MODEL_TOKENS = """SELECT doc_id,
+    CAST(least(len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')), 512) AS BIGINT)
+      AS n_model_tokens
+FROM documents"""
+
+
+def q_knn_exact(sf):
+    """Exact top-5 cosine neighbor MEMBERSHIP per query (ids only — float
+    ranks are summation-order-sensitive, the id set is not), oracle-checked
+    against DuckDB list_cosine_similarity."""
+    from protein_feature_engineering_ray.stages.similarity import knn_brute
+
+    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+
+    def qfilter(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.less(t["vec_id"], 4))
+
+    qdf = vecs.map_batches(qfilter, batch_format="pyarrow").to_pandas()
+    Q = np.stack(qdf["embedding"].to_numpy())
+    nbrs = knn_brute(vecs, Q, qdf["vec_id"].to_numpy(), k=5)
+    return nbrs[["query_id", "nbr_id"]].astype(np.int64)
+
+
+SQL_KNN_EXACT = """WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+ s AS (SELECT q.qid, e.vec_id AS nid,
+              list_cosine_similarity(q.qe, e.embedding) AS c
+       FROM q CROSS JOIN embeddings e),
+ r AS (SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn
+       FROM s)
+SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS nbr_id
+FROM r WHERE rn <= 5"""
+
+
 def q_media(sf):
     from protein_feature_engineering_ray.stages.multimodal import (
         media_features,
@@ -826,6 +877,8 @@ QUERIES: dict[str, Callable] = {
     "lang_quality": q_lang_quality,
     "minhash_dedup": q_minhash_dedup,
     "embed_docs": q_embed_docs,
+    "model_tokens": q_model_tokens,
+    "knn_exact": q_knn_exact,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
     "knn_brute": q_knn,
@@ -863,6 +916,8 @@ ORACLES: dict[str, str] = {
     "frames": _sql_frames(),
     "asof_orders": SQL_ASOF_ORDERS,
     "token_count": SQL_TOKEN_COUNT,
+    "model_tokens": SQL_MODEL_TOKENS,
+    "knn_exact": SQL_KNN_EXACT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "multihot": _sql_multihot(),
     "property_lookup": _sql_lookup(),
