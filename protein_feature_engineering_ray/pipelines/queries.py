@@ -829,6 +829,39 @@ SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS nbr_id
 FROM r WHERE rn <= 5"""
 
 
+def q_ngram_jaccard(sf):
+    """Exact word-trigram Jaccard for every (doc, doc+1) pair — the
+    distributed ngram verifier over the whole corpus, bit-exact vs SQL
+    (integer set counts + one division)."""
+    from protein_feature_engineering_ray.stages.dedup import pairwise_ngram_jaccard
+
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pairwise_ngram_jaccard(docs, num_buckets=16)
+
+
+SQL_NGRAM_JACCARD = """WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents),
+ g AS (SELECT doc_id, list_distinct(
+         CASE WHEN len(ws) = 0 THEN []
+              WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+              ELSE list_transform(generate_series(1, len(ws) - 2),
+                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         END) AS gs
+       FROM w),
+ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              len(a.gs) AS na, len(b.gs) AS nb,
+              len(list_intersect(a.gs, b.gs)) AS i
+       FROM g a JOIN g b ON b.doc_id = a.doc_id + 1)
+SELECT id_a, id_b,
+  CASE WHEN na + nb - i = 0 THEN 1.0
+       ELSE CAST(i AS DOUBLE) / (na + nb - i) END AS jaccard
+FROM p"""
+
+
 def q_media(sf):
     from protein_feature_engineering_ray.stages.multimodal import (
         media_features,
@@ -879,6 +912,7 @@ QUERIES: dict[str, Callable] = {
     "embed_docs": q_embed_docs,
     "model_tokens": q_model_tokens,
     "knn_exact": q_knn_exact,
+    "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
     "knn_brute": q_knn,
@@ -918,6 +952,7 @@ ORACLES: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "model_tokens": SQL_MODEL_TOKENS,
     "knn_exact": SQL_KNN_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
     "exact_dedup": SQL_EXACT_DEDUP,
     "multihot": _sql_multihot(),
     "property_lookup": _sql_lookup(),

@@ -612,6 +612,130 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(ga & gb) / len(ga | gb)
 
 
+def pairwise_ngram_jaccard(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_buckets: int = 32,
+    partner_offset: int = 1,
+) -> ray.data.Dataset:
+    """EXACT word-k-gram Jaccard for every ``(id, id+offset)`` pair — the
+    distributed form of the ``ngram_jaccard`` verifier: pairs co-located by
+    one bucket_join, similarity computed fully vectorized per batch (flat
+    token arrays -> k-gram tuple-hashes -> per-(row, side) distinct -> a
+    single sort counting two-side hash matches).  Output: (id_a, id_b,
+    jaccard)."""
+    import pyarrow.compute as pc
+
+    def addp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_partner", pc.add(t[id_col], partner_offset)
+        )
+
+    left = ds.map_batches(addp, batch_format="pyarrow")
+    j = bucket_join(
+        left, ds, on=["_partner"], right_on=[id_col], how="inner",
+        num_buckets=num_buckets,
+        left_cols=[id_col, text_col, "_partner"],
+        right_cols=[id_col, text_col], right_suffix="_b",
+    )
+
+    def _gram_hashes(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(row_id, gram_hash) pairs, distinct per row.  Rows with >= k words
+        hash shifted word-hash k-tuples; shorter non-empty rows hash the
+        joined string (a j<k-word gram can never string-equal a k-word gram,
+        so the mixed encodings cannot create false matches)."""
+        arr = pc.split_pattern_regex(
+            pc.fill_null(pa.array(texts, pa.string()), ""), r"\s+"
+        )
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten()
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = tok_len > 0
+        rid_all = np.repeat(np.arange(len(texts)), np.diff(offsets))
+        words = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        wh = pd.util.hash_array(words[keep]).astype(np.uint64)
+        rid = rid_all[keep]
+        nw = np.bincount(rid, minlength=len(texts))
+        # contiguous per-row layout (already sorted by rid)
+        rids_out, hashes_out = [], []
+        longm = nw[rid] >= k
+        if longm.any():
+            lh, lr = wh[longm], rid[longm]
+            cols = {f"h{s}": lh[s:len(lh) - (k - 1 - s)] for s in range(k)}
+            same = lr[: len(lr) - (k - 1)] == lr[k - 1:]
+            gh = pd.util.hash_pandas_object(
+                pd.DataFrame(cols), index=False
+            ).to_numpy().astype(np.uint64)
+            rids_out.append(lr[: len(lr) - (k - 1)][same])
+            hashes_out.append(gh[same])
+        shortm = (nw > 0) & (nw < k)
+        if shortm.any():
+            srows = np.flatnonzero(shortm)
+            joined = np.array(
+                [" ".join(words[keep][rid == r]) for r in srows], dtype=object
+            )
+            rids_out.append(srows)
+            hashes_out.append(pd.util.hash_array(joined).astype(np.uint64))
+        if not rids_out:
+            return np.empty(0, np.int64), np.empty(0, np.uint64)
+        rr = np.concatenate(rids_out)
+        hh = np.concatenate(hashes_out)
+        # distinct per row
+        order = np.lexsort((hh, rr))
+        rr, hh = rr[order], hh[order]
+        first = np.empty(len(rr), dtype=bool)
+        if len(rr):
+            first[0] = True
+            first[1:] = (rr[1:] != rr[:-1]) | (hh[1:] != hh[:-1])
+        return rr[first], hh[first]
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        n = len(t)
+        ta = np.asarray(t[text_col].to_numpy(zero_copy_only=False), dtype=object)
+        tb = np.asarray(
+            t[text_col + "_b"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        ra, ha = _gram_hashes(ta)
+        rb, hb = _gram_hashes(tb)
+        na = np.bincount(ra, minlength=n)
+        nb = np.bincount(rb, minlength=n)
+        # intersection: distinct per side, so a (row, hash) match appears as
+        # one adjacent A/B pair after the joint sort
+        rr = np.concatenate([ra, rb])
+        hh = np.concatenate([ha, hb])
+        side = np.concatenate(
+            [np.zeros(len(ra), np.int8), np.ones(len(rb), np.int8)]
+        )
+        order = np.lexsort((side, hh, rr))
+        rr, hh = rr[order], hh[order]
+        if len(rr) > 1:
+            dup = (rr[1:] == rr[:-1]) & (hh[1:] == hh[:-1])
+            inter = np.bincount(rr[1:][dup], minlength=n)
+        else:
+            inter = np.zeros(n, dtype=np.int64)
+        union = na + nb - inter
+        jac = np.where(union == 0, 1.0, inter / np.where(union == 0, 1, union))
+        return pa.table(
+            {
+                "id_a": t[id_col],
+                "id_b": t["_partner"],
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
 def embedding_neardup(
     ds: ray.data.Dataset,
     id_col: str = "vec_id",

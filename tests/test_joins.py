@@ -328,3 +328,27 @@ def test_minhash_verify_modes_agree():
             .to_pandas()["doc_id"])
     assert a == b
     assert len(a) == 50
+
+
+def test_pairwise_ngram_jaccard_matches_reference_fn():
+    """Vectorized hash-based trigram Jaccard == the per-pair exact helper,
+    including short (<k words), empty and whitespace-only docs."""
+    from protein_feature_engineering_ray.stages.dedup import (
+        ngram_jaccard,
+        pairwise_ngram_jaccard,
+    )
+
+    rng = np.random.default_rng(71)
+    words = [f"w{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(words, size=int(n)))
+             for n in rng.integers(0, 30, size=40)]
+    texts += ["", "  ", "one", "two words", texts[0]]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    out = (
+        pairwise_ngram_jaccard(ray.data.from_pandas(df), num_buckets=4)
+        .to_pandas().sort_values("id_a").reset_index(drop=True)
+    )
+    assert len(out) == len(texts) - 1
+    for _, r in out.iterrows():
+        want = ngram_jaccard(texts[int(r.id_a)], texts[int(r.id_b)])
+        assert r.jaccard == want, (r.id_a, r.id_b, r.jaccard, want)
