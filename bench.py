@@ -228,7 +228,10 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N; GRAFT_SCALING_LO/HI override (e.g. 7/28 leaves cores of
+    # headroom against noisy-neighbor jitter at full machine width)
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     runs_lo = [one(lo) for _ in range(repeats)]
     runs_hi = [one(hi) for _ in range(repeats)]
     bf_lo = min(r["value"] for r in runs_lo)

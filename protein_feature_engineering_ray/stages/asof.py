@@ -9,8 +9,10 @@ SAME conversation — a per-conversation backward sort-merge as-of join.
 
 Distribution: both sides take the same stable ``hash(conv_id) % B`` bucket,
 are tagged and unioned (one schema superset), and each bucket joins locally
-with ``pd.merge_asof(by=conv_id)`` — one shuffle, no unsorted partition ever
-materializes, matching the north-star streaming constraint.
+with a vectorized sort + running-maximum scan (rights ordered before lefts
+at equal ts; one ``np.maximum.accumulate`` finds each turn's latest visible
+timeline row) — one shuffle, no unsorted partition ever materializes,
+matching the north-star streaming constraint.
 
 Tie/ordering semantics (documented invariant):
 - backward join, exact matches allowed (``feat_ts == ts`` is visible);
@@ -98,31 +100,92 @@ def asof_join(
     right = timeline.map_batches(tag_right, batch_format="pyarrow")
     both = left.union(right)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["_bucket"])
-        lhs = g[g["_src"] == 0].drop(columns=["_src"] + feature_cols
-                                     + (["_tb"] if tiebreak else []))
-        rhs = g[g["_src"] == 1][["conv_id", "_ats"] + feature_cols
-                                + (["_tb"] if tiebreak else [])]
-        # stable deterministic right order; last among equal keys wins
-        sort_keys = ["_ats"] + (["_tb"] if tiebreak else [])
-        rhs = rhs.sort_values(sort_keys, kind="mergesort")
+    from protein_feature_engineering_ray.core.bucket import segment_starts
+
+    def _empty_out() -> pa.Table:
+        cols = {c: pa.array([], turn_types[c]) for c in turn_cols}
+        for f in feature_cols:
+            cols[f] = pa.array([], pa.float64())
+        return pa.table(cols)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        """Vectorized per-bucket backward as-of join (no pandas merge_asof):
+        both sides sorted by (conv, ts) — rights additionally by tiebreak,
+        rights ORDERED BEFORE lefts at equal ts (exact matches visible) —
+        then one ``np.maximum.accumulate`` over right-row indices gives each
+        left row its latest visible right row; a conv-equality check voids
+        matches that leaked across a conversation boundary."""
+        import pyarrow.compute as pc
+
+        if g.num_columns == 0:
+            return _empty_out()
+        if "_bucket" in g.column_names:
+            g = g.drop_columns(["_bucket"])
+        side = g["_src"]
+        L = g.filter(pc.equal(side, 0)).select(list(turn_cols) + ["_ats"])
+        rsel = ["conv_id", "_ats"] + feature_cols + (["_tb"] if tiebreak else [])
+        R = g.filter(pc.equal(side, 1)).select(rsel)
+        nl, nr = len(L), len(R)
+        if nl == 0:
+            return _empty_out()
         if assign_turn_idx_by is not None:
             # placeholder turn_idx (-1) from events-derived sources: assign
             # the canonical per-conversation index inside the co-located
             # bucket (same rule as ConvContext.pos)
-            lhs = lhs.sort_values(["conv_id"] + assign_turn_idx_by, kind="mergesort")
-            lhs["turn_idx"] = lhs.groupby("conv_id", sort=False).cumcount().astype(
-                "int32"
+            keys = [("conv_id", "ascending")] + [
+                (c, "ascending") for c in assign_turn_idx_by
+            ]
+            L = L.take(pc.sort_indices(L, sort_keys=keys))
+            conv_tmp = np.asarray(
+                L["conv_id"].to_numpy(zero_copy_only=False), dtype=object
             )
-        lhs = lhs.sort_values("_ats", kind="mergesort")
-        out = pd.merge_asof(
-            lhs, rhs, on="_ats", by="conv_id", direction="backward",
-            allow_exact_matches=True,
+            starts = segment_starts(conv_tmp)
+            seg = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
+            pos = (np.arange(nl) - starts[seg]).astype(np.int32)
+            L = L.set_column(
+                L.column_names.index("turn_idx"), "turn_idx",
+                pa.array(pos, pa.int32()),
+            )
+        L = L.take(pc.sort_indices(
+            L, sort_keys=[("conv_id", "ascending"), ("_ats", "ascending")]
+        ))
+        rkeys = [("conv_id", "ascending"), ("_ats", "ascending")] + (
+            [("_tb", "ascending")] if tiebreak else []
         )
-        if tiebreak:
-            out = out.drop(columns=["_tb"])
-        return out.drop(columns=["_ats"])
+        R = R.take(pc.sort_indices(R, sort_keys=rkeys))
+        conv_l = np.asarray(
+            L["conv_id"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        conv_r = np.asarray(
+            R["conv_id"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        ats_l = L["_ats"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ats_r = R["_ats"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        conv_all = np.concatenate([conv_r, conv_l])
+        ats_all = np.concatenate([ats_r, ats_l])
+        side_all = np.concatenate(
+            [np.zeros(nr, np.int8), np.ones(nl, np.int8)]
+        )
+        # rights before lefts at equal (conv, ts); stable, so equal-key
+        # rights keep their (ts, tiebreak) order and max index = last wins
+        order = np.lexsort((side_all, ats_all, conv_all))
+        marker = np.where(order < nr, order, -1)
+        last = np.maximum.accumulate(marker)
+        left_pos = np.flatnonzero(order >= nr)
+        l_idx = order[left_pos] - nr
+        lastr = last[left_pos]
+        valid = lastr >= 0
+        if valid.any():
+            vv = np.flatnonzero(valid)
+            valid[vv] = conv_r[lastr[vv]] == conv_l[l_idx[vv]]
+        cols = {c: L[c] for c in turn_cols}
+        li, ri = l_idx[valid], lastr[valid]
+        for f in feature_cols:
+            fv = R[f].to_numpy(zero_copy_only=False).astype(np.float64)
+            out = np.full(nl, np.nan)
+            out[li] = fv[ri]
+            cols[f] = pa.array(out, pa.float64())
+        return pa.table(cols)
 
     from protein_feature_engineering_ray.config import tune_data_context
 
@@ -130,6 +193,6 @@ def asof_join(
     joined = (
         add_bucket(both, num_buckets)
         .groupby("_bucket")
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(join_bucket, batch_format="pyarrow")
     )
     return joined
