@@ -241,26 +241,28 @@ def run_scaling() -> dict:
     n_turns = runs_hi[0]["n_turns"]
     return {
         "metric": (
-            "scaling efficiency at num_cpus 8 vs 32 (fresh processes, same "
+            "scaling efficiency at num_cpus %d vs %d (fresh processes, same "
             "input, min of %d): descriptor_sweep = 14-family conv-descriptor "
             "extraction (cpu-bound, the reference's primary pipeline); "
             "backfill = per-turn feature backfill incl. partitioned output "
             "(its large output stream is DRAM/store-bandwidth-bound on ONE "
             "node; that resource scales per node on a real cluster)"
-        ) % repeats,
+        ) % (lo, hi, repeats),
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
         "n_turns": n_turns,
-        "sweep_sec_8": sw_lo,
-        "sweep_sec_32": sw_hi,
-        "sweep_turns_per_sec_32": round(n_turns / sw_hi, 1),
+        "sweep_sec_lo": sw_lo,
+        "sweep_sec_hi": sw_hi,
+        "sweep_turns_per_sec_hi": round(n_turns / sw_hi, 1),
         "scaling_efficiency": round((sw_lo / sw_hi) / (hi / lo), 3),
-        "backfill_sec_8": bf_lo,
-        "backfill_sec_32": bf_hi,
-        "backfill_turns_per_sec_32": round(n_turns / bf_hi, 1),
+        "backfill_sec_lo": bf_lo,
+        "backfill_sec_hi": bf_hi,
+        "backfill_turns_per_sec_hi": round(n_turns / bf_hi, 1),
         "backfill_scaling_efficiency": round((bf_lo / bf_hi) / (hi / lo), 3),
-        "backfill_sec_8_all": [r["value"] for r in runs_lo],
-        "backfill_sec_32_all": [r["value"] for r in runs_hi],
-        "sweep_sec_8_all": [r["sweep_sec"] for r in runs_lo],
-        "sweep_sec_32_all": [r["sweep_sec"] for r in runs_hi],
+        "backfill_sec_lo_all": [r["value"] for r in runs_lo],
+        "backfill_sec_hi_all": [r["value"] for r in runs_hi],
+        "sweep_sec_lo_all": [r["sweep_sec"] for r in runs_lo],
+        "sweep_sec_hi_all": [r["sweep_sec"] for r in runs_hi],
         "sf": runs_hi[0]["sf"],
     }
 

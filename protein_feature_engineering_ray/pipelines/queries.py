@@ -635,15 +635,13 @@ def q_ctdd(sf):
     return _conv(sf, [("CTDD", {})])
 
 
-def q_ctdd_chunked(sf):
-    """Skew path: the two-pass chunked CTDD (rank statistics routed to
-    chunks) against the SAME bit-exact oracle as q_ctdd.  chunk_size is tiny
-    here so sf-scale conversations genuinely span many chunks."""
+def _canonical(sf):
+    """events -> canonical transcripts with true per-conversation turn_idx
+    (one co-location pass; the chunked executors require a valid index)."""
     import pyarrow as pa
 
     from protein_feature_engineering_ray.core.bucket import grouped_buckets
     from protein_feature_engineering_ray.core.context import ConvContext
-    from protein_feature_engineering_ray.functions.ctdd_chunked import ctdd_chunked
 
     def assign(table: pa.Table) -> pa.Table:
         ctx = ConvContext(table, EVENT_ALPHABET)
@@ -651,12 +649,34 @@ def q_ctdd_chunked(sf):
         idx = table.column_names.index("turn_idx")
         return table.set_column(idx, "turn_idx", pa.array(ti, pa.int32()))
 
-    canon = grouped_buckets(
+    return grouped_buckets(
         from_events(sf), assign, num_buckets=NB, order_cols=ORDER
     )
+
+
+def q_ctdd_chunked(sf):
+    """Skew path: the two-pass chunked CTDD (rank statistics routed to
+    chunks) against the SAME bit-exact oracle as q_ctdd.  chunk_size is tiny
+    here so sf-scale conversations genuinely span many chunks."""
+    from protein_feature_engineering_ray.functions.ctdd_chunked import ctdd_chunked
+
     return ctdd_chunked(
-        canon, make_kernel("CTDD", EVENT_ALPHABET)[1], alphabet=EVENT_ALPHABET,
-        chunk_size=16, num_buckets=NB,
+        _canonical(sf), make_kernel("CTDD", EVENT_ALPHABET)[1],
+        alphabet=EVENT_ALPHABET, chunk_size=16, num_buckets=NB,
+    )
+
+
+def q_comp_chunked(sf):
+    """Skew path: salted partial-count aggregation (conv_features_chunked)
+    for AAC + DPC against the same bit-exact oracles' math — one combined
+    query checked against the AAC⋈DPC SQL."""
+    from protein_feature_engineering_ray.core.executor import conv_features_chunked
+
+    ks = [make_kernel("AAC", EVENT_ALPHABET)[1],
+          make_kernel("DPC", EVENT_ALPHABET)[1]]
+    return conv_features_chunked(
+        _canonical(sf), ks, alphabet=EVENT_ALPHABET, chunk_size=16,
+        num_buckets=NB,
     )
 
 
@@ -904,6 +924,7 @@ QUERIES: dict[str, Callable] = {
     "dde": q_dde,
     "ctdd": q_ctdd,
     "ctdd_chunked": q_ctdd_chunked,
+    "comp_chunked": q_comp_chunked,
     "autocorr": q_autocorr,
     "pseudo_order": q_pseudo,
     "zscore_aac": q_zscore_aac,
@@ -936,6 +957,10 @@ ORACLES: dict[str, str] = {
     "egaac": _sql_egaac(4),
     "ctdd": _sql_ctdd(),
     "ctdd_chunked": _sql_ctdd(),
+    "comp_chunked": (
+        f"SELECT * FROM ({_sql_aac()}) a JOIN ({_sql_ngram(2, 'dpc', True)}) d"
+        " USING (conv_id)"
+    ),
     "ctdt": _sql_ctdt(),
     "stride_k2": _sql_stride(2, 1),
     "lambda_k2": _sql_lambda(2, 2),
