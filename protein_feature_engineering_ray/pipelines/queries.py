@@ -680,6 +680,25 @@ def q_comp_chunked(sf):
     )
 
 
+def q_acc(sf):
+    """Cross-covariance + ACC block (feature.py:1670-1789 analogues):
+    value series vs the z-scaled role property series (rows-only — float
+    accumulation; pandas-oracle covered in pytest)."""
+    return _conv(sf, [("CC", {"nlag": 3}), ("ACC", {"nlag": 3})])
+
+
+def q_triads(sf):
+    """CTriad / KSCTriad grouped-triad descriptors (feature.py:2052-2148;
+    rows-only — ÷max scaling is float)."""
+    return _conv(sf, [("CTriad", {}), ("KSCTriad", {"kspace": 2})])
+
+
+def q_asdc(sf):
+    """ASDC skip-pair composition (feature.py:2539-2571; horizon-capped
+    O(n·cap) form; rows-only)."""
+    return _conv(sf, [("ASDC", {"max_skip": 64})])
+
+
 def q_autocorr(sf):
     return _conv(
         sf,
@@ -925,6 +944,9 @@ QUERIES: dict[str, Callable] = {
     "ctdd": q_ctdd,
     "ctdd_chunked": q_ctdd_chunked,
     "comp_chunked": q_comp_chunked,
+    "acc": q_acc,
+    "triads": q_triads,
+    "asdc": q_asdc,
     "autocorr": q_autocorr,
     "pseudo_order": q_pseudo,
     "zscore_aac": q_zscore_aac,
