@@ -751,6 +751,20 @@ def q_simhash(sf):
     return simhash64(docs)
 
 
+def q_simhash_dedup(sf):
+    """Full SimHash near-dup removal (banded 64-bit fingerprints with
+    guaranteed candidate recall for <= max_hamming flips, exact popcount
+    verify, connected components; rows-only)."""
+    from protein_feature_engineering_ray.stages.dedup import simhash_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return simhash_dedup(
+        docs, max_hamming=3, bands=4, num_buckets=16
+    ).select_columns(["doc_id"])
+
+
 def q_embedding_neardup(sf):
     from protein_feature_engineering_ray.stages.dedup import embedding_neardup
 
@@ -957,6 +971,7 @@ QUERIES: dict[str, Callable] = {
     "knn_exact": q_knn_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
+    "simhash_dedup": q_simhash_dedup,
     "embedding_neardup": q_embedding_neardup,
     "knn_brute": q_knn,
     "knn_partition": q_knn_partition,

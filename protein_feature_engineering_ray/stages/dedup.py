@@ -517,13 +517,29 @@ def minhash_dedup(
         edges = verify_pairs(
             pairs, packed, id_col, threshold, num_buckets
         ).materialize()
+    return drop_component_dups(
+        ds, edges, id_col, num_buckets, cc_local_threshold
+    )
+
+
+def drop_component_dups(
+    ds: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    id_col: str,
+    num_buckets: int = 64,
+    cc_local_threshold: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Keep the min id of every connected component of ``edges`` (a
+    MATERIALIZED (id_a, id_b) dataset), drop the rest from ``ds``.
+
+    Edge-count-gated: union-find driver-side while the edge list is provably
+    small (it is O(dup pairs), never O(corpus); drops broadcast once via
+    ``ray.put``), distributed min-label propagation + anti-join beyond."""
     n_edges = edges.count()
     if n_edges == 0:
         return ds
 
     if n_edges <= cc_local_threshold:
-        # bounded local path: the edge list (not signatures, not candidates)
-        # is small; classic union-find, then one broadcast filter
         epdf = edges.select_columns(["id_a", "id_b"]).to_pandas()
         parent: dict = {}
 
@@ -569,29 +585,139 @@ def minhash_dedup(
 # simhash
 # ---------------------------------------------------------------------------
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (uint8-view table lookup)."""
+    return (
+        _POP8[np.ascontiguousarray(x).view(np.uint8)]
+        .reshape(len(x), 8)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
 def simhash64(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:
-    """64-bit simhash over word unigrams (sign of per-bit weighted sums)."""
+    """64-bit simhash over word unigrams (sign of per-bit weighted sums).
+    Vectorized across the batch: one flat token-hash array, per-(doc, bit)
+    vote accumulation — no per-document Python loop."""
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_numpy(zero_copy_only=False)
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, txt in enumerate(texts):
-            words = (txt or "").split()
-            if not words:
-                continue
-            h = pd.util.hash_array(np.asarray(words, dtype=object)).astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
+        import pyarrow.compute as pc
+
+        texts = pc.fill_null(t[text_col], "")
+        toks = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = tok_len > 0
+        rid = np.repeat(np.arange(len(t)), np.diff(offsets))[keep]
+        words = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)[keep]
+        out = np.zeros(len(t), dtype=np.uint64)
+        if len(words):
+            h = pd.util.hash_array(words).astype(np.uint64)
+            bits = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+            ).astype(np.int8)
+            votes = np.zeros((len(t), 64), dtype=np.int64)
+            np.add.at(votes, rid, 2 * bits - 1)
+            pos = votes > 0
+            weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+            out = (pos.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64
             )
-            votes = (2 * bits - 1).sum(axis=0)
-            out[i] = np.packbits(
-                (votes > 0).astype(np.uint8)[::-1]
-            ).view(">u8")[0]
+            # empty docs voted nowhere: all-zero rows stay 0 like before
         return pa.table({id_col: t[id_col], "simhash": pa.array(out, pa.uint64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    num_buckets: int = 64,
+    cc_local_threshold: int = 2_000_000,
+) -> ray.data.Dataset:
+    """SimHash near-dup removal with GUARANTEED candidate recall: the 64-bit
+    fingerprint splits into ``bands`` equal bit-bands; a pair within
+    ``max_hamming`` bit flips must (pigeonhole, for max_hamming < bands)
+    share at least one intact band, so grouping by each band key finds every
+    such pair.  Star-edge candidates carry both fingerprints (8 bytes — the
+    cheap in-band verify), exact popcount Hamming filters them, connected
+    components keep the min id per cluster (same machinery as
+    minhash_dedup)."""
+    assert max_hamming < bands, "recall guarantee needs max_hamming < bands"
+    fps = simhash64(ds, id_col, text_col)
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def explode(t: pa.Table) -> pa.Table:
+        fp = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_ids, out_band, out_key, out_fp = [], [], [], []
+        for b in range(bands):
+            key = (fp >> np.uint64(b * width)) & mask
+            out_ids.append(ids)
+            out_band.append(np.full(len(t), b, dtype=np.int8))
+            out_key.append(key)
+            out_fp.append(fp)
+        bcol = np.concatenate(out_band)
+        kcol = np.concatenate(out_key)
+        cell = bcol.astype(np.uint64) << np.uint64(48) | kcol
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids)),
+                "band": pa.array(bcol, pa.int8()),
+                "bkey": pa.array(kcol, pa.uint64()),
+                "fp": pa.array(np.concatenate(out_fp), pa.uint64()),
+                "_bucket": pa.array(
+                    (cell * np.uint64(2654435761)) % np.uint64(num_buckets),
+                    pa.uint64(),
+                ),
+            }
+        )
+
+    def collect_verify(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["band", "bkey"])[id_col].transform("size")
+        g = g[sizes >= 2]
+        if len(g) == 0:
+            idt = g[id_col].dtype if id_col in g else np.int64
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=idt),
+                 "id_b": pd.Series([], dtype=idt)}
+            )
+        g = g.sort_values(["band", "bkey", id_col], kind="mergesort")
+        gb = g.groupby(["band", "bkey"], sort=False)
+        sz = gb.size().to_numpy()
+        first_idx = np.repeat(
+            np.concatenate([[0], np.cumsum(sz)[:-1]]), sz
+        )
+        fp = g["fp"].to_numpy().astype(np.uint64)
+        ham = _popcount64(np.bitwise_xor(fp, fp[first_idx]))
+        ids = g[id_col].to_numpy()
+        is_first = np.arange(len(g)) == first_idx
+        keep = (~is_first) & (ham <= max_hamming)
+        return pd.DataFrame(
+            {"id_a": ids[first_idx[keep]], "id_b": ids[keep]}
+        ).drop_duplicates()
+
+    edges = (
+        fps.map_batches(explode, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(collect_verify, batch_format="pandas")
+        .materialize()
+    )
+    return drop_component_dups(
+        ds, edges, id_col, num_buckets, cc_local_threshold
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -352,3 +352,66 @@ def test_pairwise_ngram_jaccard_matches_reference_fn():
     for _, r in out.iterrows():
         want = ngram_jaccard(texts[int(r.id_a)], texts[int(r.id_b)])
         assert r.jaccard == want, (r.id_a, r.id_b, r.jaccard, want)
+
+
+def test_simhash64_vectorized_matches_per_doc_reference():
+    from protein_feature_engineering_ray.stages.dedup import simhash64
+
+    rng = np.random.default_rng(83)
+    words = [f"w{i}" for i in range(80)]
+    texts = [" ".join(rng.choice(words, size=int(n)))
+             for n in rng.integers(0, 40, size=25)] + ["", "  ", "solo"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = (simhash64(ray.data.from_pandas(df)).to_pandas()
+           .sort_values("doc_id")["simhash"].to_numpy())
+    for i, t in enumerate(texts):
+        ws = (t or "").split()
+        if not ws:
+            assert got[i] == 0
+            continue
+        h = pd.util.hash_array(np.asarray(ws, dtype=object)).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+                ).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        want = int(np.packbits((votes > 0).astype(np.uint8)[::-1]).view(">u8")[0])
+        assert int(got[i]) == want, i
+
+
+def test_simhash_dedup_guaranteed_recall():
+    """Pairs within max_hamming bit flips MUST be caught (pigeonhole over
+    the fingerprint bands); distant docs survive."""
+    from protein_feature_engineering_ray.stages.dedup import (
+        simhash64,
+        simhash_dedup,
+    )
+
+    rng = np.random.default_rng(89)
+    words = [f"w{i}" for i in range(400)]
+    texts = [" ".join(rng.choice(words, size=60)) for _ in range(30)]
+    # near-copies: change ONE word of a 60-word doc -> tiny fingerprint drift
+    for i in range(6):
+        src = texts[i].split()
+        src[7] = "XX"
+        texts.append(" ".join(src))
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df)
+    fps = (simhash64(ds).to_pandas().sort_values("doc_id")["simhash"]
+           .to_numpy().astype(np.uint64))
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    # choose the threshold from the actual drift so the test is deterministic
+    drifts = [ham(fps[i], fps[30 + i]) for i in range(6)]
+    thr = max(drifts)
+    assert thr < 8  # one word in 60 moves few bits
+    out = simhash_dedup(
+        ray.data.from_pandas(df), max_hamming=thr, bands=thr + 1,
+        num_buckets=8,
+    ).to_pandas()
+    kept = set(out["doc_id"])
+    for i in range(6):
+        assert (30 + i) not in kept or i not in kept  # one of the pair dropped
+        assert (i in kept) or (30 + i in kept)
+    # mutually-distant originals survive
+    assert len(kept & set(range(6, 30))) == 24
