@@ -722,6 +722,16 @@ def q_zscore_aac(sf):
     return zscore(feats, [f"aac_{s}" for s in LETTERS])
 
 
+def q_minmax_aac(sf):
+    """Global min-max scaling of the AAC block (streaming partial+final
+    stats; NaN -> column mean rule, feature.py:5059-5082 analogue;
+    rows-only — the mean fill is float accumulation)."""
+    from protein_feature_engineering_ray.stages.normalize import minmax
+
+    feats = _conv(sf, [("AAC", {})])
+    return minmax(feats, [f"aac_{s}" for s in LETTERS])
+
+
 def q_lang_quality(sf):
     from protein_feature_engineering_ray.stages.text import lang_id, text_quality
 
@@ -964,6 +974,7 @@ QUERIES: dict[str, Callable] = {
     "autocorr": q_autocorr,
     "pseudo_order": q_pseudo,
     "zscore_aac": q_zscore_aac,
+    "minmax_aac": q_minmax_aac,
     "lang_quality": q_lang_quality,
     "minhash_dedup": q_minhash_dedup,
     "embed_docs": q_embed_docs,

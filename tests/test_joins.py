@@ -415,3 +415,40 @@ def test_simhash_dedup_guaranteed_recall():
         assert (i in kept) or (30 + i in kept)
     # mutually-distant originals survive
     assert len(kept & set(range(6, 30))) == 24
+
+
+def test_bucket_join_randomized_vs_pandas_merge():
+    """Randomized cross-check: every join mode equals the pandas-merge
+    ground truth on random frames with duplicate keys, null-free int keys,
+    and disjoint/overlapping key ranges."""
+    rng = np.random.default_rng(97)
+    for trial in range(3):
+        nl, nr = int(rng.integers(0, 25)), int(rng.integers(0, 25))
+        L = pd.DataFrame({
+            "k": rng.integers(0, 12, size=nl),
+            "x": rng.normal(size=nl),
+        })
+        R = pd.DataFrame({
+            "id": rng.integers(0, 12, size=nr),
+            "y": rng.normal(size=nr),
+        })
+        lds, rds = ray.data.from_pandas(L), ray.data.from_pandas(R)
+        for how, ref in (
+            ("inner", lambda: L.merge(R, left_on="k", right_on="id")
+                .drop(columns="id")),
+            ("left_outer", lambda: L.merge(R, left_on="k", right_on="id",
+                                           how="left").drop(columns="id")),
+            ("left_semi", lambda: L[L["k"].isin(R["id"])]),
+            ("left_anti", lambda: L[~L["k"].isin(R["id"])]),
+        ):
+            got = bucket_join(lds, rds, on=["k"], right_on=["id"], how=how,
+                              num_buckets=5).to_pandas()
+            want = ref().reset_index(drop=True)
+            if len(want) == 0:
+                assert len(got) == 0, (trial, how)
+                continue
+            sort_cols = [c for c in got.columns]
+            got = got.sort_values(sort_cols).reset_index(drop=True)
+            want = (want[got.columns].sort_values(sort_cols)
+                    .reset_index(drop=True))
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
