@@ -98,14 +98,62 @@ def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hash k-word shingles of a document to uint64."""
-    words = text.split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    return pd.util.hash_array(np.asarray(shingles, dtype=object)).astype(np.uint64)
+def _batch_shingle_hashes(
+    texts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hashes of every k-word shingle of every text, flattened, plus
+    per-row offsets — ONE Arrow tokenize + ONE vectorized hash pass for the
+    whole batch (no per-document Python loop).  k-shingles hash their word-
+    hash k-tuple; rows with < k words hash the joined string (empty rows
+    hash "")."""
+    import pyarrow.compute as pc
+
+    arr = pc.split_pattern_regex(
+        pc.fill_null(pa.array(texts, pa.string()), ""), r"\s+"
+    )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten()
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    keep = tok_len > 0  # .split() semantics: drop empty split artifacts
+    n = len(texts)
+    rid = np.repeat(np.arange(n), np.diff(offs))[keep]
+    words = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)[keep]
+    wh = pd.util.hash_array(words).astype(np.uint64) if len(words) else (
+        np.empty(0, np.uint64)
+    )
+    nw = np.bincount(rid, minlength=n)
+    row_start = np.concatenate([[0], np.cumsum(nw)])
+    out_h = []
+    out_rid = []
+    longm = nw[rid] >= k if len(rid) else np.empty(0, bool)
+    if longm.any():
+        lh, lr = wh[longm], rid[longm]
+        cols = {f"h{s}": lh[s:len(lh) - (k - 1 - s)] for s in range(k)}
+        same = lr[: len(lr) - (k - 1)] == lr[k - 1:]
+        gh = pd.util.hash_pandas_object(
+            pd.DataFrame(cols), index=False
+        ).to_numpy().astype(np.uint64)
+        out_h.append(gh[same])
+        out_rid.append(lr[: len(lr) - (k - 1)][same])
+    shortm = nw < k  # includes empty rows -> "" shingle, like text.split()
+    if shortm.any():
+        srows = np.flatnonzero(shortm)
+        joined = np.array(
+            [" ".join(words[row_start[r]:row_start[r + 1]]) for r in srows],
+            dtype=object,
+        )
+        out_h.append(pd.util.hash_array(joined).astype(np.uint64))
+        out_rid.append(srows)
+    if not out_h:
+        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+    hh = np.concatenate(out_h)
+    rr = np.concatenate(out_rid)
+    order = np.argsort(rr, kind="stable")
+    hh = hh[order]
+    counts = np.bincount(rr, minlength=n)
+    return hh, np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
 
 def minhash_signatures(
@@ -116,17 +164,26 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 1,
 ) -> ray.data.Dataset:
-    """Per-doc minhash signature (list<uint64>[num_perm]) — stateless map."""
+    """Per-doc minhash signature (list<uint64>[num_perm]) — stateless map,
+    vectorized: the whole batch's shingles hash in one pass, then each
+    permutation is one ``(a*h + b) % p`` array op + one
+    ``np.minimum.reduceat`` segment-min (loop over the 64 permutations, not
+    over thousands of documents)."""
     a, b = _minhash_params(num_perm, seed)
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_numpy(zero_copy_only=False)
-        sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
-        for i, txt in enumerate(texts):
-            h = _shingle_hashes(txt or "", shingle_k)
-            # (a*h + b) mod p, min over shingles, vectorized over perms
-            v = (h[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
-            sigs[i] = v.min(axis=1)
+        texts = np.asarray(
+            t[text_col].to_numpy(zero_copy_only=False), dtype=object
+        )
+        n = len(texts)
+        h, offs = _batch_shingle_hashes(texts, shingle_k)
+        sigs = np.full((n, num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
+        if len(h):
+            nonempty = np.diff(offs) > 0  # every row has >= 1 shingle here
+            starts = offs[:-1][nonempty]
+            for j in range(num_perm):
+                v = (h * a[j] + b[j]) % np.uint64(_MERSENNE)
+                sigs[nonempty, j] = np.minimum.reduceat(v, starts)
         return pa.table(
             {
                 id_col: t[id_col],
@@ -801,8 +858,13 @@ def pairwise_ngram_jaccard(
         shortm = (nw > 0) & (nw < k)
         if shortm.any():
             srows = np.flatnonzero(shortm)
+            # tokens are contiguous per row in the rid-sorted flat array:
+            # slice by cumulative counts, no per-row rescans
+            row_start = np.concatenate([[0], np.cumsum(nw)])
+            wk = words[keep]
             joined = np.array(
-                [" ".join(words[keep][rid == r]) for r in srows], dtype=object
+                [" ".join(wk[row_start[r]:row_start[r + 1]]) for r in srows],
+                dtype=object,
             )
             rids_out.append(srows)
             hashes_out.append(pd.util.hash_array(joined).astype(np.uint64))

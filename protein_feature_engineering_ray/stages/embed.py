@@ -45,10 +45,20 @@ class HashProjectionModel:
         self.truncation = truncation_seq_length
 
     def token_lengths(self, texts: np.ndarray) -> np.ndarray:
-        return np.array(
-            [min(len((t or "").split()), self.truncation) for t in texts],
-            dtype=np.int64,
+        """Truncated whitespace token counts — one Arrow tokenize + one
+        segment count for the batch (equals len(t.split()) per row)."""
+        import pyarrow.compute as pc
+
+        arr = pc.split_pattern_regex(
+            pc.fill_null(pa.array(texts, pa.string()), ""), r"\s+"
         )
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        tok_len = pc.utf8_length(arr.flatten()).to_numpy(zero_copy_only=False)
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        rid = np.repeat(np.arange(len(texts)), np.diff(offs))
+        nw = np.bincount(rid[tok_len > 0], minlength=len(texts))
+        return np.minimum(nw, self.truncation).astype(np.int64)
 
     def encode(self, texts: list[str]) -> np.ndarray:
         """One micro-batch forward pass (the GPU-call analogue)."""
