@@ -73,10 +73,19 @@ def knn_brute(
             }
         )
 
-    # running per-query state: sims (nq, k) and ids (nq, k) object-padded
+    parts = corpus.map_batches(partial, batch_format="pyarrow")
+    return _streaming_topk(parts, nq, k, query_ids)
+
+
+def _streaming_topk(
+    parts: "ray.data.Dataset", nq: int, k: int, query_ids: np.ndarray
+) -> pd.DataFrame:
+    """Fold a (q, nbr, sim) partials Dataset into per-query top-k with
+    O(nq·k) driver memory: each arriving batch merges into one running
+    (nq, k) state via ``iter_batches`` — a streaming reduce, never a concat
+    of all block partials."""
     run_sim = np.full((nq, 0), -np.inf)
     run_nbr = np.empty((nq, 0), dtype=object)
-    parts = corpus.map_batches(partial, batch_format="pyarrow")
     for b in parts.iter_batches(batch_format="pandas", batch_size=None):
         if len(b) == 0:
             continue
@@ -246,18 +255,5 @@ def ivf_knn(
             }
         )
 
-    parts = corpus.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = []
-    for qi, g in parts.groupby("q"):
-        g = g.nlargest(k, "sim")
-        out.append(
-            pd.DataFrame(
-                {
-                    "query_id": query_ids[qi],
-                    "rank": np.arange(len(g)),
-                    "nbr_id": g["nbr"].to_numpy(),
-                    "cosine": g["sim"].to_numpy(),
-                }
-            )
-        )
-    return pd.concat(out, ignore_index=True)
+    parts = corpus.map_batches(partial, batch_format="pyarrow")
+    return _streaming_topk(parts, len(Q), k, query_ids)
