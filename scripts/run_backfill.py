@@ -32,6 +32,12 @@ def main() -> int:
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--events", action="store_true",
                    help="input is an events table (derive transcripts)")
+    p.add_argument("--vector-col", default=None,
+                   help="pack all features into ONE FixedSizeList column "
+                        "of this name (wide stacks / output bandwidth)")
+    p.add_argument("--float32", action="store_true",
+                   help="write features as float32 (halves the output "
+                        "stream; float64 is the bit-compat default)")
     args = p.parse_args()
 
     import ray
@@ -88,6 +94,8 @@ def main() -> int:
         ds, args.out, num_buckets=num_buckets, alphabet=alphabet,
         turn_specs=turn_specs, gap_seconds=gap_seconds,
         order_cols=order_cols, assign_turn_idx=assign_turn_idx,
+        vector_col=args.vector_col,
+        out_dtype="float32" if args.float32 else "float64",
     )
     wall = time.perf_counter() - t0
     manifest = read_manifest(args.out)
