@@ -200,11 +200,28 @@ def _sig_matrix(col, n: int) -> np.ndarray:
     """Signature column -> (n, num_perm) uint64; accepts FixedSizeList,
     Ray's tensor extension (post-pandas round-trips), or packed binary
     (the join-transport encoding — Acero joins reject list payloads)."""
-    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+    if hasattr(col, "type") and (
+        pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type)
+    ):
         vals = col.to_numpy(zero_copy_only=False)
-        return np.stack([np.frombuffer(v, dtype=np.uint64) for v in vals])
+        # one C-level join + one frombuffer (rows are fixed-width)
+        return np.frombuffer(b"".join(vals), dtype=np.uint64).reshape(n, -1)
     raw = col.to_numpy(zero_copy_only=False)
     return np.stack(list(raw)).astype(np.uint64).reshape(n, -1)
+
+
+def _pack_rows(m: np.ndarray) -> pa.Array:
+    """(n, w) uint64 -> fixed-width binary column, zero per-row Python: one
+    contiguous byte buffer + arithmetic offsets."""
+    n, w = m.shape
+    width = w * 8
+    data = np.ascontiguousarray(m).tobytes()  # row-major = per-row bytes
+    offsets = pa.array(
+        np.arange(0, (n + 1) * width, width, dtype=np.int32), pa.int32()
+    )
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(data)]
+    )
 
 
 def pack_signatures(
@@ -214,12 +231,7 @@ def pack_signatures(
 
     def pack(t: pa.Table) -> pa.Table:
         m = _sig_matrix(t["minhash"], len(t))
-        return pa.table(
-            {
-                id_col: t[id_col],
-                "minhash": pa.array([row.tobytes() for row in m], pa.binary()),
-            }
-        )
+        return pa.table({id_col: t[id_col], "minhash": _pack_rows(m)})
 
     return sigs.map_batches(pack, batch_format="pyarrow")
 
@@ -259,8 +271,7 @@ def _banded_rows(
             "band_hash": pa.array(np.concatenate(out_hash), pa.uint64()),
         }
         if carry_sig:
-            one = [row.tobytes() for row in sig]
-            cols["minhash"] = pa.array(one * bands, pa.binary())
+            cols["minhash"] = _pack_rows(np.tile(sig, (bands, 1)))
         return pa.table(cols)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -383,9 +394,9 @@ def verified_edges_inband(
                  "sig_jaccard": pd.Series([], dtype=np.float64)}
             )
         g = g.sort_values(["band", "band_hash", id_col], kind="mergesort")
-        S = np.stack(
-            [np.frombuffer(v, dtype=np.uint64) for v in g["minhash"]]
-        )
+        S = np.frombuffer(
+            b"".join(g["minhash"]), dtype=np.uint64
+        ).reshape(len(g), -1)
         # index of each row's group-first row, fully vectorized
         n = len(g)
         gb = g.groupby(["band", "band_hash"], sort=False)
