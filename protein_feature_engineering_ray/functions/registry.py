@@ -34,6 +34,12 @@ def _prop_table(a: Alphabet, params: dict) -> np.ndarray:
     return np.asarray(t, dtype=np.float64)
 
 
+def _conv_graph(a: Alphabet):
+    from protein_feature_engineering_ray.functions.graph import ConvGraph
+
+    return ConvGraph(list(a.letters))
+
+
 def _dist_table(a: Alphabet, params: dict) -> np.ndarray:
     t = params.get("dist_table")
     if t is None:
@@ -78,6 +84,9 @@ REGISTRY: dict[str, tuple[str, Callable[[Alphabet, dict[str, Any]], Any]]] = {
         _letters(a, p.get("grouped", True)), k=p.get("k", 2), lam=p.get("lam", 2),
         grouped=p.get("grouped", True))),
     "ConvSummary": ("conv", lambda a, p: comp.ConvSummary()),
+    # network-descriptor analogue (feature.py:4566-4623): role-transition
+    # interaction graph statistics, decomposable like DPC
+    "ConvGraph": ("conv", lambda a, p: _conv_graph(a)),
     "DistancePair": ("conv", lambda a, p: comp.DistancePair(
         _letters(a, True), distance=p.get("distance", 2))),
     # --- lag / autocorrelation (SURVEY §2.4) ---

@@ -699,6 +699,73 @@ def q_asdc(sf):
     return _conv(sf, [("ASDC", {"max_skip": 64})])
 
 
+def q_graph(sf):
+    """Conversation interaction-graph descriptors (the network-descriptor
+    analogue, feature.py:4566-4623): density / reciprocity / degree shares /
+    mean clustering of the role-transition graph — integer-count ratios,
+    bit-exact vs a generated SQL oracle."""
+    return _conv(sf, [("ConvGraph", {})])
+
+
+def _sql_graph() -> str:
+    A = len(LETTERS)
+    pairs = [(i, j) for i in range(A) for j in range(A) if i != j]
+    e_cols = ",\n    ".join(
+        f"MAX(CASE WHEN a = '{LETTERS[i]}' AND b = '{LETTERS[j]}' THEN 1 "
+        f"ELSE 0 END) AS e_{i}_{j}"
+        for i, j in pairs
+    )
+    u = {
+        (i, j): f"greatest(e_{i}_{j}, e_{j}_{i})"
+        for i in range(A) for j in range(A) if i < j
+    }
+
+    def U(i, j):
+        return u[(i, j) if i < j else (j, i)]
+
+    n_dir = " + ".join(f"e_{i}_{j}" for i, j in pairs)
+    n_un = " + ".join(u.values())
+    n_rec = " + ".join(f"e_{i}_{j} * e_{j}_{i}" for (i, j) in u)
+    deg = {i: " + ".join(U(i, j) for j in range(A) if j != i) for i in range(A)}
+    deg_cols = ",\n    ".join(
+        f"CAST(d_{i} AS DOUBLE) / {A - 1} AS \"graphdeg_{LETTERS[i]}\""
+        for i in range(A)
+    )
+    tri = {
+        i: " + ".join(
+            f"{U(i, b)} * {U(i, c)} * {U(b, c)}"
+            for b in range(A) for c in range(b + 1, A)
+            if b != i and c != i
+        )
+        for i in range(A)
+    }
+    clust_terms = " + ".join(
+        f"(CASE WHEN d_{i} >= 2 THEN CAST(t_{i} AS DOUBLE) / "
+        f"(d_{i} * (d_{i} - 1) / 2.0) ELSE 0.0 END)"
+        for i in range(A)
+    )
+    mids = ",\n    ".join(
+        [f"({deg[i]}) AS d_{i}" for i in range(A)]
+        + [f"({tri[i]}) AS t_{i}" for i in range(A)]
+    )
+    return f"""{TRANSCRIPTS_SQL_CTE}, t2 AS (
+  SELECT conv_id, role AS a, lead(role) OVER ({WIN}) AS b FROM transcripts),
+ e AS (SELECT conv_id, {e_cols}
+       FROM t2 WHERE b IS NOT NULL AND a <> b GROUP BY conv_id),
+ m AS (SELECT conv_id, ({n_dir}) AS n_dir, ({n_un}) AS n_un,
+              ({n_rec}) AS n_rec,
+    {mids}
+       FROM e),
+ base AS (SELECT DISTINCT conv_id FROM transcripts)
+SELECT base.conv_id,
+  coalesce(CAST(n_dir AS DOUBLE) / {A * (A - 1)}, 0.0) AS graph_density,
+  coalesce(CASE WHEN n_un > 0 THEN CAST(n_rec AS DOUBLE) / n_un
+                ELSE 0.0 END, 0.0) AS graph_reciprocity,
+    {deg_cols.replace('CAST(', 'coalesce(CAST(').replace(f'/ {A - 1} AS', f'/ {A - 1}, 0.0) AS')},
+  coalesce(({clust_terms}) / {A}.0, 0.0) AS graph_clustering
+FROM base LEFT JOIN m ON m.conv_id = base.conv_id"""
+
+
 def q_autocorr(sf):
     return _conv(
         sf,
@@ -969,6 +1036,7 @@ QUERIES: dict[str, Callable] = {
     "ctdd_chunked": q_ctdd_chunked,
     "comp_chunked": q_comp_chunked,
     "acc": q_acc,
+    "graph": q_graph,
     "triads": q_triads,
     "asdc": q_asdc,
     "autocorr": q_autocorr,
@@ -1009,6 +1077,7 @@ ORACLES: dict[str, str] = {
         f"SELECT * FROM ({_sql_aac()}) a JOIN ({_sql_ngram(2, 'dpc', True)}) d"
         " USING (conv_id)"
     ),
+    "graph": _sql_graph(),
     "ctdt": _sql_ctdt(),
     "stride_k2": _sql_stride(2, 1),
     "lambda_k2": _sql_lambda(2, 2),

@@ -277,3 +277,61 @@ def test_multiple_kernels_one_pass(corpus):
     got = conv_features(ds, ks, alphabet=ALPHA, num_buckets=7).to_pandas()
     _compare(got, oracle.composition(pdf, ALPHA))
     _compare(got, oracle.ctdt(pdf, ALPHA))
+
+
+def test_conv_graph_descriptor_hand_computed():
+    """Role-transition interaction graph vs a hand-built example."""
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.core.context import ConvContext
+    from protein_feature_engineering_ray.functions.graph import ConvGraph
+    from protein_feature_engineering_ray.schema import Alphabet
+
+    alpha = Alphabet(letters=("a", "b", "c"), groups={"all": ("a", "b", "c")})
+    # conv1: a->b, b->a, b->c  => edges {ab, ba, bc}; undirected {ab, bc}
+    # conv2: single turn        => empty graph
+    df = pd.DataFrame({
+        "conv_id": ["c1"] * 4 + ["c2"],
+        "turn_idx": [0, 1, 2, 3, 0],
+        "role": ["a", "b", "a", "b", "a"],
+        "text": [""] * 5, "tool": [""] * 5,
+        "ts": pd.to_datetime([0, 1, 2, 3, 4], unit="s").astype("datetime64[us]"),
+    })
+    # adjust conv1 roles so pairs are a->b, b->a, a->b -> edges {ab, ba}
+    out = ConvGraph(list(alpha.letters)).apply(
+        ConvContext(pa.Table.from_pandas(df, preserve_index=False), alpha)
+    )
+    names = ConvGraph(list(alpha.letters)).names()
+    row1 = dict(zip(names, out[0]))
+    # conv1 directed edges: {a->b, b->a} = 2 of 6 possible
+    assert row1["graph_density"] == 2 / 6
+    assert row1["graph_reciprocity"] == 1.0  # the one unordered pair is reciprocated
+    assert row1["graphdeg_a"] == 1 / 2 and row1["graphdeg_b"] == 1 / 2
+    assert row1["graphdeg_c"] == 0.0
+    assert row1["graph_clustering"] == 0.0  # no triangles possible
+    row2 = dict(zip(names, out[1]))
+    assert all(row2[n] == 0.0 for n in names)
+
+
+def test_conv_graph_triangle():
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.core.context import ConvContext
+    from protein_feature_engineering_ray.functions.graph import ConvGraph
+    from protein_feature_engineering_ray.schema import Alphabet
+
+    alpha = Alphabet(letters=("a", "b", "c"), groups={"all": ("a", "b", "c")})
+    # path a b c a: edges ab, bc, ca -> undirected triangle
+    df = pd.DataFrame({
+        "conv_id": ["t"] * 4, "turn_idx": range(4),
+        "role": ["a", "b", "c", "a"],
+        "text": [""] * 4, "tool": [""] * 4,
+        "ts": pd.to_datetime(range(4), unit="s").astype("datetime64[us]"),
+    })
+    out = ConvGraph(list(alpha.letters)).apply(
+        ConvContext(pa.Table.from_pandas(df, preserve_index=False), alpha)
+    )
+    row = dict(zip(ConvGraph(list(alpha.letters)).names(), out[0]))
+    assert row["graph_density"] == 3 / 6
+    assert row["graph_reciprocity"] == 0.0
+    assert row["graph_clustering"] == 1.0  # every node closes the triangle

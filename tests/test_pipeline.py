@@ -350,6 +350,7 @@ def test_chunked_conv_lag_and_dde_equivalence():
     ds = ray.data.from_pandas(pdf)
     specs = [
         ("DDE", {}),
+        ("ConvGraph", {}),
         ("NMBroto", {"nlag": 3}),
         ("AC", {"nlag": 3}),
         ("Moran", {"nlag": 3}),
