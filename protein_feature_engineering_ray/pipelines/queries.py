@@ -885,6 +885,19 @@ def q_kmeans(sf):
     )
 
 
+def q_mcl(sf):
+    """Markov-cluster (MCL) attractor clustering in the fit/assign split —
+    the MarkvCluster analogue (rows-only; iterative flow simulation)."""
+    from protein_feature_engineering_ray.stages.reduce import kmeans_assign, mcl_fit
+
+    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    C = mcl_fit(vecs, vec_col="embedding", sample_limit=600,
+                sample_by="vec_id")
+    return kmeans_assign(vecs, C, vec_col="embedding").select_columns(
+        ["vec_id", "cluster"]
+    )
+
+
 def q_ivf_knn(sf):
     from protein_feature_engineering_ray.stages.similarity import ivf_knn
 
@@ -1057,6 +1070,7 @@ QUERIES: dict[str, Callable] = {
     "ivf_knn": q_ivf_knn,
     "pca": q_pca,
     "kmeans": q_kmeans,
+    "mcl": q_mcl,
     "media_features": q_media,
 }
 

@@ -140,3 +140,58 @@ def kmeans_assign(ds, centroids: np.ndarray, cols: list[str] | None = None,
         return t.append_column(out_col, pa.array(d.argmin(axis=1).astype(np.int32)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mcl_fit(ds, cols: list[str] | None = None, vec_col: str | None = None,
+            sample_limit: int = 2000, sample_by: str | None = None,
+            expand_factor: int = 2, inflate_factor: float = 2.0,
+            mult_factor: float = 2.0, max_loop: int = 200) -> np.ndarray:
+    """Markov-cluster attractor clustering (MCL, van Dongen, "Graph
+    Clustering by Flow Simulation", 2000) — the ``MarkvCluster`` analogue
+    (feature.py:5083-5154: correlation similarity with negatives zeroed and
+    no self-correlation, ``mult_factor`` self-loops, column-normalized flow
+    matrix iterated through inflation+expansion until idempotent, clusters
+    read off attractor rows), in the engine's fit/assign split: MCL runs on
+    a bounded UNBIASED sample (content-hash thinned, order-invariant), and
+    the returned cluster-mean centroids feed the distributed
+    ``kmeans_assign`` pass over the full corpus."""
+    X = _sample_matrix(ds, cols, vec_col, sample_limit, sample_by)
+    n = len(X)
+    if n == 0:
+        return np.empty((0, 0))
+    if n == 1:
+        return X.copy()
+    with np.errstate(invalid="ignore"):
+        S = np.corrcoef(X)
+    S = np.nan_to_num(S, nan=0.0)
+    S[S < 0] = 0.0
+    np.fill_diagonal(S, 0.0)
+    M = S + mult_factor * np.eye(n)
+
+    def _colnorm(A):
+        s = A.sum(axis=0, keepdims=True)
+        s[s == 0] = 1.0
+        return A / s
+
+    M = _colnorm(M)
+    for _ in range(max_loop):
+        prev = M
+        M = _colnorm(np.power(M, inflate_factor))
+        M = np.linalg.matrix_power(M, expand_factor)
+        if np.allclose(M, prev, atol=1e-12):
+            break
+    eps = 1e-9
+    # attractor rows own their clusters; every sample joins its first owner
+    label = np.full(n, -1, dtype=np.int64)
+    k = 0
+    for i in range(n):
+        if M[i, i] > eps:
+            members = np.flatnonzero((M[i] > eps) & (label < 0))
+            if len(members):
+                label[members] = k
+                k += 1
+    if (label < 0).any():  # orphans (no attractor row claims them)
+        label[label < 0] = k
+        k += 1
+    cents = np.stack([X[label == c].mean(axis=0) for c in range(k)])
+    return cents

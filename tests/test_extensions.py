@@ -187,3 +187,38 @@ def test_pca_kmeans():
     for t in range(3):
         vals, counts = np.unique(lab[truth == t], return_counts=True)
         assert counts.max() / counts.sum() > 0.95
+
+
+def test_mcl_fit_recovers_separated_clusters():
+    """MCL attractor clustering (fit on sample, distributed assign) finds
+    the planted well-separated clusters, invariant to input order."""
+    from protein_feature_engineering_ray.stages.reduce import (
+        kmeans_assign,
+        mcl_fit,
+    )
+
+    rng = np.random.default_rng(101)
+    # correlation similarity is shift-invariant per row: centers must have
+    # distinct PATTERNS (not just offsets) to correlate within-cluster
+    centers = np.array([
+        np.arange(8, dtype=float),
+        np.arange(8, dtype=float)[::-1],
+        np.array([4.0, -4.0] * 4),
+    ])
+    X = np.concatenate(
+        [c + rng.normal(scale=0.4, size=(50, 8)) for c in centers]
+    )
+    df = pd.DataFrame({"vec_id": np.arange(len(X)), "embedding": list(X)})
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    censuses = []
+    for frame in (df, shuffled):
+        ds = ray.data.from_pandas(frame)
+        C = mcl_fit(ds, vec_col="embedding", sample_limit=150,
+                    sample_by="vec_id")
+        assert len(C) == 3, f"expected 3 attractor clusters, got {len(C)}"
+        out = kmeans_assign(ds, C, vec_col="embedding").to_pandas()
+        censuses.append(
+            out.groupby("cluster").size().sort_index().to_numpy()
+        )
+    np.testing.assert_array_equal(censuses[0], censuses[1])
+    assert sorted(censuses[0]) == [50, 50, 50]
