@@ -885,6 +885,20 @@ def q_kmeans(sf):
     )
 
 
+def q_lda(sf):
+    """Supervised linear discriminant projection (Fisher LDA fit on a
+    bounded sample, distributed transform; rows-only)."""
+    from protein_feature_engineering_ray.stages.reduce import lda_fit, pca_transform
+
+    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    model = lda_fit(vecs, "label", vec_col="embedding", k=2,
+                    sample_by="vec_id")
+    return pca_transform(vecs, model, vec_col="embedding",
+                         out_prefix="ld").select_columns(
+        ["vec_id", "ld0", "ld1"]
+    )
+
+
 def q_mcl(sf):
     """Markov-cluster (MCL) attractor clustering in the fit/assign split —
     the MarkvCluster analogue (rows-only; iterative flow simulation)."""
@@ -1071,6 +1085,7 @@ QUERIES: dict[str, Callable] = {
     "pca": q_pca,
     "kmeans": q_kmeans,
     "mcl": q_mcl,
+    "lda": q_lda,
     "media_features": q_media,
 }
 

@@ -195,3 +195,48 @@ def mcl_fit(ds, cols: list[str] | None = None, vec_col: str | None = None,
         k += 1
     cents = np.stack([X[label == c].mean(axis=0) for c in range(k)])
     return cents
+
+
+def lda_fit(ds, label_col: str, cols: list[str] | None = None,
+            vec_col: str | None = None, k: int = 2,
+            sample_limit: int = 10000, sample_by: str | None = None,
+            reg: float = 1e-6) -> dict:
+    """Supervised linear discriminant projection (Fisher LDA) — the
+    reference's labeled-DR step (feature.py:4967-4981; NOTE the upstream
+    actually instantiates sklearn's LatentDirichletAllocation, a topic
+    model that ignores the labels it is handed — we take the intent to be
+    LinearDiscriminantAnalysis, the standard labeled companion to its
+    PCA/t-SNE).  Fit: class scatter matrices on a bounded unbiased sample,
+    top-k eigenvectors of (Sw + reg·I)^-1 Sb; returns the same broadcast
+    {mean, components} model shape as ``pca_fit`` so ``pca_transform``
+    projects the full corpus distributed."""
+    df = bounded_sample(ds, sample_limit, sample_by).to_pandas()
+    if vec_col is not None:
+        X = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+    else:
+        X = df[cols].to_numpy(dtype=np.float64)
+    y = df[label_col].to_numpy()
+    # canonical order for order-invariant eig tie-breaks
+    order = np.lexsort(X.T[::-1])
+    X, y = X[order], y[order]
+    mean = X.mean(axis=0)
+    d = X.shape[1]
+    Sw = np.zeros((d, d))
+    Sb = np.zeros((d, d))
+    for c in np.unique(y):
+        Xc = X[y == c]
+        mc = Xc.mean(axis=0)
+        Z = Xc - mc
+        Sw += Z.T @ Z
+        dm = (mc - mean)[:, None]
+        Sb += len(Xc) * (dm @ dm.T)
+    evals, evecs = np.linalg.eig(
+        np.linalg.solve(Sw + reg * np.eye(d), Sb)
+    )
+    evals, evecs = evals.real, evecs.real
+    top = np.argsort(-evals)[:k]
+    comps = evecs[:, top].T
+    comps = comps / np.linalg.norm(comps, axis=1, keepdims=True)
+    signs = np.sign(comps[np.arange(len(comps)),
+                          np.abs(comps).argmax(axis=1)])
+    return {"mean": mean, "components": comps * signs[:, None]}

@@ -222,3 +222,31 @@ def test_mcl_fit_recovers_separated_clusters():
         )
     np.testing.assert_array_equal(censuses[0], censuses[1])
     assert sorted(censuses[0]) == [50, 50, 50]
+
+
+def test_lda_fit_separates_classes():
+    from protein_feature_engineering_ray.stages.reduce import (
+        lda_fit,
+        pca_transform,
+    )
+
+    rng = np.random.default_rng(103)
+    # two classes separated along ONE noisy direction among 6
+    w = np.zeros(6)
+    w[2] = 4.0
+    X = np.concatenate([rng.normal(size=(80, 6)),
+                        w + rng.normal(size=(80, 6))])
+    y = np.array([0] * 80 + [1] * 80)
+    df = pd.DataFrame({"vec_id": np.arange(160), "embedding": list(X),
+                       "label": y})
+    ds = ray.data.from_pandas(df)
+    model = lda_fit(ds, "label", vec_col="embedding", k=1,
+                    sample_by="vec_id")
+    out = (pca_transform(ds, model, vec_col="embedding", out_prefix="ld")
+           .to_pandas().sort_values("vec_id"))
+    proj = out["ld0"].to_numpy()
+    a, b = proj[:80], proj[80:]
+    # classes well separated along the learned direction
+    gap = abs(a.mean() - b.mean())
+    spread = max(a.std(), b.std())
+    assert gap > 3 * spread
