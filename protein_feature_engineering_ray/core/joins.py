@@ -95,6 +95,18 @@ def bucket_join(
     def pad_right(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
             return pa.table({})
+        # SQL null-key semantics: a null join key matches nothing (pandas
+        # merge would match NaN keys to each other) — drop right rows with
+        # any null key; left null-key rows then fall through as non-matches
+        # (inner/semi drop them, left_outer/anti keep them unmatched).
+        import pyarrow.compute as pc
+
+        valid = None
+        for rk in right_on:
+            v = pc.is_valid(t[rk])
+            valid = v if valid is None else pc.and_(valid, v)
+        if valid is not None and not pc.all(valid).as_py():
+            t = t.filter(valid)
         cols = {}
         for lk, rk in zip(on, right_on):
             cols[lk] = t[rk]

@@ -179,8 +179,10 @@ class _LagBase:
         b = g + 3
         stats = np.zeros((nlag, 6))
         glob = np.zeros(3)
-        suffix: np.ndarray = np.zeros(0)  # last min(nlag, N) values, in order
-        prefix: np.ndarray = np.zeros(0)
+        # only a running SUFFIX (last min(nlag, N) values so far, in order) is
+        # needed: every cross-boundary pair has its head in the suffix and its
+        # tail in the incoming chunk's prefix values
+        suffix: np.ndarray = np.zeros(0)
         for row in rows:
             nr = int(row[g + 2])
             if nr == 0:
@@ -206,7 +208,6 @@ class _LagBase:
                     s[5] += 1
             stats += row[:g].reshape(nlag, 6)
             glob += row[g : g + 3]
-            prefix = np.concatenate([prefix, pre])[: min(nlag, int(glob[2]))]
             suffix = np.concatenate([suffix, suf])[-min(nlag, int(glob[2])):]
         return self._finalize_stats(stats, glob)
 

@@ -802,7 +802,9 @@ def q_minmax_aac(sf):
 def q_lang_quality(sf):
     from protein_feature_engineering_ray.stages.text import lang_id, text_quality
 
-    docs = ray.data.read_parquet(f"{sf}/documents.parquet")
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
     return lang_id(text_quality(docs, concurrency=2), concurrency=2).select_columns(
         ["doc_id", "n_words", "avg_word_len", "stopword_ratio", "lang_pred"]
     )

@@ -328,11 +328,16 @@ def minhash_candidate_pairs(
     rows_per_band: int = 4,
     coarse_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Distinct star-edge candidate pairs ``(id_a < id_b)`` from banded LSH:
-    within every (band, band_hash) group each member pairs with the group
-    min.  Stars are enough to CONNECT a group — the downstream connected-
-    components pass recovers full clusters — so candidate volume stays
-    O(group size), not O(group size^2)."""
+    """Distinct CHAIN-edge candidate pairs ``(id_a < id_b)`` from banded LSH:
+    within every (band, band_hash) group each member pairs with its sorted
+    PREDECESSOR.  Chains connect a group with the same O(group size) edge
+    volume as a star, but survive downstream threshold verification better:
+    a star loses the whole group when its hub fails verification against
+    everyone, a chain only splits at genuinely-dissimilar adjacent links.
+    (Residual limit, by design: verified-pair connectivity is still not
+    guaranteed for a group whose similar members are never adjacent in id
+    order AND fail against their neighbors — full pairs within small groups
+    would close that at O(size²) cost.)"""
 
     base = _banded_rows(sigs, id_col, bands, rows_per_band, coarse_buckets)
 
@@ -348,8 +353,11 @@ def minhash_candidate_pairs(
         g = g.sort_values(["band", "band_hash", id_col], kind="mergesort")
         first = g.groupby(["band", "band_hash"])[id_col].transform("first")
         m = (g[id_col] != first).to_numpy()
+        ids = g[id_col].to_numpy()
+        # rows are group-contiguous: each non-first row's predecessor row is
+        # its chain partner
         out = pd.DataFrame(
-            {"id_a": first.to_numpy()[m], "id_b": g[id_col].to_numpy()[m]}
+            {"id_a": ids[np.flatnonzero(m) - 1], "id_b": ids[m]}
         )
         # dedupe within the bucket; the cross-bucket dedupe is the groupby
         # below (the same pair can fire in several bands -> several buckets)
@@ -372,11 +380,12 @@ def verified_edges_inband(
     threshold: float = 0.8,
     coarse_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Star-edge candidates AND signature-Jaccard verification in ONE
+    """Chain-edge candidates AND signature-Jaccard verification in ONE
     shuffle: each banded row carries its packed signature, so a (band,
-    band_hash) group verifies its members against the group min in place —
-    no join round-trips.  Trades ×bands signature bytes through the shuffle
-    for 2 fewer barriers; ``minhash_dedup(verify="joins")`` is the
+    band_hash) group verifies each member against its sorted PREDECESSOR in
+    place — no join round-trips (chain vs star: see
+    ``minhash_candidate_pairs``).  Trades ×bands signature bytes through the
+    shuffle for 2 fewer barriers; ``minhash_dedup(verify="joins")`` is the
     low-byte alternative."""
     base = _banded_rows(
         packed_sigs, id_col, bands, rows_per_band, coarse_buckets,
@@ -397,19 +406,21 @@ def verified_edges_inband(
         S = np.frombuffer(
             b"".join(g["minhash"]), dtype=np.uint64
         ).reshape(len(g), -1)
-        # index of each row's group-first row, fully vectorized
+        # chain partner = the PREVIOUS row (rows are group-contiguous); the
+        # group-first row has no partner
         n = len(g)
         gb = g.groupby(["band", "band_hash"], sort=False)
+        sz = gb.size().to_numpy()
         first_idx = np.repeat(
-            np.concatenate([[0], np.cumsum(gb.size().to_numpy())[:-1]]),
-            gb.size().to_numpy(),
+            np.concatenate([[0], np.cumsum(sz)[:-1]]), sz
         )
-        sim = (S == S[first_idx]).mean(axis=1)
-        ids = g[id_col].to_numpy()
         is_first = np.arange(n) == first_idx
+        prev_idx = np.maximum(np.arange(n) - 1, 0)
+        sim = (S == S[prev_idx]).mean(axis=1)
+        ids = g[id_col].to_numpy()
         keep = (~is_first) & (sim >= threshold)
         out = pd.DataFrame(
-            {"id_a": ids[first_idx[keep]], "id_b": ids[keep],
+            {"id_a": ids[prev_idx[keep]], "id_b": ids[keep],
              "sig_jaccard": sim[keep]}
         )
         return out.drop_duplicates(["id_a", "id_b"])
@@ -471,10 +482,13 @@ def connected_components(
 ) -> ray.data.Dataset:
     """Min-label propagation over an undirected edge list (id_a, id_b) ->
     (node, label) with label = the component's minimum id.  Each iteration is
-    one join + one groupby over the EDGE set (O(dup pairs), never O(corpus));
-    converges in O(component diameter) rounds — near-dup clusters from star
-    edges have tiny diameters.  Labels are materialized per round so the
-    lineage does not grow with the iteration count."""
+    one neighbor-propagation join + one pointer-doubling join (label :=
+    label-of-label) over the EDGE/LABEL sets (O(dup pairs), never O(corpus)),
+    so convergence needs O(log diameter) rounds, not O(diameter) — a
+    chain-shaped component of 10^6 hops converges in ~20 rounds.  Labels are
+    materialized per round so the lineage does not grow with the iteration
+    count.  Raises if ``max_iters`` rounds still leave changing labels
+    (silent under-merging would under-drop duplicates)."""
 
     def fwd(t: pa.Table) -> pa.Table:
         return pa.table({"src": t["id_a"], "dst": t["id_b"]})
@@ -534,8 +548,30 @@ def connected_components(
         changed = stepped.sum("_chg")
         labels = stepped.drop_columns(["_chg"])
         if not changed:
-            break
-    return labels
+            return labels
+        # pointer doubling: label := min(label, label[label]).  label values
+        # are themselves node ids present in ``labels``, so one self-join
+        # shortcuts chains — min-label propagation alone needs O(diameter)
+        # rounds, with this step O(log diameter).
+        short = bucket_join(
+            labels, labels, on=["label"], right_on=["node"], how="inner",
+            num_buckets=num_buckets, right_suffix="_of",
+            left_cols=["node", "label"], right_cols=["node", "label"],
+        )
+
+        def jump(t: pa.Table) -> pa.Table:
+            a, b = t["label"], t["label_of"]
+            return pa.table(
+                {"node": t["node"],
+                 "label": pc.if_else(pc.less(b, a), b, a)}
+            )
+
+        labels = short.map_batches(jump, batch_format="pyarrow").materialize()
+    raise RuntimeError(
+        f"connected_components: labels still changing after {max_iters} "
+        "pointer-doubled rounds (component diameter > 2^"
+        f"{max_iters}?) — raise max_iters"
+    )
 
 
 def minhash_dedup(
@@ -625,13 +661,16 @@ def drop_component_dups(
                 # union by min id so the kept representative is the min
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        drop_set = {x for x in parent if find(x) != x}
-        drop_ref = ray.put(drop_set)
+        # broadcast the drop list as a pandas Index: hash-based vectorized
+        # membership per batch (a multi-million-entry drop set must never be
+        # probed by a per-row Python loop in the hot filter)
+        drop_idx = pd.Index({x for x in parent if find(x) != x})
+        drop_ref = ray.put(drop_idx)
 
         def filter_fn(t: pa.Table) -> pa.Table:
             d = ray.get(drop_ref)
             ids = t[id_col].to_numpy(zero_copy_only=False)
-            mask = np.asarray([i not in d for i in ids], dtype=bool)
+            mask = ~pd.Index(ids).isin(d)
             return t.filter(pa.array(mask))
 
         return ds.map_batches(filter_fn, batch_format="pyarrow")
@@ -718,7 +757,7 @@ def simhash_dedup(
     fingerprint splits into ``bands`` equal bit-bands; a pair within
     ``max_hamming`` bit flips must (pigeonhole, for max_hamming < bands)
     share at least one intact band, so grouping by each band key finds every
-    such pair.  Star-edge candidates carry both fingerprints (8 bytes — the
+    such pair.  Chain-edge candidates carry both fingerprints (8 bytes — the
     cheap in-band verify), exact popcount Hamming filters them, connected
     components keep the min id per cluster (same machinery as
     minhash_dedup)."""
@@ -768,13 +807,19 @@ def simhash_dedup(
         first_idx = np.repeat(
             np.concatenate([[0], np.cumsum(sz)[:-1]]), sz
         )
+        n = len(g)
+        # chain edges (member vs sorted predecessor) rather than star edges:
+        # see minhash_candidate_pairs — the pigeonhole guarantee covers
+        # CANDIDATE recall; chaining keeps verified-pair connectivity from
+        # hinging on one hub row
+        is_first = np.arange(n) == first_idx
+        prev_idx = np.maximum(np.arange(n) - 1, 0)
         fp = g["fp"].to_numpy().astype(np.uint64)
-        ham = _popcount64(np.bitwise_xor(fp, fp[first_idx]))
+        ham = _popcount64(np.bitwise_xor(fp, fp[prev_idx]))
         ids = g[id_col].to_numpy()
-        is_first = np.arange(len(g)) == first_idx
         keep = (~is_first) & (ham <= max_hamming)
         return pd.DataFrame(
-            {"id_a": ids[first_idx[keep]], "id_b": ids[keep]}
+            {"id_a": ids[prev_idx[keep]], "id_b": ids[keep]}
         ).drop_duplicates()
 
     edges = (

@@ -23,7 +23,14 @@ def conversation_skew(
     ds: ray.data.Dataset, key: str = "conv_id", top_k: int = 10
 ) -> dict:
     """Conversation-length stats: {n_convs, total_rows, p50, p95, p99, max,
-    top (list of (conv_id, rows))}."""
+    top (list of (conv_id, rows))}.
+
+    DIAGNOSTICS-ONLY helper, not a pipeline stage: the final
+    ``.to_pandas()`` materializes one row per conversation on the driver —
+    O(#conversations) driver memory.  Fine for planning runs (one int64 per
+    conv — 10^8 convs ≈ a few GB); for a quantiles-only probe at extreme
+    conv counts, sample conversations upstream (``bounded_sample`` on
+    conv_id) before calling."""
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({key: t[key].to_numpy(zero_copy_only=False)})
