@@ -179,9 +179,12 @@ def conv_features_chunked(
       plain per-conv summation.  Count kernels stay EXACTLY equal to the
       unchunked path (partials travel as float64; integer counts are exact
       well past 2^52).  Covers CompositionK / NGramComposition /
-      KSpacedPairs / CTDTransition / DDE and the raw-positional lag kernels
-      (SOCNumber / QSOrder / PAAC / APAAC, float partials — allclose, not
-      bit-equal, because chunk sums reorder float addition).
+      KSpacedPairs / CTDTransition / DDE, the absolute-position-grid
+      PseKRAAC kernels (StridedKTuple / LambdaKTuple — grid membership
+      reads the global ``turn_idx``, so per-chunk partials see the true
+      grid), and the raw-positional lag kernels (SOCNumber / QSOrder /
+      PAAC / APAAC, float partials — allclose, not bit-equal, because
+      chunk sums reorder float addition).
     - ORDER-mergeable (``counts`` + ``merge_ordered`` + ``lookback == 0``):
       kernels whose pair structure lives on a NaN-COMPACTED series (NMBroto
       / AC / Moran / Geary) emit self-contained per-chunk stats incl. the

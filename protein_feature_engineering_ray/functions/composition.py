@@ -478,11 +478,31 @@ class ASDC:
         return out / denom
 
 
+def _global_pos(ctx: ConvContext) -> np.ndarray:
+    """TRUE per-conversation position of each row.  In whole-conversation
+    buckets ``ctx.pos`` is it; in the salted chunked path segments are
+    ``conv#chunk`` slices, so the grid position must come from the (valid)
+    ``turn_idx`` column instead (the chunked executor's documented
+    contract)."""
+    if "turn_idx" in ctx.table.column_names:
+        ti = ctx.table["turn_idx"].to_numpy(zero_copy_only=False)
+        ti = np.asarray(ti, dtype=np.int64)
+        if (ti >= 0).all():
+            return ti
+    return ctx.pos.astype(np.int64)
+
+
 class StridedKTuple:
     """PseKRAAC ``gapModel`` analogue (feature.py:2722-2770): raw counts of
     adjacent k-tuples sampled at stride ``g+1`` — positions 0, g+1, 2(g+1), …
     — over the (optionally grouped) alphabet.  k in {1,2,3}; raw counts, not
-    normalized, exactly as the reference."""
+    normalized, exactly as the reference.
+
+    SUM-mergeable chunked protocol (counts/counts_width/finalize, lookback =
+    k-1): the absolute-position grid is chunk-computable because grid
+    membership depends only on the GLOBAL ``turn_idx`` (chunk_start + local),
+    and a tuple crossing a chunk boundary is counted by the chunk owning its
+    LAST row via the k-1-row context prefix."""
 
     def __init__(self, letters: list[str], k: int = 2, gap: int = 1, grouped: bool = True,
                  prefix: str = "stride"):
@@ -501,20 +521,31 @@ class StridedKTuple:
             for t in product(self.letters, repeat=self.k)
         ]
 
-    def apply(self, ctx: ConvContext) -> np.ndarray:
+    @property
+    def lookback(self):
+        return self.k - 1
+
+    @property
+    def counts_width(self):
+        return len(self.letters) ** self.k
+
+    def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
         codes, A, _ = _codes_of(ctx, self.grouped)
-        seg, pos, n = ctx.seg_of_row, ctx.pos, ctx.n
+        seg, n = ctx.seg_of_row, ctx.n
         stride = self.gap + 1
         out = np.zeros((ctx.n_segs, A**self.k), dtype=np.int64)
-        on_grid = pos % stride == 0
+        on_grid = _global_pos(ctx) % stride == 0
         if self.k == 1:
             sel = on_grid & (codes >= 0)
+            if anchor is not None:
+                sel = sel & anchor
             if sel.any():
                 np.add.at(out, (seg[sel], codes[sel]), 1)
-            return out.astype(np.float64)
+            return out
         k1 = self.k - 1
         if n > k1:
-            # tuple of ADJACENT positions starting at each grid point
+            # tuple of ADJACENT positions starting at each grid point,
+            # anchored (for chunk ownership) at its LAST row
             mask = (seg[:-k1] == seg[k1:]) & on_grid[:-k1]
             gram = codes[: n - k1].copy()
             ok = gram >= 0
@@ -523,14 +554,27 @@ class StridedKTuple:
                 gram = gram * A + nxt
                 ok &= nxt >= 0
             sel = mask & ok
+            if anchor is not None:
+                sel = sel & anchor[k1:]
             if sel.any():
-                np.add.at(out, (seg[:-k1][sel], gram[sel]), 1)
-        return out.astype(np.float64)
+                np.add.at(out, (seg[k1:][sel], gram[sel]), 1)
+        return out
+
+    def finalize(self, counts: np.ndarray) -> np.ndarray:
+        return counts.astype(np.float64)
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        return self.finalize(self.counts(ctx))
 
 
 class LambdaKTuple:
     """PseKRAAC ``lambdaModel`` analogue (feature.py:2772-2821): raw counts of
-    k-tuples at positions (j, j+λ, j+2λ) for every j (lag pairing)."""
+    k-tuples at positions (j, j+λ, j+2λ) for every j (lag pairing).
+
+    SUM-mergeable chunked protocol (lookback = λ·(k-1)): the pattern is
+    translation-invariant, so a tuple is counted by the chunk owning its
+    LAST row, with the λ·(k-1)-row context prefix supplying cross-boundary
+    heads."""
 
     def __init__(self, letters: list[str], k: int = 2, lam: int = 2, grouped: bool = True,
                  prefix: str = "lam"):
@@ -549,7 +593,15 @@ class LambdaKTuple:
             for t in product(self.letters, repeat=self.k)
         ]
 
-    def apply(self, ctx: ConvContext) -> np.ndarray:
+    @property
+    def lookback(self):
+        return self.lam * (self.k - 1)
+
+    @property
+    def counts_width(self):
+        return len(self.letters) ** self.k
+
+    def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
         codes, A, _ = _codes_of(ctx, self.grouped)
         seg, n = ctx.seg_of_row, ctx.n
         lam = self.lam
@@ -565,9 +617,17 @@ class LambdaKTuple:
                 gram = gram * A + nxt
                 ok &= nxt >= 0
             sel = mask & ok
+            if anchor is not None:
+                sel = sel & anchor[span:]
             if sel.any():
-                np.add.at(out, (seg[:m][sel], gram[sel]), 1)
-        return out.astype(np.float64)
+                np.add.at(out, (seg[span:][sel], gram[sel]), 1)
+        return out
+
+    def finalize(self, counts: np.ndarray) -> np.ndarray:
+        return counts.astype(np.float64)
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        return self.finalize(self.counts(ctx))
 
 
 class DistancePair:

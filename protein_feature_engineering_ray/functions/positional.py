@@ -358,3 +358,67 @@ class TextLen:
         lens = pc.fill_null(pc.utf8_length(ctx.table["text"]), 0)
         out = lens.to_numpy(zero_copy_only=False).astype(np.float64)
         return out.reshape(-1, 1)
+
+
+class ShellComposition:
+    """Concentric-shell neighborhood composition — the ``get_atom_descriptor``
+    analogue (feature.py:4178-4218: per-atom counts of each element type in
+    concentric distance shells around a residue).  Here the 'atom' is the
+    turn and distance is |Δ turn_idx|: for every turn, the count of each role
+    among same-conversation turns at distance d in shell s = [lo_s, hi_s]
+    (both directions).  Integer counts -> bit-exact SQL oracle.
+
+    Bounded lookback AND lookahead (= max shell radius), so the kernel is
+    chunkable by ``turn_features_chunked``.  Cost is O(n · Σ shell widths)
+    shifted adds — no per-row loop, no self-join."""
+
+    def __init__(self, letters: list[str],
+                 shells: tuple[tuple[int, int], ...] = ((1, 2), (3, 5), (6, 10)),
+                 prefix: str = "shell"):
+        self.letters = letters
+        self.shells = tuple((int(lo), int(hi)) for lo, hi in shells)
+        assert all(1 <= lo <= hi for lo, hi in self.shells)
+        self.prefix = prefix
+
+    @property
+    def lookback(self):
+        return max(hi for _, hi in self.shells)
+
+    @property
+    def lookahead(self):
+        return max(hi for _, hi in self.shells)
+
+    def names(self) -> list[str]:
+        return [
+            f"{self.prefix}{si}_{s}"
+            for si in range(len(self.shells))
+            for s in self.letters
+        ]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        codes, seg, n = ctx.codes, ctx.seg_of_row, ctx.n
+        A = len(self.letters)
+        out = np.zeros((n, len(self.shells) * A), dtype=np.float64)
+        idx = np.arange(n, dtype=np.int64)
+        for si, (lo, hi) in enumerate(self.shells):
+            for d in range(lo, hi + 1):
+                if n <= d:
+                    break
+                same = seg[:-d] == seg[d:]
+                # forward neighbor (row i sees i+d)
+                sel = same & (codes[d:] >= 0)
+                if sel.any():
+                    np.add.at(
+                        out,
+                        (idx[:-d][sel], si * A + codes[d:][sel]),
+                        1.0,
+                    )
+                # backward neighbor (row i sees i-d)
+                sel = same & (codes[:-d] >= 0)
+                if sel.any():
+                    np.add.at(
+                        out,
+                        (idx[d:][sel], si * A + codes[:-d][sel]),
+                        1.0,
+                    )
+        return out

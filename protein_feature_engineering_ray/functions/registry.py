@@ -56,9 +56,11 @@ REGISTRY: dict[str, tuple[str, Callable[[Alphabet, dict[str, Any]], Any]]] = {
     "AAC": ("conv", lambda a, p: comp.CompositionK(_letters(a, False))),
     "GAAC": ("conv", lambda a, p: comp.CompositionK(_letters(a, True), grouped=True)),
     "DPC": ("conv", lambda a, p: comp.NGramComposition(
-        _letters(a, False), n=2, normalize=p.get("normalize", True))),
+        _letters(a, False), n=2, normalize=p.get("normalize", True),
+        prefix=p.get("prefix"))),
     "TPC": ("conv", lambda a, p: comp.NGramComposition(
-        _letters(a, False), n=3, normalize=p.get("normalize", True))),
+        _letters(a, False), n=3, normalize=p.get("normalize", True),
+        prefix=p.get("prefix"))),
     "GDPC": ("conv", lambda a, p: comp.NGramComposition(
         _letters(a, True), n=2, grouped=True, normalize=p.get("normalize", True))),
     "GTPC": ("conv", lambda a, p: comp.NGramComposition(
@@ -79,10 +81,10 @@ REGISTRY: dict[str, tuple[str, Callable[[Alphabet, dict[str, Any]], Any]]] = {
     # --- PseKRAAC stride / lambda kernels (SURVEY §2.5) ---
     "StrideKTuple": ("conv", lambda a, p: comp.StridedKTuple(
         _letters(a, p.get("grouped", True)), k=p.get("k", 2), gap=p.get("gap", 1),
-        grouped=p.get("grouped", True))),
+        grouped=p.get("grouped", True), prefix=p.get("prefix", "stride"))),
     "LambdaKTuple": ("conv", lambda a, p: comp.LambdaKTuple(
         _letters(a, p.get("grouped", True)), k=p.get("k", 2), lam=p.get("lam", 2),
-        grouped=p.get("grouped", True))),
+        grouped=p.get("grouped", True), prefix=p.get("prefix", "lam"))),
     "ConvSummary": ("conv", lambda a, p: comp.ConvSummary()),
     # network-descriptor analogue (feature.py:4566-4623): role-transition
     # interaction graph statistics, decomposable like DPC
@@ -150,6 +152,10 @@ REGISTRY: dict[str, tuple[str, Callable[[Alphabet, dict[str, Any]], Any]]] = {
     "RollingStats": ("turn", lambda a, p: pos.RollingStats(
         p.get("col", "value"), w=p.get("w", 5))),
     "PositionFeatures": ("turn", lambda a, p: pos.PositionFeatures()),
+    "ShellComposition": ("turn", lambda a, p: pos.ShellComposition(
+        _letters(a, False),
+        shells=tuple(tuple(s) for s in p.get("shells",
+                                             ((1, 2), (3, 5), (6, 10)))))),
     "TextLen": ("turn", lambda a, p: pos.TextLen()),
     "MultiHot": ("turn", lambda a, p: pos.MultiHotProperties(
         _letters(a, False),

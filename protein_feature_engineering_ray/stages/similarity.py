@@ -107,7 +107,15 @@ def _streaming_topk(
     out = []
     for qi in range(nq):
         valid = np.isfinite(run_sim[qi])
-        order = np.argsort(-run_sim[qi][valid], kind="stable")[:k]
+        # deterministic rank: similarity desc, then neighbor id asc — exact
+        # ties no longer depend on block arrival order (mirrors the oracle's
+        # ORDER BY c DESC, nid); nq×k driver-side values, not a hot path
+        cand = run_nbr[qi][valid]
+        order = np.array(
+            sorted(range(len(cand)),
+                   key=lambda i: (-run_sim[qi][valid][i], cand[i]))[:k],
+            dtype=np.int64,
+        )
         out.append(
             pd.DataFrame(
                 {

@@ -16,8 +16,9 @@ pytestmark = pytest.mark.skipif(
 )
 
 # cheap, representative subset (the full set runs via tools/check_oracle.py)
-SUBSET = ["aac", "dpc", "eaac", "latency", "sessions", "frames", "asof_orders",
-          "multihot", "distance_pair", "token_count"]
+SUBSET = ["aac", "dpc", "eaac_egaac", "latency", "sessions", "frames",
+          "asof_orders", "multihot", "distance_pair", "token_count",
+          "dde", "triads", "asdc", "atom_shells", "dbscan", "lang_quality"]
 
 
 @pytest.fixture(scope="module")

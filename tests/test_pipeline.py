@@ -305,6 +305,14 @@ def test_chunked_conv_features_equivalence():
         ("TPC", {"normalize": False}),
         ("CKSAAP", {"kspace": 2}),
         ("CTDT", {}),
+        # absolute-position-grid PseKRAAC kernels: chunk-computable since
+        # round 3 (grid membership from global turn_idx; λ-tuples via the
+        # span-sized context prefix) — chunk_size=7 is NOT a multiple of
+        # stride/λ, so grids genuinely cross chunk boundaries here
+        ("StrideKTuple", {"k": 2, "gap": 1}),
+        ("StrideKTuple", {"k": 3, "gap": 2, "prefix": "stride3"}),
+        ("LambdaKTuple", {"k": 2, "lam": 2}),
+        ("LambdaKTuple", {"k": 3, "lam": 3, "prefix": "lam3"}),
     ]
     ds = synth_transcripts(n_convs=16, duplicates=False)
     ks = lambda: [make_kernel(n, ALPHA, p)[1] for n, p in specs]  # noqa: E731
@@ -323,7 +331,7 @@ def test_chunked_conv_features_equivalence():
 
     with _pytest.raises(ValueError, match="not decomposable"):
         conv_features_chunked(
-            ds, [make_kernel("StrideKTuple", ALPHA, {"k": 2, "gap": 1})[1]],
+            ds, [make_kernel("CTDD", ALPHA)[1]],
             alphabet=ALPHA,
         )
 
