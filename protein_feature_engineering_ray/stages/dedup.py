@@ -544,7 +544,15 @@ def connected_components(
                 }
             )
 
-        stepped = new.map_batches(upd, batch_format="pyarrow").materialize()
+        # repartition BEFORE materializing: each join/groupby round multiplies
+        # block count (~×4 with tiny blocks), so an unbounded loop explodes
+        # into thousands of near-empty blocks whose task overhead grows the
+        # per-round cost exponentially — coalescing to num_buckets blocks
+        # keeps every round O(edge bytes / num_buckets) per task
+        stepped = (
+            new.map_batches(upd, batch_format="pyarrow")
+            .repartition(num_buckets).materialize()
+        )
         changed = stepped.sum("_chg")
         labels = stepped.drop_columns(["_chg"])
         if not changed:
@@ -566,7 +574,10 @@ def connected_components(
                  "label": pc.if_else(pc.less(b, a), b, a)}
             )
 
-        labels = short.map_batches(jump, batch_format="pyarrow").materialize()
+        labels = (
+            short.map_batches(jump, batch_format="pyarrow")
+            .repartition(num_buckets).materialize()
+        )
     raise RuntimeError(
         f"connected_components: labels still changing after {max_iters} "
         "pointer-doubled rounds (component diameter > 2^"
@@ -1014,9 +1025,15 @@ def embedding_neardup(
     planes_cache: dict = {}
 
     def bucket(t: pa.Table) -> pa.Table:
-        vecs = np.asarray(
-            t[vec_col].combine_chunks().flatten()
-        ).reshape(len(t), -1).astype(np.float64)
+        col = t[vec_col]
+        try:  # list / fixed_size_list: zero-copy flatten
+            vecs = np.asarray(
+                col.combine_chunks().flatten()
+            ).reshape(len(t), -1).astype(np.float64)
+        except AttributeError:  # Ray tensor extension (pandas round-trips)
+            vecs = np.stack(
+                list(col.to_numpy(zero_copy_only=False))
+            ).reshape(len(t), -1).astype(np.float64)
         dim = vecs.shape[1]
         ids_out, vec_idx, rep_out, code_out = [], [], [], []
         ids = t[id_col].to_numpy(zero_copy_only=False)

@@ -250,3 +250,108 @@ def test_lda_fit_separates_classes():
     gap = abs(a.mean() - b.mean())
     spread = max(a.std(), b.std())
     assert gap > 3 * spread
+
+
+def test_density_cluster_exact_matches_reference_dbscan():
+    """density_cluster(method='exact') == DBSCAN(minPts=2) on the cosine
+    eps-graph, computed independently here with a tiny numpy union-find."""
+    from protein_feature_engineering_ray.stages.reduce import density_cluster
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 16)) * 3
+    X = np.concatenate([c + rng.normal(size=(30, 16)) * 0.15 for c in centers])
+    # a few isolated noise points far from everything
+    X = np.concatenate([X, rng.normal(size=(5, 16)) * 50])
+    ids = np.arange(len(X))
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    ).repartition(4)
+
+    got = (
+        density_cluster(ds, threshold=0.8, method="exact", num_buckets=8)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+
+    # reference: quadratic numpy DBSCAN(minPts=2) via union-find
+    V = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = V @ V.T
+    parent = list(range(len(X)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(X)):
+        for j in range(i + 1, len(X)):
+            if S[i, j] >= 0.8:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    want = np.array([find(i) for i in range(len(X))])
+    np.testing.assert_array_equal(got["cluster"].to_numpy(), want)
+    # noise points are their own singleton clusters
+    assert (got["cluster"].to_numpy()[-5:] == ids[-5:]).all()
+
+
+def test_density_cluster_lsh_recall():
+    """The LSH edge source recovers (almost all of) the exact clustering on
+    tight clusters — the scale path's recall check."""
+    from protein_feature_engineering_ray.stages.reduce import density_cluster
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 24)) * 5
+    X = np.concatenate([c + rng.normal(size=(25, 24)) * 0.05 for c in centers])
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(len(X)), "embedding": list(X)})
+    ).repartition(3)
+    exact = (
+        density_cluster(ds, threshold=0.95, method="exact", num_buckets=8)
+        .to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    )
+    lsh = (
+        density_cluster(ds, threshold=0.95, method="lsh", num_buckets=8,
+                        n_planes=8, reps=6)
+        .to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    )
+    # pairwise co-clustering agreement (label values may differ)
+    agree = 0
+    total = 0
+    for t in np.unique(exact):
+        members = np.flatnonzero(exact == t)
+        if len(members) < 2:
+            continue
+        total += len(members) - 1
+        agree += (lsh[members] == lsh[members[0]]).sum() - 1
+    assert total > 0
+    assert agree / total >= 0.95
+
+
+def test_exact_threshold_edges_bound_guard():
+    from protein_feature_engineering_ray.stages.reduce import exact_threshold_edges
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(10),
+                      "embedding": list(np.eye(10))})
+    )
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        exact_threshold_edges(ds, max_broadcast_rows=5).count()
+
+
+def test_connected_components_long_chain_pointer_doubling():
+    """A 300-hop path graph converges under the pointer-doubled min-label
+    propagation well inside max_iters (plain propagation would need 300
+    rounds and silently under-merge — the round-2 ADVICE finding)."""
+    from protein_feature_engineering_ray.stages.reduce import component_labels
+
+    n = 300
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"id_a": np.arange(n - 1), "id_b": np.arange(1, n)})
+    )
+    ids = ray.data.from_pandas(pd.DataFrame({"vec_id": np.arange(n)}))
+    # force the DISTRIBUTED path (union-find would hide the iteration count)
+    lab = component_labels(
+        ids, edges, id_col="vec_id", cc_local_threshold=0, num_buckets=4
+    ).to_pandas().sort_values("vec_id")
+    assert (lab["cluster"].to_numpy() == 0).all()

@@ -256,6 +256,10 @@ def test_chunked_turn_features_equivalence():
         ("LagLead", {"col": "latency2", "offsets": (1, 2), "lead": True}),
         ("OneHot", {}),
         ("TextLen", {}),
+        # bidirectional-context kernel: shells need BOTH the lookback prefix
+        # and the lookahead suffix (radius 5 < chunk_size 7, so shells cross
+        # chunk boundaries in both directions)
+        ("ShellComposition", {"shells": ((1, 2), (3, 5))}),
     ]
     pdf = synth_transcripts(n_convs=16, duplicates=False, as_pandas=True)
     # add a numeric col for the value-kernels
