@@ -81,14 +81,44 @@ class EmbedActor:
     batch split into length-sorted token-budget micro-batches
     (``toks_per_batch``, the ESM ``get_batch_indices`` discipline) so a real
     model's forward passes would see near-uniform token counts regardless of
-    document length skew."""
+    document length skew.
+
+    PLUG-IN CONTRACT (the drop-in point for a real checkpoint — ESM /
+    ProtBERT / T5-style, ESM2_15B_embed.ipynb cell 2): pass
+    ``model_factory``, a zero-arg callable run ONCE per actor process
+    (load weights, ``.eval()``, move to device, optionally ``.half()`` —
+    fp16 halves both load time and activation memory and is the standard
+    inference dtype for these encoders).  The returned object must expose:
+
+    - ``dim: int`` — output embedding width (FixedSizeList size).
+    - ``truncation: int`` — max tokens per document; ``token_lengths`` must
+      clamp to it and ``encode`` must truncate to it, or a long document
+      blows the micro-batch budget a GPU forward pass was sized for.
+    - ``token_lengths(texts: np.ndarray[object]) -> np.ndarray[int64]`` —
+      PRE-truncation-clamped token counts for a whole Ray batch (used only
+      for budget packing + the ``n_model_tokens`` column; a fast tokenizer
+      pass, not a forward pass).
+    - ``encode(texts: list[str]) -> np.ndarray[float32 (n, dim)]`` — ONE
+      forward pass over one micro-batch whose total token count is
+      <= toks_per_batch (the GPU-call unit; pooling/normalization policy
+      lives here).
+
+    The factory must be picklable (module-level function or functools
+    .partial — Ray ships it to each actor); the MODEL never crosses the
+    wire.  Interface compliance is tested with a fake torch-like shim in
+    tests/test_stages.py::test_embed_actor_pluggable_model."""
 
     def __init__(self, dim: int = 64, seed: int = 29,
                  toks_per_batch: int = 4096,
-                 truncation_seq_length: int = 512, text_col: str = "text"):
-        self.model = HashProjectionModel(
-            dim=dim, seed=seed, truncation_seq_length=truncation_seq_length
-        )
+                 truncation_seq_length: int = 512, text_col: str = "text",
+                 model_factory=None):
+        if model_factory is not None:
+            self.model = model_factory()
+        else:
+            self.model = HashProjectionModel(
+                dim=dim, seed=seed,
+                truncation_seq_length=truncation_seq_length,
+            )
         self.toks_per_batch = toks_per_batch
         self.text_col = text_col
 
@@ -132,14 +162,18 @@ def embed_docs(
     text_col: str = "text",
     concurrency: int = 4,
     batch_size: int = 512,
+    model_factory=None,
 ) -> ray.data.Dataset:
     """Streaming embedding stage (no sink): appends ``embedding``
-    (FixedSizeList<float32>[dim]) and ``n_model_tokens``."""
+    (FixedSizeList<float32>[dim]) and ``n_model_tokens``.  Pass
+    ``model_factory`` to swap the deterministic stand-in for a real
+    checkpoint (see the EmbedActor plug-in contract)."""
     return ds.map_batches(
         EmbedActor,
         fn_constructor_kwargs=dict(
             dim=dim, seed=seed, toks_per_batch=toks_per_batch,
             truncation_seq_length=truncation_seq_length, text_col=text_col,
+            model_factory=model_factory,
         ),
         batch_format="pyarrow",
         concurrency=concurrency,

@@ -271,3 +271,65 @@ def test_text_quality_and_langid_match_row_reference():
                 best = max(scores, key=scores.get)
                 expect = best if scores[best] > 0 else "und"
         assert out.loc[i, "lang_pred"] == expect, (i, t)
+
+
+class _FakeCheckpointModel:
+    """Torch-like shim exercising the EmbedActor plug-in contract: a
+    'loaded checkpoint' with its own tokenizer, truncation, and pooled
+    forward pass — asserts the budget discipline a GPU kernel relies on."""
+
+    def __init__(self, dim=16, truncation=8, toks_per_batch=64):
+        self.dim = dim
+        self.truncation = truncation
+        self._budget = toks_per_batch
+        # 'weights': deterministic per-charcode rows, fp16 like a real
+        # inference checkpoint (cast up in the forward pass)
+        self.W = (np.arange(dim, dtype=np.float16) + 1.0)
+
+    def token_lengths(self, texts):
+        return np.minimum(
+            [len((t or "").split()) for t in texts], self.truncation
+        ).astype(np.int64)
+
+    def encode(self, texts):
+        lens = self.token_lengths(np.asarray(texts, dtype=object))
+        # the micro-batcher must never exceed the budget with >1 sequence
+        assert len(texts) == 1 or int((lens + 1).sum()) <= self._budget, (
+            "token budget violated"
+        )
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()[: self.truncation]
+            out[i] = len(toks) * self.W.astype(np.float32)
+        return out
+
+
+def _fake_factory():
+    return _FakeCheckpointModel()
+
+
+def test_embed_actor_pluggable_model():
+    """A custom model_factory drops into EmbedActor: built once per actor,
+    token budget respected, output schema unchanged
+    (FixedSizeList<float32>[model.dim] + n_model_tokens)."""
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.stages.embed import embed_docs
+
+    texts = [" ".join(["w"] * n) for n in [0, 1, 3, 5, 8, 12, 40, 7, 2, 9]]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ).repartition(2)
+    out = embed_docs(
+        ds, concurrency=1, batch_size=4, toks_per_batch=64,
+        model_factory=_fake_factory,
+    )
+    got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # schema: dim comes from the MODEL (16), not the default dim arg (64)
+    assert len(got["embedding"][1]) == 16
+    # truncation clamps n_model_tokens at the model's own limit (8)
+    want_lens = np.minimum([len(t.split()) for t in texts], 8)
+    np.testing.assert_array_equal(got["n_model_tokens"].to_numpy(), want_lens)
+    # deterministic forward pass: embedding[0] == n_toks * 1.0
+    emb0 = np.stack(got["embedding"].to_numpy())[:, 0]
+    np.testing.assert_allclose(emb0, want_lens.astype(np.float32))
