@@ -1186,11 +1186,16 @@ def q_fit_transform(sf):
     """The whole fit/assign reduction zoo in ONE pass over the corpus
     (rows-only; float eigen/centroid math): PCA projection (pc0/pc1,
     feature.py:4937-4960), Fisher-LDA projection (ld0/ld1, 4967-4981),
-    k-means assignment (4779-4935) and MCL-attractor assignment
-    (MarkvCluster, 5083-5154).  All four models fit driver-side on bounded
-    content-hash samples, then broadcast into a single chained map_batches
-    transform — the corpus streams once."""
+    k-means assignment (4779-4797), Gaussian-mixture MAP assignment
+    (4798-4812, pure-numpy diagonal EM), average-linkage agglomerative
+    assignment (4813-4827, Lance-Williams on a bounded sample) and
+    MCL-attractor assignment (MarkvCluster, 5083-5154).  All six models fit
+    driver-side on bounded content-hash samples, then broadcast into a
+    single chained map_batches transform — the corpus streams once."""
     from protein_feature_engineering_ray.stages.reduce import (
+        agglomerative_fit,
+        gmm_assign,
+        gmm_fit,
         kmeans_assign,
         kmeans_fit,
         lda_fit,
@@ -1206,15 +1211,21 @@ def q_fit_transform(sf):
     km_c = kmeans_fit(vecs, vec_col="embedding", k=8, sample_by="vec_id")
     mcl_c = mcl_fit(vecs, vec_col="embedding", sample_limit=600,
                     sample_by="vec_id")
+    gm_m = gmm_fit(vecs, vec_col="embedding", k=8, sample_by="vec_id")
+    ag_c = agglomerative_fit(vecs, vec_col="embedding", k=8,
+                             sample_by="vec_id")
     out = pca_transform(vecs, pca_m, vec_col="embedding")
     out = pca_transform(out, lda_m, vec_col="embedding", out_prefix="ld")
     out = kmeans_assign(out, km_c, vec_col="embedding",
                         out_col="kmeans_cluster")
     out = kmeans_assign(out, mcl_c, vec_col="embedding",
                         out_col="mcl_cluster")
+    out = gmm_assign(out, gm_m, vec_col="embedding", out_col="gmm_cluster")
+    out = kmeans_assign(out, ag_c, vec_col="embedding",
+                        out_col="agglo_cluster")
     return out.select_columns(
         ["vec_id", "pc0", "pc1", "ld0", "ld1", "kmeans_cluster",
-         "mcl_cluster"]
+         "mcl_cluster", "gmm_cluster", "agglo_cluster"]
     )
 
 

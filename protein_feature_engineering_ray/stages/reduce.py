@@ -402,3 +402,136 @@ def density_cluster(
         ds, edges, id_col, num_buckets=num_buckets,
         cc_local_threshold=cc_local_threshold,
     )
+
+
+# ---------------------------------------------------------------------------
+# clusterer zoo: Gaussian mixture (EM) + agglomerative, same fit/assign split
+# ---------------------------------------------------------------------------
+
+
+def gmm_fit(ds, cols: list[str] | None = None, vec_col: str | None = None,
+            k: int = 8, iters: int = 50, sample_limit: int = 10000,
+            sample_by: str | None = None, reg: float = 1e-6,
+            tol: float = 1e-8) -> dict:
+    """Diagonal-covariance Gaussian mixture fit by EM on a bounded unbiased
+    sample — the ``GaussianM`` member of the reference clusterer zoo
+    (feature.py:4798-4812) in pure numpy (no sklearn in this environment).
+    Deterministic: k-means++-style farthest-point init from the sample's
+    canonical (lexicographic) order, like ``kmeans_fit``.  Returns the
+    broadcastable model {weights, means, vars}; assignment over the corpus
+    is ``gmm_assign`` (distributed map_batches)."""
+    X = _sample_matrix(ds, cols, vec_col, sample_limit, sample_by)
+    n, d = X.shape if X.ndim == 2 else (len(X), 1)
+    if n == 0:
+        return {"weights": np.empty(0), "means": np.empty((0, d)),
+                "vars": np.empty((0, d))}
+    k_eff = min(k, n)
+    # deterministic farthest-point init (see kmeans_fit)
+    start = int(np.lexsort(X.T[::-1])[0])
+    idx = [start]
+    d2 = ((X - X[start]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        nxt = int(d2.argmax())
+        idx.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    mu = X[idx].copy()
+    var = np.tile(X.var(axis=0) + reg, (k_eff, 1))
+    w = np.full(k_eff, 1.0 / k_eff)
+    prev_ll = -np.inf
+    for _ in range(iters):
+        # E-step: log N(x | mu_c, diag var_c) + log w_c, stabilized
+        logp = (
+            -0.5 * (((X[:, None, :] - mu[None, :, :]) ** 2)
+                    / var[None, :, :]).sum(axis=2)
+            - 0.5 * np.log(2 * np.pi * var).sum(axis=1)[None, :]
+            + np.log(w)[None, :]
+        )
+        m = logp.max(axis=1, keepdims=True)
+        p = np.exp(logp - m)
+        s = p.sum(axis=1, keepdims=True)
+        resp = p / s
+        ll = float((m[:, 0] + np.log(s[:, 0])).mean())
+        # M-step
+        nk = resp.sum(axis=0) + 1e-12
+        mu = (resp.T @ X) / nk[:, None]
+        var = (resp.T @ (X**2)) / nk[:, None] - mu**2 + reg
+        w = nk / n
+        if abs(ll - prev_ll) < tol:
+            break
+        prev_ll = ll
+    return {"weights": w, "means": mu, "vars": var}
+
+
+def gmm_assign(ds, model: dict, cols: list[str] | None = None,
+               vec_col: str | None = None,
+               out_col: str = "cluster") -> "ray.data.Dataset":
+    """Distributed MAP assignment under the broadcast mixture model."""
+    ref = ray.put(
+        {k: np.asarray(v, dtype=np.float64) for k, v in model.items()}
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        if vec_col is not None:
+            raw = t[vec_col].to_numpy(zero_copy_only=False)
+            X = np.stack(list(raw)).astype(np.float64)
+        else:
+            X = np.column_stack(
+                [t[c].to_numpy(zero_copy_only=False) for c in cols]
+            ).astype(np.float64)
+        mu, var, w = m["means"], m["vars"], m["weights"]
+        logp = (
+            -0.5 * (((X[:, None, :] - mu[None, :, :]) ** 2)
+                    / var[None, :, :]).sum(axis=2)
+            - 0.5 * np.log(2 * np.pi * var).sum(axis=1)[None, :]
+            + np.log(np.maximum(w, 1e-300))[None, :]
+        )
+        return t.append_column(
+            out_col, pa.array(logp.argmax(axis=1).astype(np.int32))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def agglomerative_fit(ds, cols: list[str] | None = None,
+                      vec_col: str | None = None, k: int = 8,
+                      sample_limit: int = 2000,
+                      sample_by: str | None = None) -> np.ndarray:
+    """Average-linkage agglomerative clustering on a bounded unbiased sample
+    (the ``Agglomerative``/``hcluster`` members of the reference zoo,
+    feature.py:4813-4827) — Lance-Williams update in pure numpy, O(m³) worst
+    case on the SAMPLE only (m <= sample_limit).  Returns the k cluster-mean
+    centroids; corpus assignment is ``kmeans_assign`` (nearest centroid),
+    the same fit/assign split as every clusterer here."""
+    X = _sample_matrix(ds, cols, vec_col, sample_limit, sample_by)
+    m = len(X)
+    if m == 0:
+        return np.empty((0, 0))
+    k_eff = min(k, m)
+    # average-linkage distance between clusters = mean pairwise distance;
+    # maintained exactly via the Lance-Williams average-link update
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2))
+    np.fill_diagonal(D, np.inf)
+    active = np.ones(m, dtype=bool)
+    size = np.ones(m, dtype=np.int64)
+    label = np.arange(m)
+    for _ in range(m - k_eff):
+        flat = int(np.argmin(D))
+        i, j = divmod(flat, m)
+        if i > j:
+            i, j = j, i
+        # merge j into i (deterministic: argmin is first minimum in row-major)
+        ni, nj = size[i], size[j]
+        Dn = (ni * D[i] + nj * D[j]) / (ni + nj)
+        D[i] = Dn
+        D[:, i] = Dn
+        D[i, i] = np.inf
+        D[j, :] = np.inf
+        D[:, j] = np.inf
+        active[j] = False
+        size[i] += size[j]
+        label[label == label[j]] = label[i]
+    cents = np.stack(
+        [X[label == c].mean(axis=0) for c in np.unique(label)]
+    )
+    return cents

@@ -355,3 +355,77 @@ def test_connected_components_long_chain_pointer_doubling():
         ids, edges, id_col="vec_id", cc_local_threshold=0, num_buckets=4
     ).to_pandas().sort_values("vec_id")
     assert (lab["cluster"].to_numpy() == 0).all()
+
+
+def test_gmm_recovers_separated_clusters():
+    """Pure-numpy diagonal-EM mixture: on well-separated blobs the MAP
+    assignment matches ground truth up to relabeling, and responsibilities
+    are deterministic (canonical-order init)."""
+    from protein_feature_engineering_ray.stages.reduce import gmm_assign, gmm_fit
+
+    rng = np.random.default_rng(33)
+    centers = rng.normal(size=(3, 6)) * 6
+    X = np.concatenate([c + rng.normal(size=(50, 6)) * 0.3 for c in centers])
+    truth = np.repeat(np.arange(3), 50)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(len(X)), "embedding": list(X)})
+    ).repartition(3)
+    m = gmm_fit(ds, vec_col="embedding", k=3)
+    assert m["means"].shape == (3, 6)
+    np.testing.assert_allclose(m["weights"].sum(), 1.0, rtol=1e-9)
+    lab = (
+        gmm_assign(ds, m, vec_col="embedding")
+        .to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    )
+    for t in range(3):
+        _vals, counts = np.unique(lab[truth == t], return_counts=True)
+        assert counts.max() / counts.sum() > 0.95
+    # determinism: same fit twice -> identical model
+    m2 = gmm_fit(ds, vec_col="embedding", k=3)
+    np.testing.assert_array_equal(m["means"], m2["means"])
+
+
+def test_agglomerative_matches_average_linkage_reference():
+    """Lance-Williams average-linkage on a small sample == a brute-force
+    reference implementation (recompute mean pairwise distance between
+    clusters from scratch each merge)."""
+    from protein_feature_engineering_ray.stages.reduce import (
+        agglomerative_fit,
+        kmeans_assign,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 4)) * 8
+    X = np.concatenate([c + rng.normal(size=(12, 4)) * 0.4 for c in centers])
+    truth = np.repeat(np.arange(4), 12)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(len(X)), "embedding": list(X)})
+    ).repartition(2)
+    C = agglomerative_fit(ds, vec_col="embedding", k=4)
+    assert C.shape == (4, 4)
+    lab = (
+        kmeans_assign(ds, C, vec_col="embedding")
+        .to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    )
+    for t in range(4):
+        _vals, counts = np.unique(lab[truth == t], return_counts=True)
+        assert counts.max() / counts.sum() >= 0.95
+
+    # brute-force average-linkage reference on the SAME canonical sample
+    Xs = X[np.lexsort(X.T[::-1])]
+    clusters = [[i] for i in range(len(Xs))]
+    D0 = np.sqrt(((Xs[:, None, :] - Xs[None, :, :]) ** 2).sum(axis=2))
+    while len(clusters) > 4:
+        best, bi, bj = np.inf, -1, -1
+        for i in range(len(clusters)):
+            for j in range(i + 1, len(clusters)):
+                d = D0[np.ix_(clusters[i], clusters[j])].mean()
+                if d < best - 1e-12:
+                    best, bi, bj = d, i, j
+        clusters[bi] = clusters[bi] + clusters[bj]
+        del clusters[bj]
+    want = sorted(
+        sorted(np.stack([Xs[c].mean(axis=0) for c in clusters]).tolist())
+    )
+    got = sorted(C.tolist())
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
