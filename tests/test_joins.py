@@ -452,3 +452,42 @@ def test_bucket_join_randomized_vs_pandas_merge():
             want = (want[got.columns].sort_values(sort_cols)
                     .reset_index(drop=True))
             pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bucket_join_null_keys_match_nothing():
+    """SQL null-key semantics (round-3 ADVICE fix): a null join key matches
+    nothing — inner drops both sides' null-key rows, left_outer keeps the
+    left row unmatched, anti keeps it, semi drops it (pandas merge alone
+    would have matched NaN keys to each other)."""
+    import pandas as pd
+
+    import ray.data
+
+    from protein_feature_engineering_ray.core.joins import bucket_join
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["a", None, "b"], "lv": [1, 2, 3]}
+    ))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["a", None, "c"], "rv": [10, 20, 30]}
+    ))
+
+    inner = bucket_join(left, right, on=["k"], num_buckets=4).to_pandas()
+    assert sorted(inner["lv"]) == [1]  # only the 'a' match; NOT null-null
+
+    outer = bucket_join(
+        left, right, on=["k"], how="left_outer", num_buckets=4
+    ).to_pandas().sort_values("lv")
+    assert list(outer["lv"]) == [1, 2, 3]
+    null_row = outer[outer["lv"] == 2]
+    assert null_row["rv"].isna().all()  # unmatched, not joined to null key
+
+    semi = bucket_join(
+        left, right, on=["k"], how="left_semi", num_buckets=4
+    ).to_pandas()
+    assert sorted(semi["lv"]) == [1]
+
+    anti = bucket_join(
+        left, right, on=["k"], how="left_anti", num_buckets=4
+    ).to_pandas()
+    assert sorted(anti["lv"]) == [2, 3]
