@@ -1188,11 +1188,15 @@ def q_fit_transform(sf):
     feature.py:4937-4960), Fisher-LDA projection (ld0/ld1, 4967-4981),
     k-means assignment (4779-4797), Gaussian-mixture MAP assignment
     (4798-4812, pure-numpy diagonal EM), average-linkage agglomerative
-    assignment (4813-4827, Lance-Williams on a bounded sample) and
-    MCL-attractor assignment (MarkvCluster, 5083-5154).  All six models fit
-    driver-side on bounded content-hash samples, then broadcast into a
-    single chained map_batches transform — the corpus streams once."""
+    assignment (4813-4827, Lance-Williams on a bounded sample),
+    normalized-cut spectral (4828-4841), flat-kernel mean shift (4842-4855),
+    affinity propagation (4856-4868) and MCL-attractor assignment
+    (MarkvCluster, 5083-5154) — the COMPLETE reference clusterer zoo.  All
+    nine models fit driver-side on bounded content-hash samples, then
+    broadcast into a single chained map_batches transform — the corpus
+    streams once."""
     from protein_feature_engineering_ray.stages.reduce import (
+        affinity_propagation_fit,
         agglomerative_fit,
         gmm_assign,
         gmm_fit,
@@ -1200,8 +1204,10 @@ def q_fit_transform(sf):
         kmeans_fit,
         lda_fit,
         mcl_fit,
+        meanshift_fit,
         pca_fit,
         pca_transform,
+        spectral_fit,
     )
 
     vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
@@ -1214,6 +1220,10 @@ def q_fit_transform(sf):
     gm_m = gmm_fit(vecs, vec_col="embedding", k=8, sample_by="vec_id")
     ag_c = agglomerative_fit(vecs, vec_col="embedding", k=8,
                              sample_by="vec_id")
+    sp_c = spectral_fit(vecs, vec_col="embedding", k=8, sample_by="vec_id")
+    ms_c = meanshift_fit(vecs, vec_col="embedding", sample_by="vec_id")
+    ap_c = affinity_propagation_fit(vecs, vec_col="embedding",
+                                    sample_limit=600, sample_by="vec_id")
     out = pca_transform(vecs, pca_m, vec_col="embedding")
     out = pca_transform(out, lda_m, vec_col="embedding", out_prefix="ld")
     out = kmeans_assign(out, km_c, vec_col="embedding",
@@ -1223,9 +1233,16 @@ def q_fit_transform(sf):
     out = gmm_assign(out, gm_m, vec_col="embedding", out_col="gmm_cluster")
     out = kmeans_assign(out, ag_c, vec_col="embedding",
                         out_col="agglo_cluster")
+    out = kmeans_assign(out, sp_c, vec_col="embedding",
+                        out_col="spectral_cluster")
+    out = kmeans_assign(out, ms_c, vec_col="embedding",
+                        out_col="meanshift_cluster")
+    out = kmeans_assign(out, ap_c, vec_col="embedding",
+                        out_col="apc_cluster")
     return out.select_columns(
         ["vec_id", "pc0", "pc1", "ld0", "ld1", "kmeans_cluster",
-         "mcl_cluster", "gmm_cluster", "agglo_cluster"]
+         "mcl_cluster", "gmm_cluster", "agglo_cluster", "spectral_cluster",
+         "meanshift_cluster", "apc_cluster"]
     )
 
 

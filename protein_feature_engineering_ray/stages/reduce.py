@@ -535,3 +535,152 @@ def agglomerative_fit(ds, cols: list[str] | None = None,
         [X[label == c].mean(axis=0) for c in np.unique(label)]
     )
     return cents
+
+
+def spectral_fit(ds, cols: list[str] | None = None,
+                 vec_col: str | None = None, k: int = 8,
+                 gamma: float | None = None, sample_limit: int = 2000,
+                 sample_by: str | None = None) -> np.ndarray:
+    """Normalized-cut spectral clustering on a bounded unbiased sample — the
+    ``Spectral`` member of the reference zoo (feature.py:4828-4841) in pure
+    numpy: RBF affinity (gamma defaults to 1/median²(pairwise distance) —
+    self-tuning), symmetric normalized Laplacian, bottom-k eigenvectors
+    (``eigh``), row-normalized spectral embedding clustered by the
+    deterministic k-means, cluster-mean centroids returned in the ORIGINAL
+    space so ``kmeans_assign`` extends labels to the corpus (the documented
+    out-of-sample approximation every fit/assign clusterer here uses)."""
+    X = _sample_matrix(ds, cols, vec_col, sample_limit, sample_by)
+    m = len(X)
+    if m == 0:
+        return np.empty((0, 0))
+    k_eff = min(k, m)
+    D2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    if gamma is None:
+        med = np.median(D2[np.triu_indices(m, k=1)]) if m > 1 else 1.0
+        gamma = 1.0 / max(med, 1e-12)
+    W = np.exp(-gamma * D2)
+    np.fill_diagonal(W, 0.0)
+    d = W.sum(axis=1)
+    d_inv_sqrt = 1.0 / np.sqrt(np.maximum(d, 1e-12))
+    L = np.eye(m) - (d_inv_sqrt[:, None] * W) * d_inv_sqrt[None, :]
+    _evals, evecs = np.linalg.eigh(L)
+    U = evecs[:, :k_eff]  # bottom-k of L_sym (eigh returns ascending)
+    # deterministic sign per eigenvector (largest-|.| entry positive)
+    signs = np.sign(U[np.abs(U).argmax(axis=0), np.arange(k_eff)])
+    U = U * signs[None, :]
+    norms = np.linalg.norm(U, axis=1, keepdims=True)
+    U = U / np.maximum(norms, 1e-12)
+    # deterministic k-means in the spectral embedding (same init as
+    # kmeans_fit: farthest-point from the canonical-order extreme)
+    start = int(np.lexsort(U.T[::-1])[0])
+    idx = [start]
+    dd = ((U - U[start]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        nxt = int(dd.argmax())
+        idx.append(nxt)
+        dd = np.minimum(dd, ((U - U[nxt]) ** 2).sum(axis=1))
+    C = U[idx].copy()
+    lab = np.zeros(m, dtype=np.int64)
+    for _ in range(30):
+        dist = ((U[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = dist.argmin(axis=1)
+        for c in range(k_eff):
+            sel = lab == c
+            if sel.any():
+                C[c] = U[sel].mean(axis=0)
+    return np.stack([
+        X[lab == c].mean(axis=0) if (lab == c).any() else X[0]
+        for c in range(k_eff)
+    ])
+
+
+def meanshift_fit(ds, cols: list[str] | None = None,
+                  vec_col: str | None = None, bandwidth: float | None = None,
+                  sample_limit: int = 2000, sample_by: str | None = None,
+                  max_iter: int = 100, tol: float = 1e-6) -> np.ndarray:
+    """Flat-kernel mean shift on a bounded unbiased sample — the
+    ``meanshift`` member of the reference zoo (feature.py:4842-4855).
+    Bandwidth defaults to the quantile-kNN estimate (mean over points of
+    the distance to their 0.3·m-th nearest neighbor — the standard
+    estimate_bandwidth rule, which stays within-cluster-sized instead of
+    spanning clusters like a global median would); every sample point seeds
+    a mode climb; converged modes closer than bandwidth/2 merge (min-index
+    representative — deterministic under the canonical sample order).
+    Returns the mode points; assignment = ``kmeans_assign``."""
+    X = _sample_matrix(ds, cols, vec_col, sample_limit, sample_by)
+    m = len(X)
+    if m == 0:
+        return np.empty((0, 0))
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2))
+    if bandwidth is None:
+        if m > 1:
+            kq = max(1, int(0.3 * m))
+            knn_d = np.sort(D, axis=1)[:, kq]  # col 0 is self (0.0)
+            bandwidth = float(knn_d.mean())
+        else:
+            bandwidth = 1.0
+        bandwidth = max(bandwidth, 1e-12)
+    P = X.copy()
+    for _ in range(max_iter):
+        d2 = ((P[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+        inside = d2 <= bandwidth * bandwidth
+        cnt = inside.sum(axis=1)
+        newP = (inside[:, :, None] * X[None, :, :]).sum(axis=1) / np.maximum(
+            cnt, 1
+        )[:, None]
+        shift = np.linalg.norm(newP - P, axis=1).max()
+        P = newP
+        if shift < tol * bandwidth:
+            break
+    # merge modes within bandwidth/2, keep the first (canonical order)
+    modes: list[np.ndarray] = []
+    for p in P:
+        if not any(np.linalg.norm(p - q) < bandwidth / 2 for q in modes):
+            modes.append(p)
+    return np.stack(modes)
+
+
+def affinity_propagation_fit(ds, cols: list[str] | None = None,
+                             vec_col: str | None = None,
+                             damping: float = 0.7, max_iter: int = 200,
+                             sample_limit: int = 1000,
+                             sample_by: str | None = None) -> np.ndarray:
+    """Affinity propagation (Frey & Dueck, Science 2007) on a bounded
+    unbiased sample — the ``APC`` member of the reference zoo
+    (feature.py:4856-4868): responsibility/availability message passing on
+    the negative-squared-distance similarity with median preference,
+    exemplar points returned as centroids for ``kmeans_assign``."""
+    X = _sample_matrix(ds, cols, vec_col, sample_limit, sample_by)
+    m = len(X)
+    if m == 0:
+        return np.empty((0, 0))
+    if m == 1:
+        return X.copy()
+    S = -((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    pref = np.median(S[np.triu_indices(m, k=1)])
+    np.fill_diagonal(S, pref)
+    R = np.zeros((m, m))
+    A = np.zeros((m, m))
+    idx = np.arange(m)
+    for _ in range(max_iter):
+        # responsibilities
+        AS = A + S
+        first = AS.max(axis=1)
+        first_k = AS.argmax(axis=1)
+        AS[idx, first_k] = -np.inf
+        second = AS.max(axis=1)
+        Rn = S - first[:, None]
+        Rn[idx, first_k] = S[idx, first_k] - second
+        R = damping * R + (1 - damping) * Rn
+        # availabilities
+        Rp = np.maximum(R, 0)
+        np.fill_diagonal(Rp, np.diag(R))
+        An = Rp.sum(axis=0)[None, :] - Rp
+        dA = np.diag(An).copy()
+        An = np.minimum(An, 0)
+        np.fill_diagonal(An, dA)
+        A = damping * A + (1 - damping) * An
+    exemplars = np.flatnonzero(np.diag(R) + np.diag(A) > 0)
+    if len(exemplars) == 0:
+        exemplars = np.array([int(np.argmax(np.diag(R) + np.diag(A)))])
+    return X[exemplars]

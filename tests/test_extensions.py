@@ -429,3 +429,45 @@ def test_agglomerative_matches_average_linkage_reference():
     )
     got = sorted(C.tolist())
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_spectral_meanshift_affinity_recover_blobs():
+    """The three round-3 zoo completions (Spectral / MeanShift / APC, all
+    bounded-sample fit + kmeans_assign extension) each recover well-
+    separated blobs up to relabeling, deterministically."""
+    from protein_feature_engineering_ray.stages.reduce import (
+        affinity_propagation_fit,
+        kmeans_assign,
+        meanshift_fit,
+        spectral_fit,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(3, 5)) * 10
+    X = np.concatenate([c + rng.normal(size=(40, 5)) * 0.3 for c in centers])
+    truth = np.repeat(np.arange(3), 40)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(len(X)), "embedding": list(X)})
+    ).repartition(3)
+
+    for name, fit in (
+        ("spectral", lambda: spectral_fit(ds, vec_col="embedding", k=3)),
+        ("meanshift", lambda: meanshift_fit(ds, vec_col="embedding")),
+        ("apc", lambda: affinity_propagation_fit(ds, vec_col="embedding")),
+    ):
+        C = fit()
+        assert C.shape[1] == 5, name
+        lab = (
+            kmeans_assign(ds, C, vec_col="embedding")
+            .to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+        )
+        # each true blob maps dominantly to one label
+        for t in range(3):
+            _v, counts = np.unique(lab[truth == t], return_counts=True)
+            assert counts.max() / counts.sum() >= 0.95, name
+        # blobs map to DISTINCT labels (the fit found >= 3 real groups)
+        reps = [np.bincount(lab[truth == t]).argmax() for t in range(3)]
+        assert len(set(reps)) == 3, name
+        # determinism
+        C2 = fit()
+        np.testing.assert_array_equal(C, C2, err_msg=name)
