@@ -1190,10 +1190,11 @@ def q_fit_transform(sf):
     (4798-4812, pure-numpy diagonal EM), average-linkage agglomerative
     assignment (4813-4827, Lance-Williams on a bounded sample),
     normalized-cut spectral (4828-4841), flat-kernel mean shift (4842-4855),
-    affinity propagation (4856-4868) and MCL-attractor assignment
-    (MarkvCluster, 5083-5154) — the COMPLETE reference clusterer zoo.  All
-    nine models fit driver-side on bounded content-hash samples, then
-    broadcast into a single chained map_batches transform — the corpus
+    affinity propagation (4856-4868), MCL-attractor assignment
+    (MarkvCluster, 5083-5154) and exact-t-SNE projection with its linear
+    corpus extension (4937-4960) — the COMPLETE reference clusterer + DR
+    zoo.  All ten models fit driver-side on bounded content-hash samples,
+    then broadcast into a single chained map_batches transform — the corpus
     streams once."""
     from protein_feature_engineering_ray.stages.reduce import (
         affinity_propagation_fit,
@@ -1208,6 +1209,7 @@ def q_fit_transform(sf):
         pca_fit,
         pca_transform,
         spectral_fit,
+        tsne_fit,
     )
 
     vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
@@ -1224,7 +1226,10 @@ def q_fit_transform(sf):
     ms_c = meanshift_fit(vecs, vec_col="embedding", sample_by="vec_id")
     ap_c = affinity_propagation_fit(vecs, vec_col="embedding",
                                     sample_limit=600, sample_by="vec_id")
+    ts_m = tsne_fit(vecs, vec_col="embedding", k=2, sample_limit=600,
+                    sample_by="vec_id")
     out = pca_transform(vecs, pca_m, vec_col="embedding")
+    out = pca_transform(out, ts_m, vec_col="embedding", out_prefix="ts")
     out = pca_transform(out, lda_m, vec_col="embedding", out_prefix="ld")
     out = kmeans_assign(out, km_c, vec_col="embedding",
                         out_col="kmeans_cluster")
@@ -1240,9 +1245,9 @@ def q_fit_transform(sf):
     out = kmeans_assign(out, ap_c, vec_col="embedding",
                         out_col="apc_cluster")
     return out.select_columns(
-        ["vec_id", "pc0", "pc1", "ld0", "ld1", "kmeans_cluster",
-         "mcl_cluster", "gmm_cluster", "agglo_cluster", "spectral_cluster",
-         "meanshift_cluster", "apc_cluster"]
+        ["vec_id", "pc0", "pc1", "ts0", "ts1", "ld0", "ld1",
+         "kmeans_cluster", "mcl_cluster", "gmm_cluster", "agglo_cluster",
+         "spectral_cluster", "meanshift_cluster", "apc_cluster"]
     )
 
 

@@ -684,3 +684,84 @@ def affinity_propagation_fit(ds, cols: list[str] | None = None,
     if len(exemplars) == 0:
         exemplars = np.array([int(np.argmax(np.diag(R) + np.diag(A)))])
     return X[exemplars]
+
+
+def tsne_fit(ds, cols: list[str] | None = None, vec_col: str | None = None,
+             k: int = 2, perplexity: float = 30.0, iters: int = 400,
+             learning_rate: float = 100.0, sample_limit: int = 1000,
+             sample_by: str | None = None) -> dict:
+    """Exact t-SNE (van der Maaten & Hinton, JMLR 2008) on a bounded
+    unbiased sample — the ``t_sne`` member of the reference DR trio
+    (feature.py:4937-4960), pure numpy: per-point sigma by binary search to
+    the target perplexity, symmetrized P, KL gradient descent with momentum
+    and early exaggeration, PCA init (deterministic — no random state
+    anywhere).  t-SNE has NO out-of-sample map, so the returned model also
+    carries the least-squares LINEAR extension (centered X -> Y) fitted on
+    the sample; ``pca_transform`` broadcasts it so the corpus projection
+    streams — the sample embedding is exact t-SNE, out-of-sample points get
+    its best linear extension (documented approximation, same fit/assign
+    split as every reducer here).  Returns {mean, components, sample_Y,
+    sample_X}."""
+    X = _sample_matrix(ds, cols, vec_col, sample_limit, sample_by)
+    m = len(X)
+    if m == 0:
+        return {"mean": np.empty(0), "components": np.empty((k, 0)),
+                "sample_Y": np.empty((0, k)), "sample_X": X}
+    perplexity = min(perplexity, max((m - 1) / 3.0, 1.0))
+    D2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    # per-point sigma: binary search so H(P_i) = log(perplexity)
+    target = np.log(perplexity)
+    P = np.zeros((m, m))
+    for i in range(m):
+        lo, hi = 1e-20, 1e20
+        beta = 1.0
+        d = np.delete(D2[i], i)
+        for _ in range(50):
+            p = np.exp(-d * beta)
+            s = p.sum()
+            if s <= 0:
+                beta /= 2.0
+                hi = beta * 2.0
+                continue
+            p = p / s
+            h = -(p * np.log(np.maximum(p, 1e-300))).sum()
+            if abs(h - target) < 1e-5:
+                break
+            if h > target:
+                lo = beta
+                beta = beta * 2 if hi >= 1e20 else (beta + hi) / 2
+            else:
+                hi = beta
+                beta = beta / 2 if lo <= 1e-20 else (beta + lo) / 2
+        row = np.insert(p, i, 0.0)
+        P[i] = row
+    P = (P + P.T) / (2.0 * m)
+    P = np.maximum(P, 1e-12)
+    # deterministic PCA init
+    Xc = X - X.mean(axis=0)
+    _u, _s, vt = np.linalg.svd(Xc, full_matrices=False)
+    Y = Xc @ vt[:k].T
+    Y = Y / max(Y.std(), 1e-12) * 1e-4
+    gain = np.ones_like(Y)
+    vel = np.zeros_like(Y)
+    for it in range(iters):
+        exag = 12.0 if it < 100 else 1.0
+        momentum = 0.5 if it < 100 else 0.8
+        d2y = ((Y[:, None, :] - Y[None, :, :]) ** 2).sum(axis=2)
+        Q = 1.0 / (1.0 + d2y)
+        np.fill_diagonal(Q, 0.0)
+        Z = Q.sum()
+        qn = np.maximum(Q / max(Z, 1e-300), 1e-12)
+        PQ = (exag * P - qn) * Q
+        grad = 4.0 * ((np.diag(PQ.sum(axis=1)) - PQ) @ Y)
+        gain = np.where(np.sign(grad) != np.sign(vel),
+                        gain + 0.2, gain * 0.8)
+        gain = np.maximum(gain, 0.01)
+        vel = momentum * vel - learning_rate * gain * grad
+        Y = Y + vel
+        Y = Y - Y.mean(axis=0)
+    mean = X.mean(axis=0)
+    # ridge-free least-squares linear extension (m >= d samples typical;
+    # lstsq handles either shape)
+    W, *_ = np.linalg.lstsq(X - mean, Y, rcond=None)
+    return {"mean": mean, "components": W.T, "sample_Y": Y, "sample_X": X}

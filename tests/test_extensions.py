@@ -471,3 +471,40 @@ def test_spectral_meanshift_affinity_recover_blobs():
         # determinism
         C2 = fit()
         np.testing.assert_array_equal(C, C2, err_msg=name)
+
+
+def test_tsne_separates_blobs_and_extends_linearly():
+    """Exact t-SNE on a bounded sample: well-separated blobs stay separated
+    in the 2-D embedding (nearest-centroid purity), the fit is
+    deterministic, and pca_transform broadcasts the linear extension."""
+    from protein_feature_engineering_ray.stages.reduce import pca_transform, tsne_fit
+
+    rng = np.random.default_rng(14)
+    centers = rng.normal(size=(3, 10)) * 8
+    X = np.concatenate([c + rng.normal(size=(40, 10)) * 0.3 for c in centers])
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(len(X)), "embedding": list(X)})
+    ).repartition(3)
+    m = tsne_fit(ds, vec_col="embedding", k=2, perplexity=15, iters=300)
+    Y = m["sample_Y"]
+    assert Y.shape == (120, 2)
+    # blob purity in the embedding: labels from the CANONICAL sample order
+    Xs = m["sample_X"]
+    truth = np.array([
+        int(np.argmin(((centers - x) ** 2).sum(axis=1))) for x in Xs
+    ])
+    cents = np.stack([Y[truth == t].mean(axis=0) for t in range(3)])
+    near = ((Y[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert (near == truth).mean() >= 0.97
+    # determinism
+    m2 = tsne_fit(ds, vec_col="embedding", k=2, perplexity=15, iters=300)
+    np.testing.assert_array_equal(Y, m2["sample_Y"])
+    # the broadcast linear extension runs distributed and matches driver math
+    out = (
+        pca_transform(ds, m, vec_col="embedding", out_prefix="ts")
+        .to_pandas().sort_values("vec_id")
+    )
+    want = (X - m["mean"]) @ m["components"].T
+    np.testing.assert_allclose(
+        out[["ts0", "ts1"]].to_numpy(), want, rtol=1e-9, atol=1e-9
+    )
