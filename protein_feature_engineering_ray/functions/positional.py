@@ -422,3 +422,59 @@ class ShellComposition:
                         1.0,
                     )
         return out
+
+
+class TimeWindowStats:
+    """TIME-based trailing-window stats per turn: count / sum / mean of a
+    numeric column over rows with ``ts`` in ``[t - seconds, t]`` within the
+    conversation (inclusive both ends — exactly SQL ``RANGE BETWEEN
+    INTERVAL seconds PRECEDING AND CURRENT ROW``, including ts-peers on
+    both sides).  The row-based rolling family can't express this; an
+    entity×timestamp feature stack needs both.
+
+    Vectorized: ts is sorted within each segment, so window boundaries are
+    two ``np.searchsorted`` calls on a segment-offset composite key and the
+    aggregates are prefix-sum differences — no per-row loop.  The COUNT is
+    integer-exact (the oracle-gated column); sum/mean reassociate float
+    addition (prefix differences) and are allclose-gated in pytest.
+
+    ``lookback = None``: a time window may reach arbitrarily many rows back,
+    so the kernel needs whole conversations (rejected by the chunked
+    executor by design).  Requires ``ts`` non-decreasing within each
+    conversation under the chosen order_cols (true for canonical
+    transcripts, where turn order IS timestamp order) — the searchsorted
+    boundaries assume it."""
+
+    lookback = None
+
+    def __init__(self, col: str, seconds: float = 60.0,
+                 prefix: str | None = None):
+        self.col = col
+        self.seconds = seconds
+        self.prefix = prefix or f"tw{int(seconds)}_{col}"
+
+    def names(self) -> list[str]:
+        return [f"{self.prefix}_{s}" for s in ("count", "sum", "mean")]
+
+    def apply(self, ctx: ConvContext) -> np.ndarray:
+        x = ctx.numeric(self.col)
+        ok = ~np.isnan(x)
+        x0 = np.where(ok, x, 0.0)
+        ts = ctx.ts_us
+        w_us = np.int64(round(self.seconds * 1e6))
+        # composite key: segment index shifted far above the ts range, so one
+        # global searchsorted respects segment boundaries
+        t0 = ts.min() if ctx.n else np.int64(0)
+        rel = (ts - t0).astype(np.int64)
+        span = np.int64(int(rel.max()) + int(w_us) + 2) if ctx.n else np.int64(1)
+        key = ctx.seg_of_row.astype(np.int64) * span + rel
+        lo = np.searchsorted(key, key - w_us, side="left")
+        hi = np.searchsorted(key, key, side="right")  # includes ts-peers
+        cum_n = np.concatenate(([0], np.cumsum(ok)))
+        cnt = (cum_n[hi] - cum_n[lo]).astype(np.float64)
+        cum_s = np.concatenate(([0.0], np.cumsum(x0)))
+        ssum = cum_s[hi] - cum_s[lo]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(cnt > 0, ssum / cnt, np.nan)
+        ssum = np.where(cnt > 0, ssum, np.nan)
+        return np.stack([cnt, ssum, mean], axis=1)

@@ -151,6 +151,8 @@ REGISTRY: dict[str, tuple[str, Callable[[Alphabet, dict[str, Any]], Any]]] = {
         _letters(a, p.get("grouped", False)), grouped=p.get("grouped", False))),
     "RollingStats": ("turn", lambda a, p: pos.RollingStats(
         p.get("col", "value"), w=p.get("w", 5))),
+    "TimeWindowStats": ("turn", lambda a, p: pos.TimeWindowStats(
+        p.get("col", "value"), seconds=p.get("seconds", 60.0))),
     "PositionFeatures": ("turn", lambda a, p: pos.PositionFeatures()),
     "ShellComposition": ("turn", lambda a, p: pos.ShellComposition(
         _letters(a, False),

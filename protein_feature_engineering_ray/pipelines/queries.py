@@ -303,7 +303,10 @@ SQL_ROLLSTATS = f"""{TRANSCRIPTS_SQL_CTE}SELECT conv_id, turn_idx,
     CAST(count(value) OVER ({WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
       AS roll3_value_count,
     min(value) OVER ({WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_value_min,
-    max(value) OVER ({WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_value_max
+    max(value) OVER ({WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_value_max,
+    CAST(count(value) OVER (PARTITION BY conv_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 60 SECONDS PRECEDING AND CURRENT ROW) AS DOUBLE)
+      AS tw60_value_count
 FROM transcripts"""
 
 GAP_SECONDS = 1800.0
@@ -751,10 +754,17 @@ def q_latency(sf):
 
 
 def q_rollstats(sf):
-    ds = _turn(sf, [("RollingStats", {"col": "value", "w": 3})])
+    """Row-based trailing stats (ROWS window) AND the time-based trailing
+    window (RANGE INTERVAL window — TimeWindowStats, searchsorted
+    boundaries): counts are integer-exact both sides; the float sum/mean of
+    the time window are prefix-difference reassociations, pytest-gated."""
+    ds = _turn(sf, [
+        ("RollingStats", {"col": "value", "w": 3}),
+        ("TimeWindowStats", {"col": "value", "seconds": 60}),
+    ])
     return ds.select_columns(
         ["conv_id", "turn_idx", "roll3_value_count", "roll3_value_min",
-         "roll3_value_max"]
+         "roll3_value_max", "tw60_value_count"]
     )
 
 

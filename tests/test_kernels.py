@@ -335,3 +335,57 @@ def test_conv_graph_triangle():
     assert row["graph_density"] == 3 / 6
     assert row["graph_reciprocity"] == 0.0
     assert row["graph_clustering"] == 1.0  # every node closes the triangle
+
+
+def test_time_window_stats_matches_pandas_reference():
+    """TimeWindowStats (RANGE-window analogue): count bit-equal and
+    sum/mean allclose vs a per-row pandas reference incl. ts ties and NaN
+    values; whole-conversation-only (rejected by the chunked executor)."""
+    import ray.data
+
+    from protein_feature_engineering_ray.core.executor import turn_features_chunked
+
+    pdf = synth_transcripts(n_convs=8, duplicates=False, as_pandas=True)
+    rng = np.random.default_rng(3)
+    val = rng.normal(size=len(pdf))
+    val[rng.random(len(pdf)) < 0.1] = np.nan
+    pdf["value"] = val
+    # inject ts ties inside conversations to exercise peer inclusion
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    dup = pdf.groupby("conv_id").cumcount() == 3
+    prev = pdf["ts"].shift(1)
+    pdf.loc[dup, "ts"] = prev[dup]
+    ds = ray.data.from_pandas(pdf).repartition(3)
+    W = 60.0
+    got = (
+        turn_features(
+            ds, [make_kernel("TimeWindowStats", ALPHA,
+                             {"col": "value", "seconds": W})[1]],
+            alphabet=ALPHA, num_buckets=3,
+        )
+        .to_pandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    ts_us = want["ts"].astype("datetime64[us]").astype("int64")
+    for conv in want["conv_id"].unique():
+        sel = np.flatnonzero((want["conv_id"] == conv).to_numpy())
+        t = ts_us.to_numpy()[sel]
+        v = want["value"].to_numpy()[sel]
+        for j, row in enumerate(sel):
+            m = (t >= t[j] - int(W * 1e6)) & (t <= t[j])
+            window = v[m]
+            window = window[~np.isnan(window)]
+            assert got.loc[row, "tw60_value_count"] == len(window)
+            if len(window):
+                np.testing.assert_allclose(
+                    got.loc[row, "tw60_value_sum"], window.sum(), rtol=1e-9
+                )
+            else:
+                assert np.isnan(got.loc[row, "tw60_value_sum"])
+
+    with pytest.raises(ValueError, match="unbounded lookback"):
+        turn_features_chunked(
+            ds, [make_kernel("TimeWindowStats", ALPHA, {"col": "value"})[1]],
+            alphabet=ALPHA, chunk_size=8,
+        )
