@@ -737,10 +737,12 @@ def tsne_fit(ds, cols: list[str] | None = None, vec_col: str | None = None,
         P[i] = row
     P = (P + P.T) / (2.0 * m)
     P = np.maximum(P, 1e-12)
-    # deterministic PCA init
+    # deterministic PCA init (zero-padded when sample rank < k)
     Xc = X - X.mean(axis=0)
     _u, _s, vt = np.linalg.svd(Xc, full_matrices=False)
     Y = Xc @ vt[:k].T
+    if Y.shape[1] < k:
+        Y = np.pad(Y, ((0, 0), (0, k - Y.shape[1])))
     Y = Y / max(Y.std(), 1e-12) * 1e-4
     gain = np.ones_like(Y)
     vel = np.zeros_like(Y)

@@ -508,3 +508,50 @@ def test_tsne_separates_blobs_and_extends_linearly():
     np.testing.assert_allclose(
         out[["ts0", "ts1"]].to_numpy(), want, rtol=1e-9, atol=1e-9
     )
+
+
+def test_fit_operators_degenerate_inputs():
+    """Every bounded-sample fit survives degenerate shapes (single row,
+    k > n, duplicate rows) without raising — the failure mode that would
+    kill a driver correctness run on an unlucky sample."""
+    from protein_feature_engineering_ray.stages.reduce import (
+        affinity_propagation_fit,
+        agglomerative_fit,
+        gmm_assign,
+        gmm_fit,
+        kmeans_assign,
+        kmeans_fit,
+        mcl_fit,
+        meanshift_fit,
+        pca_transform,
+        spectral_fit,
+        tsne_fit,
+    )
+
+    one = ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": [0], "embedding": [np.ones(4)]}
+    ))
+    dup = ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(6), "embedding": [np.ones(4)] * 6}
+    ))
+
+    for ds_, n in ((one, 1), (dup, 6)):
+        km = kmeans_fit(ds_, vec_col="embedding", k=8)
+        assert 1 <= len(km) <= 8
+        assert kmeans_assign(ds_, km, vec_col="embedding").count() == n
+        gm = gmm_fit(ds_, vec_col="embedding", k=8)
+        assert gmm_assign(ds_, gm, vec_col="embedding").count() == n
+        ag = agglomerative_fit(ds_, vec_col="embedding", k=8)
+        assert 1 <= len(ag) <= 8
+        sp = spectral_fit(ds_, vec_col="embedding", k=8)
+        assert 1 <= len(sp) <= 8
+        ms = meanshift_fit(ds_, vec_col="embedding")
+        assert len(ms) >= 1
+        ap = affinity_propagation_fit(ds_, vec_col="embedding")
+        assert len(ap) >= 1
+        mc = mcl_fit(ds_, vec_col="embedding")
+        assert len(mc) >= 1
+        tm = tsne_fit(ds_, vec_col="embedding", k=2, iters=20)
+        assert tm["sample_Y"].shape == (n, 2)
+        out = pca_transform(ds_, tm, vec_col="embedding", out_prefix="ts")
+        assert out.count() == n
