@@ -99,3 +99,87 @@ def media_features(
         batch_size=batch_size,
         num_cpus=1,
     )
+
+
+class MediaResizeActor:
+    """Actor-pool resize stage for image payloads.  ``fake=True`` (this
+    container has no imaging libs) applies a deterministic stand-in —
+    payload truncated proportionally to the pixel-count ratio, width/height
+    metadata updated for real — so the schema contract, metadata flow and
+    actor plumbing are exercised end-to-end; ``fake=False`` raises until a
+    decoder is available (the clearly-marked plug-in point)."""
+
+    def __init__(self, out_w: int = 64, out_h: int = 64, fake: bool = True):
+        self.out_w = int(out_w)
+        self.out_h = int(out_h)
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "real image resize requires an imaging library; run with "
+                "fake=True in this environment"
+            )
+        payloads = batch["payload"].to_numpy(zero_copy_only=False)
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = (self.out_w * self.out_h) / np.maximum(w * h, 1)
+        out_p = []
+        for p, r in zip(payloads, ratio):
+            n = max(1, int(len(p or b"\x00") * min(r, 1.0)))
+            out_p.append((p or b"\x00")[:n])
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out_p, pa.binary()),
+                "mime": batch["mime"],
+                "width": pa.array(
+                    np.full(len(batch), self.out_w, dtype=np.int32)),
+                "height": pa.array(
+                    np.full(len(batch), self.out_h, dtype=np.int32)),
+            }
+        )
+
+
+def media_resize(ds: "ray.data.Dataset", out_w: int = 64, out_h: int = 64,
+                 concurrency: int = 2, batch_size: int = 32) -> "ray.data.Dataset":
+    return ds.map_batches(
+        MediaResizeActor, fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h),
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size, num_cpus=1,
+    )
+
+
+def frame_sample(ds: "ray.data.Dataset", n_frames: int = 4,
+                 concurrency: int = 2,
+                 batch_size: int = 16) -> "ray.data.Dataset":
+    """Frame-sampling stage for video/audio payloads: one input row ->
+    ``n_frames`` output rows (media_id, frame_idx, frame payload).  The
+    REAL decode is environment-blocked; the deterministic stand-in slices
+    the payload into equal byte spans — the Ray-side shape (row fan-out via
+    a flat-map style batch fn, small batches for fat payloads, stable
+    output schema) is the part that matters at scale."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_numpy(zero_copy_only=False)
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_id, out_fi, out_p = [], [], []
+        for mid, p in zip(ids, payloads):
+            p = p or b"\x00"
+            span = max(1, len(p) // n_frames)
+            for fi in range(n_frames):
+                out_id.append(mid)
+                out_fi.append(fi)
+                out_p.append(p[fi * span: (fi + 1) * span] or b"\x00")
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_fi, pa.int32()),
+                "frame": pa.array(out_p, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size, num_cpus=1,
+    )

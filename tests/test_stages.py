@@ -333,3 +333,41 @@ def test_embed_actor_pluggable_model():
     # deterministic forward pass: embedding[0] == n_toks * 1.0
     emb0 = np.stack(got["embedding"].to_numpy())[:, 0]
     np.testing.assert_allclose(emb0, want_lens.astype(np.float32))
+
+
+def test_media_resize_and_frame_sample_plumbing():
+    """Multimodal plumbing beyond feature-extract: resize updates metadata
+    and shrinks payloads deterministically; frame_sample fans one row into
+    n_frames rows with a stable schema (decode itself stays the documented
+    stub)."""
+    from protein_feature_engineering_ray.stages.multimodal import (
+        frame_sample,
+        media_features,
+        media_resize,
+        synth_media,
+    )
+
+    ds = synth_media(n=16, payload_bytes=512)
+    resized = media_resize(ds, out_w=8, out_h=8, concurrency=1).to_pandas()
+    assert (resized["width"] == 8).all() and (resized["height"] == 8).all()
+    orig = ds.to_pandas()
+    assert (
+        resized.sort_values("media_id")["payload"].str.len().to_numpy()
+        <= orig.sort_values("media_id")["payload"].str.len().to_numpy()
+    ).all()
+    # resized payloads still feed the feature stage (chained pipeline)
+    feats = media_features(
+        media_resize(ds, out_w=8, out_h=8, concurrency=1), concurrency=1
+    ).to_pandas()
+    assert len(feats) == 16 and len(feats["media_vec"][0]) == 8
+
+    frames = frame_sample(ds, n_frames=4, concurrency=1).to_pandas()
+    assert len(frames) == 16 * 4
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+    per = frames.groupby("media_id").size()
+    assert (per == 4).all()
+    # determinism
+    frames2 = frame_sample(ds, n_frames=4, concurrency=1).to_pandas()
+    a = frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = frames2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert (a["frame"] == b["frame"]).all()
