@@ -491,3 +491,56 @@ def test_bucket_join_null_keys_match_nothing():
         left, right, on=["k"], how="left_anti", num_buckets=4
     ).to_pandas()
     assert sorted(anti["lv"]) == [2, 3]
+
+
+def test_bucket_join_randomized_vs_pandas_semantics():
+    """Randomized armor for the engine's join primitive: for many random
+    key/value frames (with null keys and disjoint/overlapping/duplicated
+    keys), every mode of bucket_join equals the SQL-semantics reference
+    (pandas merge computed on null-key-filtered right, left null keys as
+    non-matching)."""
+    import pandas as pd
+
+    import ray.data
+
+    from protein_feature_engineering_ray.core.joins import bucket_join
+
+    rng = np.random.default_rng(77)
+    for trial in range(12):
+        nl = int(rng.integers(0, 30))
+        nr = int(rng.integers(0, 30))
+        keyspace = ["a", "b", "c", "d", None]
+        lk = [keyspace[i] for i in rng.integers(0, len(keyspace), nl)]
+        rk = [keyspace[i] for i in rng.integers(0, len(keyspace), nr)]
+        L = pd.DataFrame({"k": lk, "lv": np.arange(nl)})
+        R = pd.DataFrame({"k": rk, "rv": np.arange(nr) * 10})
+        lds = ray.data.from_pandas(L) if nl else ray.data.from_pandas(
+            pd.DataFrame({"k": pd.Series([], dtype=object),
+                          "lv": pd.Series([], dtype=np.int64)}))
+        rds = ray.data.from_pandas(R) if nr else ray.data.from_pandas(
+            pd.DataFrame({"k": pd.Series([], dtype=object),
+                          "rv": pd.Series([], dtype=np.int64)}))
+
+        Rnn = R[R["k"].notna()]
+        for how, ref in (
+            ("inner", lambda: L[L["k"].notna()].merge(Rnn, on="k")),
+            ("left_outer", lambda: L.merge(
+                Rnn, on="k", how="left") if nl else L),
+            ("left_semi", lambda: L[L["k"].isin(set(Rnn["k"]))]),
+            ("left_anti", lambda: L[~L["k"].isin(set(Rnn["k"]))]),
+        ):
+            got = bucket_join(
+                lds, rds, on=["k"], how=how, num_buckets=4,
+                left_cols=["k", "lv"], right_cols=["k", "rv"],
+            ).to_pandas()
+            want = ref()
+            cols = list(got.columns)
+            g = got.sort_values(cols).reset_index(drop=True)
+            w = want[cols].sort_values(cols).reset_index(drop=True) if len(
+                want) else want.reindex(columns=cols)
+            assert len(g) == len(w), (trial, how)
+            if len(g):
+                for c in cols:
+                    a = g[c].astype(str).fillna("~")
+                    b = w[c].astype(str).fillna("~")
+                    assert a.equals(b), (trial, how, c)
