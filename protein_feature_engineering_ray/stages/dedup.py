@@ -269,6 +269,12 @@ def _banded_rows(
             id_col: pa.array(np.concatenate(out_ids)),
             "band": pa.array(np.concatenate(out_band), pa.int32()),
             "band_hash": pa.array(np.concatenate(out_hash), pa.uint64()),
+            # compact chain-sort key (8 bytes/row, NOT the full signature):
+            # identical documents share it, so fp-sorted chaining keeps
+            # exact-duplicate runs adjacent even in band groups that mix
+            # several distinct texts (see simhash collect_verify); using the
+            # same key in both verify paths keeps their chains identical
+            "sig0": pa.array(np.tile(sig[:, 0], bands), pa.uint64()),
         }
         if carry_sig:
             cols["minhash"] = _pack_rows(np.tile(sig, (bands, 1)))
@@ -350,7 +356,11 @@ def minhash_candidate_pairs(
                 {"id_a": pd.Series([], dtype=idt),
                  "id_b": pd.Series([], dtype=idt)}
             )
-        g = g.sort_values(["band", "band_hash", id_col], kind="mergesort")
+        # chain in (sig0, id) order within each band group — identical
+        # documents share sig0, so exact-dup runs stay adjacent even when a
+        # band group mixes several distinct texts (see simhash fix)
+        g = g.sort_values(["band", "band_hash", "sig0", id_col],
+                          kind="mergesort")
         first = g.groupby(["band", "band_hash"])[id_col].transform("first")
         m = (g[id_col] != first).to_numpy()
         ids = g[id_col].to_numpy()
@@ -402,7 +412,11 @@ def verified_edges_inband(
                  "id_b": pd.Series([], dtype=idt),
                  "sig_jaccard": pd.Series([], dtype=np.float64)}
             )
-        g = g.sort_values(["band", "band_hash", id_col], kind="mergesort")
+        # chain in (sig0, id) order — the SAME key the joins path sorts
+        # by, so both verify modes emit identical chains; identical docs
+        # share sig0, keeping exact-dup runs adjacent in mixed band groups
+        g = g.sort_values(["band", "band_hash", "sig0", id_col],
+                          kind="mergesort")
         S = np.frombuffer(
             b"".join(g["minhash"]), dtype=np.uint64
         ).reshape(len(g), -1)
@@ -812,17 +826,23 @@ def simhash_dedup(
                 {"id_a": pd.Series([], dtype=idt),
                  "id_b": pd.Series([], dtype=idt)}
             )
-        g = g.sort_values(["band", "bkey", id_col], kind="mergesort")
+        # chain edges in FINGERPRINT-sorted order within each band group:
+        # a 16-bit band key collides across genuinely dissimilar texts, so
+        # an id-sorted chain can interleave dissimilar members and break
+        # every link even between EXACT duplicates (each link spans an
+        # A-B boundary).  Sorting by fp first puts identical / numerically
+        # close fingerprints adjacent, so exact-dup runs always chain
+        # (ham = 0) and only the genuine block boundaries face the Hamming
+        # test.  (Found by the replicated-corpus scale check; the round-2
+        # star form had the mirror-image failure — non-hub members of a
+        # collided group never merged with each other.)
+        g = g.sort_values(["band", "bkey", "fp", id_col], kind="mergesort")
         gb = g.groupby(["band", "bkey"], sort=False)
         sz = gb.size().to_numpy()
         first_idx = np.repeat(
             np.concatenate([[0], np.cumsum(sz)[:-1]]), sz
         )
         n = len(g)
-        # chain edges (member vs sorted predecessor) rather than star edges:
-        # see minhash_candidate_pairs — the pigeonhole guarantee covers
-        # CANDIDATE recall; chaining keeps verified-pair connectivity from
-        # hinging on one hub row
         is_first = np.arange(n) == first_idx
         prev_idx = np.maximum(np.arange(n) - 1, 0)
         fp = g["fp"].to_numpy().astype(np.uint64)

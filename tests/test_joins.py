@@ -544,3 +544,34 @@ def test_bucket_join_randomized_vs_pandas_semantics():
                     a = g[c].astype(str).fillna("~")
                     b = w[c].astype(str).fillna("~")
                     assert a.equals(b), (trial, how, c)
+
+
+def test_simhash_dedup_merges_exact_copies_in_collided_groups():
+    """Regression (round-3 scale check): 16-bit simhash band keys collide
+    across dissimilar texts, and an id-sorted chain interleaved dissimilar
+    members so EXACT duplicates failed to merge.  Fingerprint-sorted chains
+    must collapse every replica set regardless of group collisions."""
+    import ray.data
+
+    from protein_feature_engineering_ray.stages.dedup import simhash_dedup
+
+    rng = np.random.default_rng(19)
+    words = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(words, size=30)) for _ in range(400)
+    ]
+    rows = []
+    for rep in range(5):  # 5 exact copies of each text, interleaved ids
+        for i, t in enumerate(texts):
+            rows.append({"doc_id": rep + i * 10, "text": t})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    kept = simhash_dedup(
+        ds, max_hamming=3, bands=4, num_buckets=8
+    ).to_pandas()
+    # every replica set must collapse to exactly one survivor (possibly
+    # fewer if two DISTINCT texts are genuine near-dups)
+    assert len(kept) <= 400
+    # and each surviving doc is the min id of its replica set unless merged
+    # into another text's cluster: at minimum, no replica pair survives
+    tid = kept["doc_id"].to_numpy() // 10
+    assert len(np.unique(tid)) == len(tid), "replica pair survived dedup"
