@@ -137,7 +137,20 @@ def bucket_join(
                 Rv, on=on, how="inner" if how == "inner" else "left",
                 suffixes=(None, None),
             )
-            return out[out_names]
+            # Re-emit as Arrow under the group's unified schema: a bucket
+            # whose left_outer merge padded NaNs would otherwise yield
+            # float64 right-value columns while fully-matched buckets yield
+            # int64 — per-block schema divergence that downstream Arrow
+            # stages (and Dataset.to_pandas) see as object dtype.  Casting
+            # each column back to its wire type (NaN -> null) keeps every
+            # block on one schema.
+            arrays = {}
+            for c in out_names:
+                typ = g.schema.field(c).type
+                arrays[c] = pa.Array.from_pandas(
+                    out[c], type=None if pa.types.is_null(typ) else typ
+                )
+            return pa.table(arrays)
         # semi/anti: dedupe right keys, probe membership
         rk = R.select(on).to_pandas().drop_duplicates()
         m = Lv.merge(rk, on=on, how="left", indicator=True)["_merge"]

@@ -1,0 +1,114 @@
+"""Plot-data sink tests (stages/plotdata.py — the iPlot analogue,
+feature.py:5155-5622): each aggregate is checked against a direct
+numpy/pandas computation on the same rows, plus partition-invariance
+(the distributed partial+combine must not depend on block boundaries)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from protein_feature_engineering_ray.stages.plotdata import (
+    corr_pairs,
+    grouped_mean,
+    histogram_counts,
+    quantile_summary,
+    scatter_sample,
+)
+
+RNG = np.random.default_rng(1234)
+N = 500
+
+
+@pytest.fixture(scope="module")
+def frame():
+    return pd.DataFrame({
+        "conv_id": [f"c{i % 37}" for i in range(N)],
+        "x": RNG.normal(10.0, 3.0, N),
+        "k": RNG.integers(0, 9, N).astype(np.int64),
+        "a": RNG.integers(0, 50, N).astype(np.int64),
+        "b": RNG.integers(0, 50, N).astype(np.int64),
+        "role": RNG.choice(["user", "assistant", "tool"], N),
+    })
+
+
+def _ds(pdf, blocks):
+    return ray.data.from_pandas(
+        [pdf.iloc[i::blocks].reset_index(drop=True) for i in range(blocks)]
+    )
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_histogram_counts(frame, blocks):
+    got = histogram_counts(_ds(frame, blocks), "x", nbins=16)
+    lo, hi = frame["x"].min(), frame["x"].max()
+    bins = np.minimum(
+        np.floor((frame["x"].to_numpy() - lo) * 16 / (hi - lo)), 15
+    ).astype(np.int64)
+    want = np.bincount(bins, minlength=16).astype(np.float64)
+    assert got["value"].sum() == N
+    np.testing.assert_array_equal(got["value"].to_numpy(), want)
+    np.testing.assert_array_equal(got["idx"].to_numpy(), np.arange(16))
+
+
+def test_histogram_constant_column():
+    pdf = pd.DataFrame({"x": np.full(40, 7.0)})
+    got = histogram_counts(_ds(pdf, 3), "x", nbins=8)
+    assert got["value"][0] == 40 and got["value"][1:].sum() == 0
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_quantile_summary(frame, blocks):
+    got = quantile_summary(_ds(frame, blocks), "k")
+    x = np.sort(frame["k"].to_numpy())
+    for i, q in enumerate((0.0, 0.25, 0.5, 0.75, 1.0)):
+        rank = max(1, math.ceil(q * N))
+        assert got["value"][i] == float(x[rank - 1]), q
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_corr_pairs(frame, blocks):
+    got = corr_pairs(_ds(frame, blocks), ["a", "b", "k"])
+    m = np.corrcoef(frame[["a", "b", "k"]].to_numpy().T)
+    assert len(got) == 6  # upper triangle incl. diagonal, no zero-variance col
+    for _, row in got.iterrows():
+        i, j = row["idx"] // 3, row["idx"] % 3
+        assert abs(row["value"] - m[i, j]) < 1e-12, (row["name_a"], row["name_b"])
+    # block-partitioning must not change a single bit
+    again = corr_pairs(_ds(frame, 3), ["a", "b", "k"])
+    np.testing.assert_array_equal(got["value"].to_numpy(), again["value"].to_numpy())
+
+
+def test_corr_pairs_drops_zero_variance(frame):
+    pdf = frame.assign(z=np.int64(5))
+    got = corr_pairs(_ds(pdf, 4), ["a", "z"])
+    assert set(got["name_a"] + "|" + got["name_b"]) == {"a|a"}
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_grouped_mean(frame, blocks):
+    keys = ["assistant", "tool", "user"]
+    got = grouped_mean(_ds(frame, blocks), "role", "x", keys, scale=100)
+    for i, key in enumerate(keys):
+        q = np.floor(frame.loc[frame["role"] == key, "x"].to_numpy() * 100)
+        want = q.sum() / len(q)
+        assert got["value"][i] == want, key
+    assert list(got["name"]) == keys
+
+
+def test_grouped_mean_unknown_keys_ignored(frame):
+    got = grouped_mean(_ds(frame, 3), "role", "x", ["user", "nosuch"], scale=100)
+    assert np.isnan(got["value"][1])
+
+
+def test_scatter_sample_partition_invariant(frame):
+    a = scatter_sample(_ds(frame, 2), ["x", "k"], cap=100).to_pandas()
+    b = scatter_sample(_ds(frame, 9), ["x", "k"], cap=100).to_pandas()
+    key = ["conv_id", "x", "k"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    assert 0 < len(a) <= N
