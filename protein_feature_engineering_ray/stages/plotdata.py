@@ -62,11 +62,15 @@ def histogram_counts(
 
     def partial(t: pa.Table) -> pa.Table:
         x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]  # nulls/NaNs are not counted in any bin
         if hi == lo:
             b = np.zeros(len(x), dtype=np.int64)
         else:
-            b = np.minimum(
-                np.floor((x - lo) * nbins / (hi - lo)), nbins - 1
+            # clamp BOTH sides: with caller-supplied lo/hi, out-of-range
+            # values land in the edge bins (symmetric with the top clamp)
+            # instead of producing negative bincount indices
+            b = np.clip(
+                np.floor((x - lo) * nbins / (hi - lo)), 0, nbins - 1
             ).astype(np.int64)
         cnt = np.bincount(b, minlength=nbins).astype(np.int64)
         return pa.table({f"b{i}": [cnt[i]] for i in range(nbins)})

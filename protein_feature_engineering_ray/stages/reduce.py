@@ -454,7 +454,11 @@ def gmm_fit(ds, cols: list[str] | None = None, vec_col: str | None = None,
         # M-step
         nk = resp.sum(axis=0) + 1e-12
         mu = (resp.T @ X) / nk[:, None]
-        var = (resp.T @ (X**2)) / nk[:, None] - mu**2 + reg
+        # centered second moment — the E[x^2]-mu^2 form cancels
+        # catastrophically when |mean| >> std (large-offset embeddings)
+        # and can go NEGATIVE, poisoning the next E-step's log
+        diff = X[:, None, :] - mu[None, :, :]
+        var = (resp[:, :, None] * diff**2).sum(axis=0) / nk[:, None] + reg
         w = nk / n
         if abs(ll - prev_ll) < tol:
             break

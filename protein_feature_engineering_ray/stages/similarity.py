@@ -63,7 +63,12 @@ def knn_brute(
         ids = t[id_col].to_numpy(zero_copy_only=False)
         sims = Qm @ V.T  # (nq, batch)
         kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # prune under the FULL (sim desc, id asc) total order — an
+        # argpartition on sim alone drops tied lower-id neighbors at the
+        # block boundary before the deterministic final sort can see them
+        top = np.lexsort(
+            (np.broadcast_to(ids, sims.shape), -sims), axis=1
+        )[:, :kk]
         rows = np.repeat(np.arange(sims.shape[0]), kk)
         return pa.table(
             {
@@ -91,16 +96,21 @@ def _streaming_topk(
             continue
         # fold this partial into the running top-k (vectorized per query)
         width = int(b.groupby("q").size().max())
+        nbrs = b["nbr"].to_numpy()
         sim_b = np.full((nq, width), -np.inf)
-        nbr_b = np.empty((nq, width), dtype=object)
+        # pad with a real id value (not None): the prune's lexsort compares
+        # the id key within sim ties, and -inf pads tie with each other
+        nbr_b = np.full((nq, width), nbrs[0], dtype=object)
         qi = b["q"].to_numpy()
         pos = b.groupby("q").cumcount().to_numpy()
         sim_b[qi, pos] = b["sim"].to_numpy()
-        nbr_b[qi, pos] = b["nbr"].to_numpy()
+        nbr_b[qi, pos] = nbrs
         run_sim = np.concatenate([run_sim, sim_b], axis=1)
         run_nbr = np.concatenate([run_nbr, nbr_b], axis=1)
         if run_sim.shape[1] > k:
-            sel = np.argpartition(-run_sim, k - 1, axis=1)[:, :k]
+            # same (sim desc, id asc) total order as the per-block prune —
+            # sim-only argpartition would evict tied lower ids by arrival
+            sel = np.lexsort((run_nbr, -run_sim), axis=1)[:, :k]
             run_sim = np.take_along_axis(run_sim, sel, axis=1)
             run_nbr = np.take_along_axis(run_nbr, sel, axis=1)
 
