@@ -63,12 +63,24 @@ def knn_brute(
         ids = t[id_col].to_numpy(zero_copy_only=False)
         sims = Qm @ V.T  # (nq, batch)
         kk = min(k, sims.shape[1])
-        # prune under the FULL (sim desc, id asc) total order — an
-        # argpartition on sim alone drops tied lower-id neighbors at the
-        # block boundary before the deterministic final sort can see them
-        top = np.lexsort(
-            (np.broadcast_to(ids, sims.shape), -sims), axis=1
-        )[:, :kk]
+        # prune under the FULL (sim desc, id asc) total order. Fast path:
+        # argpartition selects the top-kk SET by sim; that set is exact
+        # unless a sim tie straddles the kk-boundary (then which tied id
+        # survives depends on partition order, and a lower-id neighbor can
+        # be dropped before the deterministic final sort sees it). Detect
+        # straddles per row and re-select only those rows with an id-aware
+        # sort — exact everywhere, O(batch) in the common no-tie case.
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        if kk < sims.shape[1]:
+            rows_ix = np.arange(sims.shape[0])[:, None]
+            bound = sims[rows_ix, top].min(axis=1)
+            bad = np.flatnonzero((sims >= bound[:, None]).sum(axis=1) > kk)
+            if len(bad):
+                order = np.argsort(ids, kind="stable")
+                id_rank = np.empty(len(ids), dtype=np.int64)
+                id_rank[order] = np.arange(len(ids))
+                for r in bad:
+                    top[r] = np.lexsort((id_rank, -sims[r]))[:kk]
         rows = np.repeat(np.arange(sims.shape[0]), kk)
         return pa.table(
             {
@@ -108,9 +120,14 @@ def _streaming_topk(
         run_sim = np.concatenate([run_sim, sim_b], axis=1)
         run_nbr = np.concatenate([run_nbr, nbr_b], axis=1)
         if run_sim.shape[1] > k:
-            # same (sim desc, id asc) total order as the per-block prune —
-            # sim-only argpartition would evict tied lower ids by arrival
-            sel = np.lexsort((run_nbr, -run_sim), axis=1)[:, :k]
+            # same (sim desc, id asc) total order as the per-block prune:
+            # sim-only argpartition picks the exact top-k SET unless a tie
+            # straddles the boundary; re-select only those rows id-aware
+            sel = np.argpartition(-run_sim, k - 1, axis=1)[:, :k]
+            bound = np.take_along_axis(run_sim, sel, axis=1).min(axis=1)
+            bad = np.flatnonzero((run_sim >= bound[:, None]).sum(axis=1) > k)
+            for r in bad:
+                sel[r] = np.lexsort((run_nbr[r], -run_sim[r]))[:k]
             run_sim = np.take_along_axis(run_sim, sel, axis=1)
             run_nbr = np.take_along_axis(run_nbr, sel, axis=1)
 

@@ -198,6 +198,26 @@ def test_knn_brute_matches_numpy():
         assert have == want
 
 
+def test_knn_brute_tie_break_deterministic():
+    """Exact-duplicate corpus vectors tie at sim=1.0 across and within
+    blocks; the (sim desc, id asc) total order must pick the k smallest
+    ids regardless of block arrival or argpartition order."""
+    from protein_feature_engineering_ray.stages.similarity import knn_brute
+
+    rng = np.random.default_rng(21)
+    v = rng.normal(size=16)
+    dup_ids = np.arange(1000, 1040)  # 40 exact copies of the query vector
+    rnd = rng.normal(size=(160, 16)) * 0.1  # low-sim fillers
+    ids = np.concatenate([dup_ids, np.arange(160)])
+    V = np.concatenate([np.tile(v, (40, 1)), rnd])
+    perm = rng.permutation(len(ids))  # scatter the tied ids over blocks
+    df = pd.DataFrame({"vec_id": ids[perm], "embedding": list(V[perm])})
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = knn_brute(ds, v[None, :], np.array([0]), k=10)
+    assert list(got["nbr_id"]) == list(dup_ids[:10])
+    assert np.allclose(got["cosine"], 1.0)
+
+
 def test_ivf_knn_recall():
     from protein_feature_engineering_ray.stages.similarity import ivf_knn, knn_brute
 
