@@ -100,7 +100,9 @@ def quantile_summary(
     """
 
     def partial(t: pa.Table) -> pa.Table:
-        x = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # drop_null BEFORE the int cast: a null -> NaN -> int64 cast is
+        # undefined (INT_MIN garbage values entering the distribution)
+        x = t[col].drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
         v, c = np.unique(x, return_counts=True)
         return pa.table({"v": v, "c": c.astype(np.int64)})
 
@@ -195,9 +197,11 @@ def grouped_mean(
             zero_copy_only=False
         )
         codes = np.nan_to_num(codes.astype(np.float64), nan=-1).astype(np.int64)
-        ok = codes >= 0
         x = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        q = np.floor(x * scale).astype(np.int64)
+        # null values are excluded from both sum and count (SQL avg
+        # semantics); NaN would otherwise turn into an undefined int cast
+        ok = (codes >= 0) & ~np.isnan(x)
+        q = np.floor(np.nan_to_num(x) * scale).astype(np.int64)
         sums = np.zeros(kidx, dtype=np.int64)
         cnts = np.zeros(kidx, dtype=np.int64)
         np.add.at(sums, codes[ok], q[ok])

@@ -103,6 +103,33 @@ def test_grouped_mean_unknown_keys_ignored(frame):
     assert np.isnan(got["value"][1])
 
 
+def test_null_values_excluded(frame):
+    """Nulls never reach an int cast: the histogram skips them, the
+    quantile distribution drops them, and grouped_mean follows SQL avg
+    (null excluded from sum AND count)."""
+    pdf = frame.head(60).copy()
+    pdf.loc[::5, "x"] = np.nan
+    pdf["k"] = pdf["k"].astype("Int64")
+    pdf.loc[::7, "k"] = pd.NA
+    valid_x = pdf["x"].dropna().to_numpy()
+    got_h = histogram_counts(_ds(pdf, 4), "x", nbins=8)
+    assert got_h["value"].sum() == len(valid_x)
+
+    got_q = quantile_summary(_ds(pdf, 4), "k")
+    x = np.sort(pdf["k"].dropna().to_numpy().astype(np.int64))
+    assert got_q["value"][4] == float(x[-1])
+    assert got_q["value"][0] == float(x[0])
+
+    keys = ["assistant", "tool", "user"]
+    got_m = grouped_mean(_ds(pdf, 4), "role", "x", keys, scale=100)
+    for i, key in enumerate(keys):
+        sel = pdf.loc[(pdf["role"] == key) & pdf["x"].notna(), "x"].to_numpy()
+        want = np.floor(sel * 100).sum() / len(sel) if len(sel) else np.nan
+        assert (np.isnan(want) and np.isnan(got_m["value"][i])) or (
+            got_m["value"][i] == want
+        ), key
+
+
 def test_scatter_sample_partition_invariant(frame):
     a = scatter_sample(_ds(frame, 2), ["x", "k"], cap=100).to_pandas()
     b = scatter_sample(_ds(frame, 9), ["x", "k"], cap=100).to_pandas()
