@@ -53,11 +53,6 @@ def asof_join(
     ``left_cols`` prunes the turn columns that ride the exchange (shuffle
     bytes; e.g. drop ``text`` when the consumer only needs keys).
     """
-    if left_cols is not None:
-        need = set(left_cols) | {"conv_id", "ts"} | set(assign_turn_idx_by or [])
-        turns = turns.select_columns(
-            [c for c in turns.schema().names if c in need]
-        )
     def _pa_type(t):
         if isinstance(t, pa.DataType):
             return t
@@ -66,9 +61,16 @@ def asof_join(
         except (pa.ArrowNotImplementedError, TypeError, ValueError):
             return pa.string()  # numpy object dtype (str columns)
 
+    # ONE schema probe (each .schema() on a lazy Dataset executes a
+    # limit-1 sample pipeline); the post-select schema is derived from it
     turn_schema = turns.schema()  # ray.data Schema wrapper
     turn_cols = list(turn_schema.names)
     turn_types = {n: _pa_type(t) for n, t in zip(turn_schema.names, turn_schema.types)}
+    if left_cols is not None:
+        need = set(left_cols) | {"conv_id", "ts"} | set(assign_turn_idx_by or [])
+        turn_cols = [c for c in turn_cols if c in need]
+        turn_types = {c: turn_types[c] for c in turn_cols}
+        turns = turns.select_columns(turn_cols)
 
     def tag_left(t: pa.Table) -> pa.Table:
         cols = {c: t[c] for c in turn_cols}

@@ -259,8 +259,6 @@ def exact_threshold_edges(
     does one blocked matmul against it: O(n²) total work distributed over
     the batches, O(n·d) broadcast bytes.  Refuses corpora above
     ``max_broadcast_rows`` loudly instead of silently exhausting workers."""
-    import pyarrow.compute as pc  # noqa: F401  (parity with sibling stages)
-
     n = ds.count()
     if n > max_broadcast_rows:
         raise ValueError(
@@ -516,7 +514,6 @@ def agglomerative_fit(ds, cols: list[str] | None = None,
     # maintained exactly via the Lance-Williams average-link update
     D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2))
     np.fill_diagonal(D, np.inf)
-    active = np.ones(m, dtype=bool)
     size = np.ones(m, dtype=np.int64)
     label = np.arange(m)
     for _ in range(m - k_eff):
@@ -532,7 +529,6 @@ def agglomerative_fit(ds, cols: list[str] | None = None,
         D[i, i] = np.inf
         D[j, :] = np.inf
         D[:, j] = np.inf
-        active[j] = False
         size[i] += size[j]
         label[label == label[j]] = label[i]
     cents = np.stack(
