@@ -147,9 +147,15 @@ def bucket_join(
             arrays = {}
             for c in out_names:
                 typ = g.schema.field(c).type
-                arrays[c] = pa.Array.from_pandas(
-                    out[c], type=None if pa.types.is_null(typ) else typ
-                )
+                if pa.types.is_null(typ):
+                    # a bucket with ZERO right rows carries null-typed right
+                    # value columns; emit an explicit null column (Arrow
+                    # promotes null -> the other blocks' concrete type)
+                    # instead of letting pandas infer float64 from the NaN
+                    # padding — per-block float64-vs-int64 divergence
+                    arrays[c] = pa.nulls(len(out))
+                else:
+                    arrays[c] = pa.Array.from_pandas(out[c], type=typ)
             return pa.table(arrays)
         # semi/anti: dedupe right keys, probe membership
         rk = R.select(on).to_pandas().drop_duplicates()

@@ -34,6 +34,30 @@ def test_bucket_join_inner_and_outer():
     assert outer[outer["k"] == 1]["y"].isna().all()
 
 
+def test_bucket_join_left_outer_all_left_buckets_schema():
+    """Buckets with ZERO right rows must emit explicit null columns (Arrow
+    promotes null -> int64 across blocks), never a pandas-inferred float64
+    that diverges from the matched buckets' int64 per-block schema."""
+    import pyarrow as pa
+
+    left = ray.data.from_pandas(
+        _pdf({"k": np.arange(100, dtype=np.int64)})
+    )
+    right = ray.data.from_pandas(
+        _pdf({"k": np.array([3], dtype=np.int64),
+              "v": np.array([42], dtype=np.int64)})
+    )
+    j = bucket_join(left, right, on=["k"], how="left_outer", num_buckets=16,
+                    left_cols=["k"], right_cols=["k", "v"])
+    for b in j.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b.schema.field("v").type
+        assert pa.types.is_null(t) or pa.types.is_int64(t), t
+    df = j.to_pandas()
+    assert len(df) == 100
+    assert df.loc[df["k"] == 3, "v"].tolist() == [42]
+    assert df["v"].isna().sum() == 99
+
+
 def test_bucket_join_semi_anti_and_collision_suffix():
     left = ray.data.from_pandas(_pdf({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}))
     right = ray.data.from_pandas(_pdf({"k": [2, 2, 9], "v": [99.0, 98.0, 0.0]}))
