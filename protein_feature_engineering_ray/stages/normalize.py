@@ -2,9 +2,11 @@
 feature.py:5041-5082) — the reference's whole-matrix operations as two-pass
 streaming aggregate + broadcast apply (SURVEY.md §2.6).
 
-Pass 1 streams partial (count, sum, sumsq, min, max, nan-count) per column
-through ``map_batches`` (one tiny row per block) and combines on the driver —
-no full materialization.  Pass 2 broadcasts the scalar stats and applies the
+Pass 1 streams partial (count, mean, centered M2, min, max, nan-count) per
+column through ``map_batches`` (one tiny row per block) and combines on the
+driver with Chan's parallel-variance update — centered moments, because the
+raw ``E[x²]-mean²`` form cancels catastrophically when |mean| >> std and can
+even go negative.  Pass 2 broadcasts the scalar stats and applies the
 transform per batch.  At cluster scale the broadcast is a plain closure
 (a few floats per column), shipped once per task by Ray.
 """
@@ -24,10 +26,12 @@ def _column_stats(ds: ray.data.Dataset, cols: list[str]) -> dict[str, dict[str, 
             x = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
             ok = ~np.isnan(x)
             v = x[ok]
+            m = float(v.mean()) if len(v) else 0.0
             out[f"{c}__n"] = [float(len(v))]
             out[f"{c}__nan"] = [float(len(x) - len(v))]
-            out[f"{c}__s"] = [float(v.sum()) if len(v) else 0.0]
-            out[f"{c}__ss"] = [float((v * v).sum()) if len(v) else 0.0]
+            out[f"{c}__m"] = [m]
+            # centered second moment (see module docstring)
+            out[f"{c}__m2"] = [float(((v - m) ** 2).sum()) if len(v) else 0.0]
             out[f"{c}__mn"] = [float(v.min()) if len(v) else np.inf]
             out[f"{c}__mx"] = [float(v.max()) if len(v) else -np.inf]
         return pa.table(out)
@@ -35,11 +39,23 @@ def _column_stats(ds: ray.data.Dataset, cols: list[str]) -> dict[str, dict[str, 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     stats = {}
     for c in cols:
-        n = parts[f"{c}__n"].sum()
-        s = parts[f"{c}__s"].sum()
-        ss = parts[f"{c}__ss"].sum()
-        mean = s / n if n else 0.0
-        var = max(ss / n - mean * mean, 0.0) if n else 0.0
+        # Chan et al. pairwise combine, folded left-to-right over blocks
+        n = 0.0
+        mean = 0.0
+        m2 = 0.0
+        for nb, mb, m2b in zip(parts[f"{c}__n"], parts[f"{c}__m"],
+                               parts[f"{c}__m2"]):
+            if nb == 0:
+                continue
+            if n == 0:
+                n, mean, m2 = nb, mb, m2b
+                continue
+            delta = mb - mean
+            tot = n + nb
+            mean += delta * nb / tot
+            m2 += m2b + delta * delta * n * nb / tot
+            n = tot
+        var = m2 / n if n else 0.0
         stats[c] = {
             "n": n,
             "mean": mean,

@@ -187,6 +187,26 @@ def test_zscore(corpus):
         assert abs(got.mean()) < 1e-9
 
 
+def test_zscore_large_offset_no_cancellation():
+    """|mean| >> std: the raw E[x^2]-mean^2 variance form loses all
+    significant bits (std -> 0 or NaN); the centered Chan combine must
+    recover unit-variance output."""
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    x = 1e9 + rng.normal(0.0, 1e-3, 4000)  # mean/std ratio 1e12
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"conv_id": [f"c{i}" for i in range(len(x))], "v": x})
+    ).repartition(8)
+    z = zscore(ds, ["v"]).to_pandas()["v"].to_numpy()
+    assert np.isfinite(z).all()
+    assert abs(z.std() - 1.0) < 1e-3, z.std()
+    # x ~ 1e9 has ~1e-7 ulp; (x-mean)/std amplifies that to ~1e-4 per
+    # element — inherent to the input representation, not the combine.
+    assert abs(z.mean()) < 1e-4
+
+
 def test_minmax(corpus):
     ds, _ = corpus
     from protein_feature_engineering_ray.core.executor import turn_features
