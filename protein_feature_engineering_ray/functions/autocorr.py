@@ -70,17 +70,29 @@ def _seg_reduce(values: np.ndarray, seg_row: np.ndarray, n_segs: int) -> np.ndar
 class _LagBase:
     """Shared machinery for the compacted-series lag family (NMBroto / AC /
     Moran / Geary), including the ORDER-mergeable chunked protocol: per-chunk
-    partials are raw-moment sums per lag plus the chunk's first/last ``nlag``
-    valid boundary values, so ``merge_ordered`` can stitch chunk partials in
-    order — cross-boundary lag products reconstructed exactly for any
-    interior-NaN pattern, with no context rows (``lookback = 0``).
+    partials are CHUNK-MEAN-CENTERED moment sums per lag plus the chunk's
+    first/last ``nlag`` valid boundary values, so ``merge_ordered`` can stitch
+    chunk partials in order — cross-boundary lag products reconstructed
+    exactly for any interior-NaN pattern, with no context rows
+    (``lookback = 0``).
 
-    Partial layout per segment (width = 10*nlag + 3):
-      per lag n=1..nlag: [Σ x_i·x_{i+n}, Σ x_i (heads), Σ x_{i+n} (tails),
-                          Σ x_i², Σ x_{i+n}², pair count]          (6·nlag)
-      global:            [Σ x, Σ x², N valid]                      (3)
+    Moments are centered on the chunk's own mean m (NOT raw ``Σx·y`` /
+    ``Σx²``): the raw form forces finalizers into ``sxx - N·μ²``-style
+    subtractions that cancel catastrophically when |mean| >> std.  The merge
+    Chan-combines the per-chunk (N, m, M2) into the global mean μ, then
+    shifts each chunk's centered stats by δ = m − μ — every shift term is
+    O(std²)-scale, no cancellation.
+
+    Partial layout per segment (width = 10*nlag + 3), m = chunk-segment mean:
+      per lag n=1..nlag: [Σ(x_i−m)(x_{i+n}−m), Σ(x_i−m) (heads),
+                          Σ(x_{i+n}−m) (tails), Σ(x_i−m)², Σ(x_{i+n}−m)²,
+                          pair count]                              (6·nlag)
+      global:            [m, M2 = Σ(x−m)², N valid]                (3)
       boundary:          prefix vals, prefix mask, suffix vals,
-                          suffix mask (each nlag slots)            (4·nlag)
+                          suffix mask (each nlag slots; RAW values) (4·nlag)
+
+    ``_finalize_stats(stats, glob)`` receives stats centered on the GLOBAL
+    mean and ``glob = (μ, M2, N)``.
     """
 
     lookback = 0  # chunked protocol: self-contained partials, no context
@@ -135,12 +147,16 @@ class _LagBase:
         seg_map = segc[st[:-1]]
         nseg_c = len(lens)
         seg_row = np.repeat(np.arange(nseg_c), lens)
-        # per-lag raw moments
+        # chunk-segment mean, then centered moments (see class docstring)
+        sx = np.zeros(nseg_c)
+        np.add.at(sx, seg_row, x)
+        m = sx / np.maximum(lens, 1)
+        xm = x - m[seg_row]
         for n in range(1, nlag + 1):
             if len(x) > n:
                 mask = seg_row[:-n] == seg_row[n:]
                 segm = seg_row[:-n][mask]
-                h, t = x[:-n][mask], x[n:][mask]
+                h, t = xm[:-n][mask], xm[n:][mask]
                 base = (n - 1) * 6
                 blk = np.zeros((nseg_c, 6))
                 np.add.at(blk[:, 0], segm, h * t)
@@ -151,12 +167,10 @@ class _LagBase:
                 np.add.at(blk[:, 5], segm, np.ones(len(segm)))
                 out[seg_map, base : base + 6] = blk
         g = 6 * nlag
-        sx = np.zeros(nseg_c)
-        np.add.at(sx, seg_row, x)
-        sxx = np.zeros(nseg_c)
-        np.add.at(sxx, seg_row, x * x)
-        out[seg_map, g] = sx
-        out[seg_map, g + 1] = sxx
+        m2 = np.zeros(nseg_c)
+        np.add.at(m2, seg_row, xm * xm)
+        out[seg_map, g] = m
+        out[seg_map, g + 1] = m2
         out[seg_map, g + 2] = lens
         # boundary values: first/last min(nlag, len) valid values per segment
         b = g + 3
@@ -177,12 +191,30 @@ class _LagBase:
         nlag = self.nlag
         g = 6 * nlag
         b = g + 3
+        # pass 1: Chan-combine per-chunk (N, m, M2) -> global (N, mu, M2)
+        N = 0.0
+        mu = 0.0
+        M2 = 0.0
+        for row in rows:
+            nb = row[g + 2]
+            if nb == 0:
+                continue
+            if N == 0:
+                N, mu, M2 = nb, row[g], row[g + 1]
+                continue
+            delta = row[g] - mu
+            tot = N + nb
+            mu += delta * nb / tot
+            M2 += row[g + 1] + delta * delta * N * nb / tot
+            N = tot
+        # pass 2: shift each chunk's centered stats to the global mean and
+        # add cross-boundary pairs (centered on mu directly).  Only a running
+        # SUFFIX (last min(nlag, N) raw values so far, in order) is needed:
+        # every cross-boundary pair has its head in the suffix and its tail
+        # in the incoming chunk's prefix values.
         stats = np.zeros((nlag, 6))
-        glob = np.zeros(3)
-        # only a running SUFFIX (last min(nlag, N) values so far, in order) is
-        # needed: every cross-boundary pair has its head in the suffix and its
-        # tail in the incoming chunk's prefix values
         suffix: np.ndarray = np.zeros(0)
+        seen = 0.0
         for row in rows:
             nr = int(row[g + 2])
             if nr == 0:
@@ -197,8 +229,8 @@ class _LagBase:
                 lo = max(0, n - la)
                 hi = min(n, len(pre))
                 for k in range(lo, hi):
-                    u = suffix[la - (n - k)]
-                    v = pre[k]
+                    u = suffix[la - (n - k)] - mu
+                    v = pre[k] - mu
                     s = stats[n - 1]
                     s[0] += u * v
                     s[1] += u
@@ -206,10 +238,20 @@ class _LagBase:
                     s[3] += u * u
                     s[4] += v * v
                     s[5] += 1
-            stats += row[:g].reshape(nlag, 6)
-            glob += row[g : g + 3]
-            suffix = np.concatenate([suffix, suf])[-min(nlag, int(glob[2])):]
-        return self._finalize_stats(stats, glob)
+            blk = row[:g].reshape(nlag, 6)
+            d = row[g] - mu  # chunk mean minus global mean: O(std) scale
+            cnt = blk[:, 5]
+            shifted = np.empty_like(blk)
+            shifted[:, 0] = blk[:, 0] + d * (blk[:, 1] + blk[:, 2]) + cnt * d * d
+            shifted[:, 1] = blk[:, 1] + cnt * d
+            shifted[:, 2] = blk[:, 2] + cnt * d
+            shifted[:, 3] = blk[:, 3] + 2.0 * d * blk[:, 1] + cnt * d * d
+            shifted[:, 4] = blk[:, 4] + 2.0 * d * blk[:, 2] + cnt * d * d
+            shifted[:, 5] = cnt
+            stats += shifted
+            seen += nr
+            suffix = np.concatenate([suffix, suf])[-min(nlag, int(seen)):]
+        return self._finalize_stats(stats, np.array([mu, M2, N]))
 
     def _finalize_stats(self, stats: np.ndarray, glob: np.ndarray) -> np.ndarray:
         raise NotImplementedError
@@ -236,8 +278,13 @@ class NMBroto(_LagBase):
         return self._emit(ctx, cols, seg_map)
 
     def _finalize_stats(self, stats: np.ndarray, glob: np.ndarray) -> np.ndarray:
-        cnt = stats[:, 5]
-        return np.where(cnt > 0, stats[:, 0] / np.where(cnt == 0, 1, cnt), 0.0)
+        # raw moment Σ h·t reconstructed from the mu-centered stats; every
+        # term is ADDED (the dominant cnt·mu² term is not a near-cancelling
+        # difference), so this is safe at any |mean|/std ratio
+        mu = glob[0]
+        sxy, sh, st, _, _, cnt = stats.T
+        raw = sxy + mu * (sh + st) + cnt * mu * mu
+        return np.where(cnt > 0, raw / np.where(cnt == 0, 1, cnt), 0.0)
 
 
 class AutoCovariance(_LagBase):
@@ -265,13 +312,12 @@ class AutoCovariance(_LagBase):
         return self._emit(ctx, cols, seg_map)
 
     def _finalize_stats(self, stats: np.ndarray, glob: np.ndarray) -> np.ndarray:
-        sx, _sxx, N = glob
+        _mu, _M2, N = glob
         if N == 0:
             return np.zeros(self.nlag)
-        mu = sx / N
-        sxy, sh, st, _, _, cnt = stats.T
-        s = sxy - mu * (sh + st) + cnt * mu * mu
-        return np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), 0.0)
+        # stats arrive centered on the global mean: Σ(h-μ)(t-μ) IS the AC sum
+        sxy, _sh, _st, _, _, cnt = stats.T
+        return np.where(cnt > 0, sxy / np.where(cnt == 0, 1, cnt), 0.0)
 
 
 class Moran(_LagBase):
@@ -302,14 +348,12 @@ class Moran(_LagBase):
         return self._emit(ctx, cols, seg_map)
 
     def _finalize_stats(self, stats: np.ndarray, glob: np.ndarray) -> np.ndarray:
-        sx, sxx, N = glob
+        _mu, M2, N = glob
         if N == 0:
             return np.zeros(self.nlag)
-        mu = sx / N
-        var = sxx / N - mu * mu
-        sxy, sh, st, _, _, cnt = stats.T
-        s = sxy - mu * (sh + st) + cnt * mu * mu
-        num = np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), 0.0)
+        var = M2 / N  # centered second moment: no E[x²]-μ² cancellation
+        sxy, _sh, _st, _, _, cnt = stats.T
+        num = np.where(cnt > 0, sxy / np.where(cnt == 0, 1, cnt), 0.0)
         return np.where(var > 0, num / np.where(var == 0, 1, var), 0.0)
 
 
@@ -343,13 +387,14 @@ class Geary(_LagBase):
         return self._emit(ctx, cols, seg_map)
 
     def _finalize_stats(self, stats: np.ndarray, glob: np.ndarray) -> np.ndarray:
-        sx, sxx, N = glob
+        _mu, M2, N = glob
         if N == 0:
             return np.zeros(self.nlag)
-        mu = sx / N
-        ss = sxx - N * mu * mu
+        ss = M2  # Σ(x-μ)² directly from the Chan combine
         sxy, _sh, _st, sh2, st2, cnt = stats.T
-        s = sh2 - 2.0 * sxy + st2  # Σ (x_j - x_{j+n})², raw values
+        # Σ(x_j - x_{j+n})² = Σ((h-μ)-(t-μ))² — centering cancels exactly,
+        # and every term here is O(std²) scale
+        s = sh2 - 2.0 * sxy + st2
         coef = np.where(cnt > 0, (N - 1) / (2.0 * np.where(cnt == 0, 1, cnt)), 0.0)
         return np.where(ss > 0, coef * s / np.where(ss == 0, 1, ss), 0.0)
 

@@ -413,6 +413,49 @@ def test_chunked_conv_lag_and_dde_equivalence():
     pd.testing.assert_frame_equal(whole[dde_cols], chunked[dde_cols])
 
 
+def test_chunked_lag_family_large_offset_no_cancellation():
+    """|mean| >> std series (1e9 + N(0, 1e-3)): the old raw-moment merge
+    (``sxx - N·mu²``-style finalizers) lost all significant bits — var went
+    to 0/negative and AC/Moran/Geary collapsed to zeros.  The chunk-mean-
+    centered partials + Chan combine must track the unchunked path (which
+    centers before squaring and is only input-representation-limited)."""
+    from protein_feature_engineering_ray.core.executor import (
+        conv_features,
+        conv_features_chunked,
+    )
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+
+    pdf = synth_transcripts(n_convs=10, duplicates=False, as_pandas=True)
+    rng = np.random.default_rng(43)
+    pdf["value"] = 1.0e9 + rng.normal(0.0, 1e-3, size=len(pdf))
+    ds = ray.data.from_pandas(pdf)
+    specs = [("AC", {"nlag": 3}), ("Moran", {"nlag": 3}),
+             ("Geary", {"nlag": 3})]
+    ks = lambda: [make_kernel(n, ALPHA, p)[1] for n, p in specs]  # noqa: E731
+    whole = (
+        conv_features(ds, ks(), alphabet=ALPHA, num_buckets=4)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    chunked = (
+        conv_features_chunked(ds, ks(), alphabet=ALPHA, chunk_size=6,
+                              num_buckets=7)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    for c in whole.columns[1:]:
+        assert np.isfinite(chunked[c]).all(), c
+        # x stored at 1e9 has ~1e-7 ulp vs 1e-3 noise: centered values carry
+        # ~1e-4 relative representation error, inherited (differently) by
+        # both paths — measured divergence ≤1.3e-4 abs / ≤1% rel near zeros
+        np.testing.assert_allclose(
+            whole[c], chunked[c], rtol=2e-2, atol=5e-4, err_msg=c
+        )
+    # white noise: Geary's C clusters near 1 (short conversations scatter
+    # widely) — NOT the degenerate all-zeros the cancelling form produced
+    geary = [c for c in chunked.columns if c.startswith("geary_")]
+    g = chunked[geary].to_numpy()
+    assert (g > 0.05).all() and abs(np.median(g) - 1.0) < 0.5
+
+
 def test_vector_output_matches_columns():
     """vector_col packs the same values in declared feature order."""
     from protein_feature_engineering_ray.core.executor import (
