@@ -102,12 +102,15 @@ def run_bench() -> dict:
 
     times: dict[str, float] = {}
 
+    # min-of-N on every line: the driver records ONE bench run per round,
+    # and this host's per-run noise (documented 1.4× spread) otherwise
+    # lands directly in the recorded number.  N=3 costs ~20s total and
+    # halves the tail risk vs N=2.
+    line_repeats = int(os.environ.get("GRAFT_LINE_REPEATS", "3"))
+
     def timed(name, fn):
-        # min-of-2 on every line: the driver records ONE bench run per round,
-        # and this host's per-run noise (documented 1.4× spread) otherwise
-        # lands directly in the recorded number
         best = None
-        for _ in range(2):
+        for _ in range(line_repeats):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
@@ -170,9 +173,9 @@ def run_bench() -> dict:
         ).count()
 
     one_backfill()  # untimed warm-up (worker pool spawn, imports, page cache)
-    times["backfill"] = min_of(2, one_backfill)
+    times["backfill"] = min_of(line_repeats, one_backfill)
     one_sweep()
-    times["descriptor_sweep"] = min_of(2, one_sweep)
+    times["descriptor_sweep"] = min_of(line_repeats, one_sweep)
 
     if os.environ.get("GRAFT_SCALING_MODE"):
         result = {

@@ -140,3 +140,66 @@ def test_empty_and_degenerate():
                        "value": [1.0, 2.0, 3.0]})
     ctx = ConvContext(pa.Table.from_pandas(df, preserve_index=False), ALPHA)
     assert (comp.CompositionK(list(ALPHA.letters)).apply(ctx) == 0).all()
+
+
+@st.composite
+def lag_series(draw):
+    """One conversation: ragged length, interior NaNs, optional huge offset
+    (the |mean| >> std regime that killed the raw-moment merge), and a
+    random chunk split."""
+    length = draw(st.integers(2, 40))
+    offset = draw(st.sampled_from([0.0, 3.0, 1.0e9]))
+    vals = [
+        np.nan if draw(st.booleans()) and draw(st.booleans())
+        else offset + draw(st.integers(-50, 50)) / 10.0
+        for _ in range(length)
+    ]
+    n_chunks = draw(st.integers(1, 5))
+    cuts = sorted(
+        draw(st.lists(st.integers(1, length - 1), min_size=n_chunks - 1,
+                      max_size=n_chunks - 1))
+    ) if length > 1 else []
+    return vals, [0] + cuts + [length]
+
+
+@settings(max_examples=60, deadline=None)
+@given(lag_series(), st.integers(1, 4))
+def test_lag_merge_ordered_equals_apply(series, nlag):
+    """Chunked protocol invariant for the order-merged lag family: counts()
+    per chunk folded by merge_ordered == apply() on the whole conversation,
+    for ANY chunk split, interior-NaN pattern, and value offset (incl. the
+    1e9 offset where raw-moment merging cancelled catastrophically)."""
+    from protein_feature_engineering_ray.functions import autocorr as ac
+
+    vals, bounds = series
+
+    def df_for(lo, hi):
+        n = hi - lo
+        return pd.DataFrame(
+            {"conv_id": ["c0"] * n, "turn_idx": range(lo, hi),
+             "role": ["a"] * n, "text": [""] * n, "tool": [""] * n,
+             "ts": pd.to_datetime(range(lo, hi), unit="s").astype("datetime64[us]"),
+             "value": vals[lo:hi]}
+        )
+
+    kernels = [
+        ac.NMBroto(("col", "value"), nlag=nlag),
+        ac.AutoCovariance(("col", "value"), nlag=nlag),
+        ac.Moran(("col", "value"), nlag=nlag),
+        ac.Geary(("col", "value"), nlag=nlag),
+    ]
+    full = _ctx(df_for(0, len(vals)))
+    for k in kernels:
+        want = k.apply(full)[0]
+        rows = np.stack([
+            k.counts(_ctx(df_for(bounds[i], bounds[i + 1])))[0]
+            for i in range(len(bounds) - 1)
+            if bounds[i + 1] > bounds[i]
+        ])
+        got = k.merge_ordered(rows)
+        # scale-aware tolerance: at offset 1e9 the centered values carry the
+        # input representation error (~1e-7 abs), amplified by ratio forms
+        np.testing.assert_allclose(
+            got, want, rtol=1e-6, atol=1e-6,
+            err_msg=f"{type(k).__name__} nlag={nlag} bounds={bounds}",
+        )
