@@ -446,6 +446,9 @@ class TimeWindowStats:
     boundaries assume it."""
 
     lookback = None
+    # composite-key space must fit int64; beyond this the kernel takes the
+    # exact per-segment fallback (patchable in tests)
+    _KEYSPACE_LIMIT = 2**62
 
     def __init__(self, col: str, seconds: float = 60.0,
                  prefix: str | None = None):
@@ -461,15 +464,36 @@ class TimeWindowStats:
         ok = ~np.isnan(x)
         x0 = np.where(ok, x, 0.0)
         ts = ctx.ts_us
-        w_us = np.int64(round(self.seconds * 1e6))
-        # composite key: segment index shifted far above the ts range, so one
-        # global searchsorted respects segment boundaries
-        t0 = ts.min() if ctx.n else np.int64(0)
-        rel = (ts - t0).astype(np.int64)
-        span = np.int64(int(rel.max()) + int(w_us) + 2) if ctx.n else np.int64(1)
-        key = ctx.seg_of_row.astype(np.int64) * span + rel
-        lo = np.searchsorted(key, key - w_us, side="left")
-        hi = np.searchsorted(key, key, side="right")  # includes ts-peers
+        w_us = int(round(self.seconds * 1e6))
+        if ctx.n == 0:
+            return np.zeros((0, 3), dtype=np.float64)
+        # composite key: per-segment cumulative base offsets with a gap of
+        # w+2 between segments, so ONE global searchsorted respects segment
+        # boundaries (a query key t-w can never cross into the previous
+        # segment's key range).  Offsetting by each segment's OWN first ts
+        # bounds the key space by the SUM of conversation durations — not
+        # n_segs × the corpus's full time range, which silently overflowed
+        # int64 (and broke the sort invariant) for wide-history buckets.
+        seg = ctx.seg_of_row
+        starts = ctx.starts
+        seg_t0 = ts[starts[:-1]]
+        rel = (ts - seg_t0[seg]).astype(np.int64)  # >= 0: ts sorted per conv
+        dur = (ts[starts[1:] - 1] - seg_t0).astype(np.int64)
+        if int(dur.sum()) + ctx.n_segs * (w_us + 2) < self._KEYSPACE_LIMIT:
+            base = np.zeros(ctx.n_segs, dtype=np.int64)
+            np.cumsum(dur[:-1] + (w_us + 2), out=base[1:])
+            key = base[seg] + rel
+            lo = np.searchsorted(key, key - w_us, side="left")
+            hi = np.searchsorted(key, key, side="right")  # includes ts-peers
+        else:
+            # astronomically wide conversations: exact per-segment fallback
+            lo = np.empty(ctx.n, dtype=np.int64)
+            hi = np.empty(ctx.n, dtype=np.int64)
+            for s in range(ctx.n_segs):
+                a, b = starts[s], starts[s + 1]
+                t_seg = ts[a:b]
+                lo[a:b] = a + np.searchsorted(t_seg, t_seg - w_us, side="left")
+                hi[a:b] = a + np.searchsorted(t_seg, t_seg, side="right")
         cum_n = np.concatenate(([0], np.cumsum(ok)))
         cnt = (cum_n[hi] - cum_n[lo]).astype(np.float64)
         cum_s = np.concatenate(([0.0], np.cumsum(x0)))

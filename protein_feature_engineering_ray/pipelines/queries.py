@@ -1503,10 +1503,11 @@ def _sql_plot_data() -> str:
     n_turns = " + ".join(f"c{i}" for i in range(k))
     box_vals = ", ".join(f"({i}, CAST({q} AS DOUBLE))"
                          for i, q in enumerate(PLOT_QS))
-    role_case = "CASE role " + " ".join(
-        f"WHEN '{s}' THEN {i}" for i, s in enumerate(LETTERS)
-    ) + " END"
-    in_list = ", ".join(f"'{s}'" for s in LETTERS)
+    # one row per key, from a VALUES table (the engine emits every key in
+    # order, NaN for an absent role — a plain GROUP BY would drop it), and
+    # count(t.value) not count(*) (grouped_mean excludes null values from
+    # both sum and count: SQL avg semantics)
+    role_vals = ", ".join(f"({i}, '{s}')" for i, s in enumerate(LETTERS))
     corr_arms = []
     for i in range(k):
         for j in range(i, k):
@@ -1547,9 +1548,12 @@ SELECT 'box' AS kind, 'n_turns' AS name, q.i AS idx,
                          CAST(ceil(q.q * tot.n) AS BIGINT))) AS value
 FROM (VALUES {box_vals}) AS q(i, q)
 UNION ALL
-SELECT 'line' AS kind, role AS name, {role_case} AS idx,
-  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / count(*) AS value
-FROM transcripts WHERE role IN ({in_list}) GROUP BY role
+SELECT 'line' AS kind, k.name AS name, k.idx AS idx,
+  CAST(sum(CAST(floor(t.value * 100) AS BIGINT)) AS DOUBLE)
+    / count(t.value) AS value
+FROM (VALUES {role_vals}) AS k(idx, name)
+LEFT JOIN transcripts t ON t.role = k.name
+GROUP BY k.name, k.idx
 UNION ALL
 {corr_sql}"""
 

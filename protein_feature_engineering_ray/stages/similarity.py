@@ -272,10 +272,17 @@ def ivf_knn(
             if not m.any():
                 continue
             sims = V[m] @ Qm[qi]
+            cand = ids[m]
             kk = min(k, len(sims))
+            # same (sim desc, id asc) total order as knn_brute's prune:
+            # argpartition's top-kk SET is exact unless a sim tie straddles
+            # the boundary — then re-select id-aware so the deterministic
+            # final sort never loses a lower-id tied neighbor
             top = np.argpartition(-sims, kk - 1)[:kk]
+            if kk < len(sims) and (sims >= sims[top].min()).sum() > kk:
+                top = np.lexsort((cand, -sims))[:kk]
             rows_q.append(np.full(kk, qi, dtype=np.int64))
-            rows_n.append(ids[m][top])
+            rows_n.append(cand[top])
             rows_s.append(sims[top])
         if not rows_q:
             return pa.table(

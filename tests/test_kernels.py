@@ -389,3 +389,66 @@ def test_time_window_stats_matches_pandas_reference():
             ds, [make_kernel("TimeWindowStats", ALPHA, {"col": "value"})[1]],
             alphabet=ALPHA, chunk_size=8,
         )
+
+
+def test_time_window_stats_wide_history_no_overflow():
+    """Regression: the old composite key was seg_idx × (corpus-wide ts
+    range) — two conversations hundreds of millennia apart (rel ~9e18 us)
+    overflowed int64 for seg 1, silently unsorting the key array.  The
+    per-segment cumulative-base key is bounded by the SUM of conversation
+    durations; answers must match a direct per-row window."""
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.core.context import ConvContext
+    from protein_feature_engineering_ray.functions.positional import (
+        TimeWindowStats,
+    )
+
+    far = np.datetime64("287396-01-01T00:00:00", "us")  # near datetime64 max
+    rows = []
+    for cid, t0 in (("a", np.datetime64("1970-01-02T00:00:00", "us")),
+                    ("b", far)):
+        for j in range(6):
+            rows.append({"conv_id": cid, "turn_idx": j, "role": "x",
+                         "text": "", "tool": "",
+                         "ts": t0 + np.timedelta64(j * 30, "s"),
+                         "value": float(j)})
+    df = pd.DataFrame(rows)
+    ctx = ConvContext(pa.Table.from_pandas(df, preserve_index=False), ALPHA)
+    out = TimeWindowStats("value", seconds=60.0).apply(ctx)
+    # window = self + up to 2 predecessors at 30s spacing, per conversation
+    want_cnt = [1, 2, 3, 3, 3, 3] * 2
+    np.testing.assert_array_equal(out[:, 0], want_cnt)
+    want_sum = [0, 1, 3, 6, 9, 12] * 2
+    np.testing.assert_allclose(out[:, 1], want_sum)
+
+
+def test_time_window_stats_per_segment_fallback_path(monkeypatch):
+    """Force the loud per-segment fallback (summed durations past the 2^62
+    guard are unreachable with real timestamps, so shrink the guard) and
+    pin it to the vectorized path's output — ties, NaNs and all."""
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.core.context import ConvContext
+    from protein_feature_engineering_ray.functions.positional import (
+        TimeWindowStats,
+    )
+
+    pdf = pd.DataFrame({
+        "conv_id": ["a"] * 5 + ["b"] * 4,
+        "turn_idx": list(range(5)) + list(range(4)),
+        "role": ["x"] * 9, "text": [""] * 9, "tool": [""] * 9,
+        "ts": pd.to_datetime(
+            [0, 10, 70, 70, 200, 5, 50, 66, 300], unit="s"
+        ).astype("datetime64[us]"),
+        "value": [1.0, 2, np.nan, 4, 5, 1, 1, 1, 1],
+    })
+    ctx = ConvContext(pa.Table.from_pandas(pdf, preserve_index=False), ALPHA)
+    k = TimeWindowStats("value", seconds=60.0)
+    fast = k.apply(ctx)
+    monkeypatch.setattr(TimeWindowStats, "_KEYSPACE_LIMIT", 0)
+    ctx2 = ConvContext(pa.Table.from_pandas(pdf, preserve_index=False), ALPHA)
+    slow = TimeWindowStats("value", seconds=60.0).apply(ctx2)
+    np.testing.assert_array_equal(
+        np.nan_to_num(fast, nan=-1), np.nan_to_num(slow, nan=-1)
+    )

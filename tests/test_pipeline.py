@@ -239,6 +239,27 @@ def test_ivf_knn_recall():
     assert np.mean(recalls) >= 0.8, recalls
 
 
+def test_ivf_knn_tie_break_deterministic():
+    """Same duplicate-vector discipline as knn_brute: with full-probe IVF
+    (structurally exact) and 40 exact copies tying at sim=1.0, the per-cell
+    argpartition prune must not drop a lower-id tied neighbor."""
+    from protein_feature_engineering_ray.stages.similarity import ivf_knn
+
+    rng = np.random.default_rng(22)
+    v = rng.normal(size=16)
+    dup_ids = np.arange(1000, 1040)
+    rnd = rng.normal(size=(160, 16)) * 0.1
+    ids = np.concatenate([dup_ids, np.arange(160)])
+    V = np.concatenate([np.tile(v, (40, 1)), rnd])
+    perm = rng.permutation(len(ids))
+    df = pd.DataFrame({"vec_id": ids[perm], "embedding": list(V[perm])})
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = ivf_knn(ds, v[None, :], np.array([0]), k=10, n_centroids=4,
+                  n_probe=4)  # n_probe == n_centroids: exact search
+    assert list(got["nbr_id"]) == list(dup_ids[:10])
+    assert np.allclose(got["cosine"], 1.0)
+
+
 def test_media_plumbing():
     from protein_feature_engineering_ray.stages.multimodal import (
         MediaFeatureActor,

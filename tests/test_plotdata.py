@@ -139,3 +139,61 @@ def test_scatter_sample_partition_invariant(frame):
         b.sort_values(key).reset_index(drop=True),
     )
     assert 0 < len(a) <= N
+
+
+def test_plot_data_line_null_and_absent_role_matches_sql(tmp_path):
+    """The 'line' oracle arm must agree with grouped_mean on BOTH
+    divergence hazards: null values (engine excludes them from sum AND
+    count — SQL must use count(value), not count(*)) and a role absent
+    from the corpus (engine emits a NaN row for every key — SQL must
+    left-join a VALUES key table, not GROUP BY what exists)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from protein_feature_engineering_ray.pipelines import queries as Q
+
+    n = 60
+    rng = np.random.default_rng(11)
+    roles = rng.choice(
+        [r for r in Q.LETTERS if r != "signup"], size=n
+    )  # 'signup' absent
+    # REAL Arrow nulls (not NaN doubles): DuckDB treats NaN as an ordinary
+    # out-of-range value but excludes NULL from sum/count(value), which is
+    # the semantics grouped_mean mirrors
+    null_mask = rng.random(n) < 0.25
+    value = pa.array(
+        [None if m else float(v)
+         for m, v in zip(null_mask, rng.uniform(-5, 150, size=n))],
+        pa.float64(),
+    )
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime(np.arange(n), unit="s").astype("datetime64[us]")),
+        "user_id": pa.array(np.arange(n) % 7, pa.int64()),
+        "event_type": pa.array(roles),
+        "value": pa.array(value, pa.float64()),
+        "props": pa.array(["p"] * n),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = Q.q_plot_data(str(tmp_path))
+    got = got[got["kind"] == "line"].sort_values("idx").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    import __ray_entry__ as e
+
+    sql = e.oracle_sql()["plot_data"]
+    want = con.execute(sql).df()
+    want = want[want["kind"] == "line"].sort_values("idx").reset_index(drop=True)
+    assert len(got) == len(want) == len(Q.LETTERS)
+    assert list(got["name"]) == list(want["name"])
+    np.testing.assert_allclose(
+        got["value"].to_numpy(float), want["value"].to_numpy(float),
+        rtol=0, atol=0, equal_nan=True,
+    )
+    si = list(got["name"]).index("signup")
+    assert np.isnan(got["value"].iloc[si])
