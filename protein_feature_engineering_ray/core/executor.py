@@ -191,9 +191,7 @@ def conv_features_chunked(
       first/last ``nlag`` valid boundary values; ``merge_ordered`` stitches
       chunks IN ORDER (cross-boundary lag products reconstructed from the
       boundary values), correct for ANY interior-NaN pattern without
-      context rows.
-
-    Strided/Lambda tuples stay excluded (grids on absolute position)."""
+      context rows."""
     for k in kernels:
         ordered = hasattr(k, "merge_ordered")
         if not hasattr(k, "counts") or (

@@ -1205,7 +1205,8 @@ def q_fit_transform(sf):
     corpus extension (4937-4960) — the COMPLETE reference clusterer + DR
     zoo.  All ten models fit driver-side on bounded content-hash samples,
     then broadcast into a single chained map_batches transform — the corpus
-    streams once."""
+    is read from storage once (materialized; each fit samples the cached
+    blocks) and the transform streams over it once."""
     from protein_feature_engineering_ray.stages.reduce import (
         affinity_propagation_fit,
         agglomerative_fit,
@@ -1222,7 +1223,11 @@ def q_fit_transform(sf):
         tsne_fit,
     )
 
-    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    # materialize ONCE: ten driver-side fits each pull a bounded sample
+    # (count + thin + collect), which would otherwise re-execute the
+    # parquet scan ~20× — the legitimate reuse-N-times exception to the
+    # no-mid-pipeline-materialize rule (blocks spill if large)
+    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet").materialize()
     pca_m = pca_fit(vecs, vec_col="embedding", k=2, sample_by="vec_id")
     lda_m = lda_fit(vecs, "label", vec_col="embedding", k=2,
                     sample_by="vec_id")

@@ -365,9 +365,15 @@ def minhash_candidate_pairs(
         m = (g[id_col] != first).to_numpy()
         ids = g[id_col].to_numpy()
         # rows are group-contiguous: each non-first row's predecessor row is
-        # its chain partner
+        # its chain partner.  The chain runs in (sig0, id) order, so across
+        # sig0 runs the predecessor can have the LARGER id — normalize to
+        # the documented (id_a < id_b) orientation so mirrored duplicates
+        # of the same unordered pair collapse in the drop_duplicates below.
+        pa_, pb_ = ids[np.flatnonzero(m) - 1], ids[m]
+        flip = pb_ < pa_
         out = pd.DataFrame(
-            {"id_a": ids[np.flatnonzero(m) - 1], "id_b": ids[m]}
+            {"id_a": np.where(flip, pb_, pa_),
+             "id_b": np.where(flip, pa_, pb_)}
         )
         # dedupe within the bucket; the cross-bucket dedupe is the groupby
         # below (the same pair can fire in several bands -> several buckets)
@@ -433,8 +439,12 @@ def verified_edges_inband(
         sim = (S == S[prev_idx]).mean(axis=1)
         ids = g[id_col].to_numpy()
         keep = (~is_first) & (sim >= threshold)
+        # normalize to (id_a < id_b) — see minhash_candidate_pairs
+        pa_, pb_ = ids[prev_idx[keep]], ids[keep]
+        flip = pb_ < pa_
         out = pd.DataFrame(
-            {"id_a": ids[prev_idx[keep]], "id_b": ids[keep],
+            {"id_a": np.where(flip, pb_, pa_),
+             "id_b": np.where(flip, pa_, pb_),
              "sig_jaccard": sim[keep]}
         )
         return out.drop_duplicates(["id_a", "id_b"])
@@ -849,8 +859,12 @@ def simhash_dedup(
         ham = _popcount64(np.bitwise_xor(fp, fp[prev_idx]))
         ids = g[id_col].to_numpy()
         keep = (~is_first) & (ham <= max_hamming)
+        # normalize to (id_a < id_b) — see minhash_candidate_pairs
+        pa_, pb_ = ids[prev_idx[keep]], ids[keep]
+        flip = pb_ < pa_
         return pd.DataFrame(
-            {"id_a": ids[prev_idx[keep]], "id_b": ids[keep]}
+            {"id_a": np.where(flip, pb_, pa_),
+             "id_b": np.where(flip, pa_, pb_)}
         ).drop_duplicates()
 
     edges = (

@@ -54,6 +54,21 @@ def _sample_matrix(ds, cols: list[str] | None, vec_col: str | None,
     return X[np.lexsort(X.T[::-1])] if len(X) else X
 
 
+def _farthest_point_init(X: np.ndarray, k_eff: int) -> np.ndarray:
+    """Deterministic farthest-point seeding (robust to the local optima a
+    random init hits on well-separated clusters), anchored on the sample's
+    lexicographically-extreme point so the seeds do not depend on row order
+    within the sample.  Shared by every clusterer fit here."""
+    start = int(np.lexsort(X.T[::-1])[0])
+    idx = [start]
+    d2 = ((X - X[start]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        nxt = int(d2.argmax())
+        idx.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    return X[idx].copy()
+
+
 def pca_fit(ds, cols: list[str] | None = None, vec_col: str | None = None,
             k: int = 2, sample_limit: int = 10000,
             sample_by: str | None = None) -> dict:
@@ -97,21 +112,10 @@ def kmeans_fit(ds, cols: list[str] | None = None, vec_col: str | None = None,
                seed: int = 17, sample_by: str | None = None) -> np.ndarray:
     """Driver-side Lloyd iterations on a bounded sample -> centroids."""
     X = _sample_matrix(ds, cols, vec_col, sample_limit, sample_by)
-    # deterministic farthest-point init (robust to the local optima random
-    # init hits on well-separated clusters); anchor on the sample's
-    # lexicographically-extreme point so the init does not depend on row
-    # order within the sample
     k_eff = min(k, len(X))
     if len(X) == 0:
         return np.empty((0, 0))
-    start = int(np.lexsort(X.T[::-1])[0])
-    idx = [start]
-    d2 = ((X - X[start]) ** 2).sum(axis=1)
-    for _ in range(1, k_eff):
-        nxt = int(d2.argmax())
-        idx.append(nxt)
-        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
-    C = X[idx].copy()
+    C = _farthest_point_init(X, k_eff)
     for _ in range(iters):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         a = d.argmin(axis=1)
@@ -424,15 +428,7 @@ def gmm_fit(ds, cols: list[str] | None = None, vec_col: str | None = None,
         return {"weights": np.empty(0), "means": np.empty((0, d)),
                 "vars": np.empty((0, d))}
     k_eff = min(k, n)
-    # deterministic farthest-point init (see kmeans_fit)
-    start = int(np.lexsort(X.T[::-1])[0])
-    idx = [start]
-    d2 = ((X - X[start]) ** 2).sum(axis=1)
-    for _ in range(1, k_eff):
-        nxt = int(d2.argmax())
-        idx.append(nxt)
-        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
-    mu = X[idx].copy()
+    mu = _farthest_point_init(X, k_eff)
     var = np.tile(X.var(axis=0) + reg, (k_eff, 1))
     w = np.full(k_eff, 1.0 / k_eff)
     prev_ll = -np.inf
@@ -570,16 +566,8 @@ def spectral_fit(ds, cols: list[str] | None = None,
     U = U * signs[None, :]
     norms = np.linalg.norm(U, axis=1, keepdims=True)
     U = U / np.maximum(norms, 1e-12)
-    # deterministic k-means in the spectral embedding (same init as
-    # kmeans_fit: farthest-point from the canonical-order extreme)
-    start = int(np.lexsort(U.T[::-1])[0])
-    idx = [start]
-    dd = ((U - U[start]) ** 2).sum(axis=1)
-    for _ in range(1, k_eff):
-        nxt = int(dd.argmax())
-        idx.append(nxt)
-        dd = np.minimum(dd, ((U - U[nxt]) ** 2).sum(axis=1))
-    C = U[idx].copy()
+    # deterministic k-means in the spectral embedding, same shared seeding
+    C = _farthest_point_init(U, k_eff)
     lab = np.zeros(m, dtype=np.int64)
     for _ in range(30):
         dist = ((U[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
