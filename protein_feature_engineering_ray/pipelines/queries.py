@@ -496,8 +496,8 @@ def _sql_zscore_aac(scale: int) -> str:
     cols = ",\n    ".join(
         f"CAST(floor(CASE WHEN stddev_pop(\"aac_{s}\") OVER () = 0 THEN 0.0 "
         f"ELSE (\"aac_{s}\" - avg(\"aac_{s}\") OVER ()) / "
-        f"stddev_pop(\"aac_{s}\") OVER () END * {scale}) AS BIGINT)"
-        f' AS "zq_aac_{s}"'
+        f"stddev_pop(\"aac_{s}\") OVER () END * {scale} + {ZSCORE_EPS})"
+        f' AS BIGINT) AS "zq_aac_{s}"'
         for s in LETTERS
     )
     return f"WITH a AS ({aac})\nSELECT conv_id,\n    {cols}\nFROM a"
@@ -1018,6 +1018,13 @@ def q_lag_family(sf):
 
 
 ZSCORE_SCALE = 1 << 20  # quantization for the z-score oracle (~1e-6 grid)
+# nudge both sides off the floor() grid boundaries: when z*scale is
+# STRUCTURALLY integer (e.g. a value equal to the column mean -> z = ±1e-16
+# residue), the two sides' last-ulp residues can have opposite signs and
+# floor() then disagrees by a whole grid step.  Adding a millionth of a grid
+# cell on both sides absorbs any |residue| < 1e-6 while shifting genuinely
+# interior values imperceptibly.
+ZSCORE_EPS = 1e-6
 
 
 def q_zscore_aac(sf):
@@ -1039,7 +1046,8 @@ def q_zscore_aac(sf):
         for s in LETTERS:
             x = t[f"aac_{s}"].to_numpy(zero_copy_only=False)
             out[f"zq_aac_{s}"] = pa.array(
-                np.floor(x * ZSCORE_SCALE).astype(np.int64), pa.int64()
+                np.floor(x * ZSCORE_SCALE + ZSCORE_EPS).astype(np.int64),
+                pa.int64(),
             )
         return pa.table(out)
 
