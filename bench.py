@@ -245,11 +245,16 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(env_common, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
+        p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+            capture_output=True, text=True,
+        )
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"scaling child (num_cpus={ncpu}) failed rc={p.returncode}; "
+                f"stderr tail:\n{p.stderr[-2000:]}"
+            )
+        return json.loads(p.stdout.strip().splitlines()[-1])
 
     # N vs 4N; GRAFT_SCALING_LO/HI override (e.g. 7/28 leaves cores of
     # headroom against noisy-neighbor jitter at full machine width)
