@@ -1075,11 +1075,14 @@ def q_lang_quality(sf):
     docs = ray.data.read_parquet(
         f"{sf}/documents.parquet", columns=["doc_id", "text"]
     )
-    # autoscaling (1, 2) actor pools: two chained fixed pools of 2 reserve 4
-    # CPUs up front and DEADLOCK a 4-CPU session (the read task starves);
-    # min=1 keeps the pipeline live at any session size
+    # autoscaling (1, hi) actor pools: two chained FIXED pools reserve all
+    # their CPUs up front and DEADLOCK a 4-CPU session (the read task
+    # starves); min=1 keeps the pipeline live at any session size, while
+    # hi scales with the session so a 32-CPU run isn't throttled to 2
+    # actors per stage
+    hi = max(2, int(ray.cluster_resources().get("CPU", 4)) // 4)
     return lang_id(
-        text_quality(docs, concurrency=(1, 2)), concurrency=(1, 2)
+        text_quality(docs, concurrency=(1, hi)), concurrency=(1, hi)
     ).select_columns(
         ["doc_id", "n_words", "avg_word_len", "stopword_ratio", "lang_pred"]
     )
