@@ -1239,6 +1239,18 @@ def q_fit_transform(sf):
     # parquet scan ~20× — the legitimate reuse-N-times exception to the
     # no-mid-pipeline-materialize rule (blocks spill if large)
     vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet").materialize()
+    if vecs.count() == 0:
+        # ten fits + chained transforms all degenerate on an empty corpus;
+        # return the typed empty frame directly
+        import pandas as pd
+
+        cols = ["vec_id", "kmeans_cluster", "mcl_cluster", "gmm_cluster",
+                "agglo_cluster", "spectral_cluster", "meanshift_cluster",
+                "apc_cluster"]
+        out = {c: pd.Series([], dtype=np.int64) for c in cols}
+        for c in ("pc0", "pc1", "ts0", "ts1", "ld0", "ld1"):
+            out[c] = pd.Series([], dtype=np.float64)
+        return pd.DataFrame(out)
     pca_m = pca_fit(vecs, vec_col="embedding", k=2, sample_by="vec_id")
     lda_m = lda_fit(vecs, "label", vec_col="embedding", k=2,
                     sample_by="vec_id")
@@ -1277,6 +1289,13 @@ def q_fit_transform(sf):
     )
 
 
+def _empty_knn_frame():
+    import pandas as pd
+
+    return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                         "nbr_id": pd.Series([], dtype=np.int64)})
+
+
 def q_ivf_knn(sf):
     """IVF search driven in full-probe mode (n_probe == n_centroids): the
     cell routing, per-cell search and streaming top-k fold are all
@@ -1294,6 +1313,8 @@ def q_ivf_knn(sf):
         return t.filter(pc.less(t["vec_id"], 4))
 
     qdf = vecs.map_batches(qfilter, batch_format="pyarrow").to_pandas()
+    if len(qdf) == 0:  # empty corpus -> column-less frame
+        return _empty_knn_frame()
     Q = np.stack(qdf["embedding"].to_numpy())
     nbrs = ivf_knn(vecs, Q, qdf["vec_id"].to_numpy(), k=5,
                    n_centroids=8, n_probe=8)
@@ -1348,6 +1369,8 @@ def q_knn_exact(sf):
         return t.filter(pc.less(t["vec_id"], 4))
 
     qdf = vecs.map_batches(qfilter, batch_format="pyarrow").to_pandas()
+    if len(qdf) == 0:  # empty corpus -> column-less frame
+        return _empty_knn_frame()
     Q = np.stack(qdf["embedding"].to_numpy())
     nbrs = knn_brute(vecs, Q, qdf["vec_id"].to_numpy(), k=5)
     return nbrs[["query_id", "nbr_id"]].astype(np.int64)

@@ -64,6 +64,18 @@ def asof_join(
     # ONE schema probe (each .schema() on a lazy Dataset executes a
     # limit-1 sample pipeline); the post-select schema is derived from it
     turn_schema = turns.schema()  # ray.data Schema wrapper
+    if turn_schema is None:
+        # fully-empty left side (zero-row source loses its schema through
+        # Ray's lazy ops): emit a typed empty result — best-effort dtypes
+        # (the canonical transcript types for the known columns, float64
+        # for the rest)
+        known = {"conv_id": pa.string(), "ts": pa.timestamp("us"),
+                 "turn_idx": pa.int32(), "event_id": pa.int64()}
+        names = list(left_cols) if left_cols is not None else ["conv_id", "ts"]
+        cols = {c: pa.array([], known.get(c, pa.float64())) for c in names}
+        for f in feature_cols:
+            cols[f] = pa.array([], pa.float64())
+        return ray.data.from_arrow(pa.table(cols))
     turn_cols = list(turn_schema.names)
     turn_types = {n: _pa_type(t) for n, t in zip(turn_schema.names, turn_schema.types)}
     if left_cols is not None:

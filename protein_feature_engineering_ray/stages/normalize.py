@@ -37,6 +37,11 @@ def _column_stats(ds: ray.data.Dataset, cols: list[str]) -> dict[str, dict[str, 
         return pa.table(out)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        # empty input produces zero partial rows (and a column-less frame):
+        # degenerate stats keep the transform a well-defined no-op
+        return {c: {"n": 0.0, "mean": 0.0, "std": 0.0,
+                    "min": np.inf, "max": -np.inf} for c in cols}
     stats = {}
     for c in cols:
         # Chan et al. pairwise combine, folded left-to-right over blocks

@@ -57,8 +57,15 @@ def histogram_counts(
     """
     if lo is None or hi is None:
         agg = ds.aggregate(Min(col), Max(col))
-        lo = float(agg[f"min({col})"]) if lo is None else lo
-        hi = float(agg[f"max({col})"]) if hi is None else hi
+        mn = agg[f"min({col})"] if agg else None
+        mx = agg[f"max({col})"] if agg else None
+        if mn is None or mx is None:  # empty / all-null column
+            return pd.DataFrame({
+                "idx": np.arange(nbins, dtype=np.int64),
+                "value": np.zeros(nbins, dtype=np.float64),
+            })
+        lo = float(mn) if lo is None else lo
+        hi = float(mx) if hi is None else hi
 
     def partial(t: pa.Table) -> pa.Table:
         x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -80,6 +87,11 @@ def histogram_counts(
     sums = ds.map_batches(partial, batch_format="pyarrow").sum(
         [f"b{i}" for i in range(nbins)]
     )
+    if sums is None:  # zero blocks reached the aggregate
+        return pd.DataFrame({
+            "idx": np.arange(nbins, dtype=np.int64),
+            "value": np.zeros(nbins, dtype=np.float64),
+        })
     return pd.DataFrame({
         "idx": np.arange(nbins, dtype=np.int64),
         "value": np.array([sums[f"sum(b{i})"] for i in range(nbins)],
@@ -106,11 +118,12 @@ def quantile_summary(
         v, c = np.unique(x, return_counts=True)
         return pa.table({"v": v, "c": c.astype(np.int64)})
 
-    dist = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("v").sum("c").to_pandas()
-        .sort_values("v").reset_index(drop=True)
-    )
+    dist = ds.map_batches(partial, batch_format="pyarrow").groupby("v") \
+        .sum("c").to_pandas()
+    if len(dist) == 0:  # empty input: column-less frame from zero blocks
+        dist = pd.DataFrame({"v": pd.Series([], dtype=np.int64),
+                             "sum(c)": pd.Series([], dtype=np.int64)})
+    dist = dist.sort_values("v").reset_index(drop=True)
     cum = dist["sum(c)"].cumsum().to_numpy()
     vals = dist["v"].to_numpy()
     n = int(cum[-1]) if len(cum) else 0
@@ -158,6 +171,13 @@ def corr_pairs(ds: ray.data.Dataset, cols: list[str]) -> pd.DataFrame:
         return pa.table(row)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:  # empty input: every pair is zero-variance-omitted
+        return pd.DataFrame({
+            "name_a": pd.Series([], dtype=object),
+            "name_b": pd.Series([], dtype=object),
+            "idx": pd.Series([], dtype=np.int64),
+            "value": pd.Series([], dtype=np.float64),
+        })
     n = sum(int(v) for v in parts["n"])
     s = [sum(int(v) for v in parts[f"s{i}"]) for i in range(k)]
     p = {
@@ -211,6 +231,10 @@ def grouped_mean(
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:  # empty input: zero partial rows, column-less frame
+        parts = pd.DataFrame({"idx": pd.Series([], dtype=np.int64),
+                              "s": pd.Series([], dtype=np.int64),
+                              "c": pd.Series([], dtype=np.int64)})
     rows = []
     for i, key in enumerate(keys):
         sel = parts[parts["idx"] == i]

@@ -45,6 +45,10 @@ def bounded_sample(ds, limit: int, sample_by: str | None = None,
 def _sample_matrix(ds, cols: list[str] | None, vec_col: str | None,
                    limit: int, sample_by: str | None = None):
     df = bounded_sample(ds, limit, sample_by).to_pandas()
+    if len(df) == 0:
+        # empty corpus: a zero-row Ray dataset collects to a COLUMN-LESS
+        # frame, so the column access below would KeyError
+        return np.zeros((0, 1))
     if vec_col is not None:
         X = np.stack(df[vec_col].to_numpy()).astype(np.float64)
     else:
@@ -264,6 +268,12 @@ def exact_threshold_edges(
     the batches, O(n·d) broadcast bytes.  Refuses corpora above
     ``max_broadcast_rows`` loudly instead of silently exhausting workers."""
     n = ds.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }))
     if n > max_broadcast_rows:
         raise ValueError(
             f"exact_threshold_edges is the O(n²) validation baseline; corpus "

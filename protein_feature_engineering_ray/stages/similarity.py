@@ -200,6 +200,10 @@ def knn_train_partition(
 
         test = test.map_batches(thin, batch_format="pyarrow")
     tdf = test.select_columns([id_col, vec_col]).to_pandas()
+    if len(tdf) == 0:
+        # zero query rows (e.g. empty corpus): typed empty result — a
+        # column-less empty pandas frame would KeyError downstream
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64)})
     Q = np.stack(tdf[vec_col].to_numpy())
     train = ds.map_batches(lambda t: _split(t, False), batch_format="pyarrow")
     nbrs = knn_brute(train, Q, tdf[id_col].to_numpy(), k=ks[-1],

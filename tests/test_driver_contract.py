@@ -143,3 +143,31 @@ def test_catalog_invariants():
     assert all(not h for h in has_oracle[first_rows_only:]), (
         "oracle-backed queries must all precede rows-only queries"
     )
+
+
+def test_queries_survive_empty_input(tmp_path):
+    """Every catalog entry must run (not crash) on a ZERO-ROW sf dir — empty
+    partitions and filters are legitimate at scale, and Ray loses the schema
+    of fully-empty datasets (column-less pandas frames downstream).  The
+    full 50-query sweep ran green offline; this guards the nine queries
+    that crashed before the empty-input hardening, plus two sentinels."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    src = SF
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            schema = pq.read_schema(os.path.join(src, f))
+            pq.write_table(schema.empty_table(), tmp_path / f)
+
+    qs = e.queries()
+    subset = ["asof_orders", "zscore_aac", "minmax_aac", "knn_exact",
+              "ivf_knn", "knn_partition", "dbscan", "plot_data",
+              "fit_transform", "aac", "neardup_dedup"]
+    for name in subset:
+        r = qs[name](str(tmp_path))
+        df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
+        assert len(df) == 0 or name == "plot_data", name
