@@ -87,6 +87,12 @@ def pca_fit(ds, cols: list[str] | None = None, vec_col: str | None = None,
     signs = np.sign(comps[np.arange(len(comps)),
                           np.abs(comps).argmax(axis=1)])
     comps = comps * signs[:, None]
+    if len(comps) < k:
+        # rank-deficient sample (fewer rows than k): pad with zero
+        # components so the transform always emits exactly k columns
+        comps = np.vstack(
+            [comps, np.zeros((k - len(comps), X.shape[1]))]
+        )
     return {"mean": mean, "components": comps}
 
 
@@ -244,7 +250,11 @@ def lda_fit(ds, label_col: str, cols: list[str] | None = None,
     evals, evecs = evals.real, evecs.real
     top = np.argsort(-evals)[:k]
     comps = evecs[:, top].T
-    comps = comps / np.linalg.norm(comps, axis=1, keepdims=True)
+    # degenerate scatter (single class / single row): zero eigenvectors
+    # would divide 0/0 into NaN columns — keep them zero instead
+    comps = comps / np.maximum(
+        np.linalg.norm(comps, axis=1, keepdims=True), 1e-30
+    )
     signs = np.sign(comps[np.arange(len(comps)),
                           np.abs(comps).argmax(axis=1)])
     return {"mean": mean, "components": comps * signs[:, None]}

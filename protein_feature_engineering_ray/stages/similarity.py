@@ -213,6 +213,10 @@ def knn_train_partition(
         on=["nbr_id"], right_on=[id_col], how="inner", num_buckets=32,
         left_cols=list(nbrs.columns), right_cols=[id_col, label_col],
     ).to_pandas()
+    if len(merged) == 0:
+        # zero verified neighbors (e.g. the training split is empty): the
+        # empty join result loses its columns — typed empty output
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64)})
     out = None
     for kk in ks:
         sub = merged[merged["rank"] < kk]

@@ -171,3 +171,31 @@ def test_queries_survive_empty_input(tmp_path):
         r = qs[name](str(tmp_path))
         df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
         assert len(df) == 0 or name == "plot_data", name
+
+
+def test_queries_survive_single_row_input(tmp_path):
+    """ONE-row sf dir: the n=1 degenerate paths at catalog level (empty
+    training split in the knn partition, rank-deficient PCA/LDA samples
+    that must still emit k projection columns, single-point clusterer
+    fits).  The full 50-query sweep ran green offline; this guards the
+    queries that crashed before the rank/empty-join hardening."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    src = SF
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(src, f))
+            pq.write_table(t.slice(0, 1), tmp_path / f)
+
+    qs = e.queries()
+    for name in ("knn_partition", "fit_transform"):
+        r = qs[name](str(tmp_path))
+        df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
+        if name == "fit_transform":
+            assert len(df) == 1
+            assert {"pc0", "pc1", "ld0", "ld1", "ts0", "ts1"} <= set(df.columns)
+            assert np.isfinite(df[["pc0", "pc1", "ld0", "ld1"]].to_numpy()).all()
