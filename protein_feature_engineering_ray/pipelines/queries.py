@@ -1118,7 +1118,7 @@ def q_simhash_dedup(sf):
 def q_embedding_neardup(sf):
     from protein_feature_engineering_ray.stages.dedup import embedding_neardup
 
-    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    vecs = _read_vectors(sf)
     return embedding_neardup(vecs, threshold=0.4, n_planes=6)
 
 
@@ -1131,9 +1131,7 @@ def q_dbscan(sf):
     path (method="lsh"), recall-tested in pytest."""
     from protein_feature_engineering_ray.stages.reduce import density_cluster
 
-    vecs = ray.data.read_parquet(
-        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    vecs = _read_vectors(sf, columns=["vec_id", "embedding"])
     return density_cluster(vecs, threshold=0.35, method="exact",
                            num_buckets=16)
 
@@ -1164,7 +1162,7 @@ def q_knn_partition(sf):
     bit-exact against the SQL window form."""
     from protein_feature_engineering_ray.stages.similarity import knn_train_partition
 
-    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    vecs = _read_vectors(sf)
     out = knn_train_partition(vecs, k=10)
     # deterministic schema: one column per corpus label (a label absent from
     # every top-k list would otherwise drop its column)
@@ -1238,7 +1236,7 @@ def q_fit_transform(sf):
     # (count + thin + collect), which would otherwise re-execute the
     # parquet scan ~20× — the legitimate reuse-N-times exception to the
     # no-mid-pipeline-materialize rule (blocks spill if large)
-    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet").materialize()
+    vecs = _read_vectors(sf).materialize()
     if vecs.count() == 0:
         # ten fits + chained transforms all degenerate on an empty corpus;
         # return the typed empty frame directly
@@ -1296,6 +1294,25 @@ def _empty_knn_frame():
                          "nbr_id": pd.Series([], dtype=np.int64)})
 
 
+def _read_vectors(sf, columns: list[str] | None = None):
+    """embeddings.parquet with malformed (null-embedding / null-label) rows
+    dropped at the ingestion boundary: vector kernels cannot process a null
+    vector, and Ray's tensor-extension cast fails outright on a list column
+    containing nulls.  The filter runs in Arrow batch format BEFORE any
+    pandas conversion, so clean corpora pass through untouched."""
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=columns)
+
+    def drop_malformed(t):
+        import pyarrow.compute as pc
+
+        m = pc.is_valid(t["embedding"])
+        if "label" in t.column_names:
+            m = pc.and_(m, pc.is_valid(t["label"]))
+        return t.filter(m)
+
+    return ds.map_batches(drop_malformed, batch_format="pyarrow")
+
+
 def q_ivf_knn(sf):
     """IVF search driven in full-probe mode (n_probe == n_centroids): the
     cell routing, per-cell search and streaming top-k fold are all
@@ -1305,7 +1322,7 @@ def q_ivf_knn(sf):
     tested in pytest (test_extensions)."""
     from protein_feature_engineering_ray.stages.similarity import ivf_knn
 
-    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    vecs = _read_vectors(sf)
 
     def qfilter(t):
         import pyarrow.compute as pc
@@ -1361,7 +1378,7 @@ def q_knn_exact(sf):
     against DuckDB list_cosine_similarity."""
     from protein_feature_engineering_ray.stages.similarity import knn_brute
 
-    vecs = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    vecs = _read_vectors(sf)
 
     def qfilter(t):
         import pyarrow.compute as pc

@@ -61,11 +61,20 @@ class Alphabet:
         return len(self.letters)
 
     def encode(self, values: np.ndarray) -> np.ndarray:
-        """Vectorized str -> int code; unknown -> -1."""
+        """Vectorized str -> int code; unknown AND null -> -1."""
         lookup = {s: i for i, s in enumerate(self.letters)}
         # values may be an object ndarray of str (from Arrow); vectorize via
-        # factorize-style dict lookup on the unique values only.
-        uniq, inv = np.unique(np.asarray(values, dtype=object), return_inverse=True)
+        # factorize-style dict lookup on the unique values only.  Nulls
+        # (None/NaN from a nullable source column) would break np.unique's
+        # sort — map them to the unknown code like any non-letter.
+        arr = np.asarray(values, dtype=object)
+        import pandas as pd
+
+        na = pd.isna(arr)
+        if na.any():
+            arr = arr.copy()
+            arr[na] = ""
+        uniq, inv = np.unique(arr, return_inverse=True)
         codes_for_uniq = np.array([lookup.get(u, -1) for u in uniq], dtype=np.int64)
         return codes_for_uniq[inv]
 

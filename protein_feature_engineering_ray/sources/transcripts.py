@@ -65,8 +65,17 @@ def from_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Datas
 
     def to_transcript(batch: pa.Table) -> pa.Table:
         value = batch["value"]
-        et = batch["event_type"]
-        tool = pc.if_else(pc.greater_equal(value, 100.0), et, pa.scalar("", pa.string()))
+        # null-harden the string columns at the ingestion boundary: a null
+        # role encodes to the unknown code (like any non-letter), null
+        # text/tool become ""; a null value stays null (-> NaN, the numeric
+        # kernels' existing missing-data path).  A null tool CONDITION
+        # (null value) also yields "", via the outer fill.
+        et = pc.fill_null(batch["event_type"], "")
+        tool = pc.fill_null(
+            pc.if_else(pc.greater_equal(value, 100.0), et,
+                       pa.scalar("", pa.string())),
+            "",
+        )
         return pa.table(
             {
                 "conv_id": pc.cast(batch["user_id"], pa.string()),
@@ -76,7 +85,7 @@ def from_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Datas
                     np.full(len(batch), -1, dtype=np.int32), pa.int32()
                 ),
                 "role": et,
-                "text": batch["props"],
+                "text": pc.fill_null(batch["props"], ""),
                 "tool": tool,
                 "ts": batch["ts"],
                 "value": value,

@@ -173,6 +173,50 @@ def test_queries_survive_empty_input(tmp_path):
         assert len(df) == 0 or name == "plot_data", name
 
 
+def test_queries_survive_null_injected_input(tmp_path):
+    """~30% nulls in every non-key column: null role/text/tool encode to the
+    unknown code / "" at the ingestion boundary (to_transcript fill_null +
+    null-safe Alphabet.encode), null values stay NaN (the numeric kernels'
+    missing-data path), and null embedding/label rows are DROPPED at the
+    vector read (_read_vectors) — Ray's tensor-extension cast fails on list
+    columns containing nulls.  Full 50-query sweep ran green offline; this
+    guards one representative per formerly-crashing family."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(7)
+    keys = {"event_id", "user_id", "doc_id", "vec_id", "o_orderkey",
+            "o_custkey", "ts"}
+    src = SF
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(src, f))
+        cols = {}
+        for name in t.column_names:
+            col = t[name]
+            if name in keys or t.num_rows == 0:
+                cols[name] = col
+            else:
+                mask = pa.array(rng.random(t.num_rows) < 0.3)
+                cols[name] = pc.if_else(
+                    mask, pa.nulls(t.num_rows, col.type), col.combine_chunks()
+                )
+        pq.write_table(pa.table(cols), tmp_path / f)
+
+    qs = e.queries()
+    for name in ("aac", "lag_family", "plot_data", "knn_exact", "dbscan",
+                 "fit_transform", "embedding_neardup", "zscore_aac"):
+        r = qs[name](str(tmp_path))
+        df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
+        assert df is not None, name
+
+
 def test_queries_survive_single_row_input(tmp_path):
     """ONE-row sf dir: the n=1 degenerate paths at catalog level (empty
     training split in the knn partition, rank-deficient PCA/LDA samples
