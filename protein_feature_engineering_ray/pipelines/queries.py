@@ -57,21 +57,34 @@ def _drop_ts(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 # --- SQL fragments ---------------------------------------------------------
 
+# Out-of-alphabet roles are EXCLUDED everywhere in the engine (code -1 /
+# group -1): the SQL symbols go to NULL for them, so NULL-propagation
+# through concatenations and FILTERs expresses the same rule.  On a clean
+# corpus (roles ⊆ alphabet) both forms are identical.
+VALID_ROLE_SQL = (
+    "CASE WHEN role IN ('click','error','purchase','signup','view') "
+    "THEN role END"
+)
 GROUP_SQL = (
-    "CASE WHEN role IN ('click','purchase','signup') THEN 'act' ELSE 'obs' END"
+    "CASE WHEN role IN ('click','purchase','signup') THEN 'act' "
+    "WHEN role IN ('error','view') THEN 'obs' END"
 )
 
 
 def _sql_aac() -> str:
+    in_list = ", ".join(f"'{s}'" for s in LETTERS)
     cols = ",\n    ".join(
-        f"count(*) FILTER (role = '{s}') / count(*) AS \"aac_{s}\"" for s in LETTERS
+        f"count(*) FILTER (role = '{s}') "
+        f"/ greatest(count(*) FILTER (role IN ({in_list})), 1) AS \"aac_{s}\""
+        for s in LETTERS
     )
     return f"{TRANSCRIPTS_SQL_CTE}SELECT conv_id,\n    {cols}\nFROM transcripts GROUP BY conv_id"
 
 
 def _sql_gaac() -> str:
     cols = ",\n    ".join(
-        f"count(*) FILTER (grp = '{g}') / count(*) AS \"gaac_{g}\"" for g in GROUPS
+        f"count(*) FILTER (grp = '{g}') "
+        f"/ greatest(count(grp), 1) AS \"gaac_{g}\"" for g in GROUPS
     )
     return (
         f"{TRANSCRIPTS_SQL_CTE}, t2 AS (SELECT conv_id, {GROUP_SQL} AS grp FROM transcripts)\n"
@@ -88,12 +101,14 @@ def _sql_ngram(n: int, prefix: str, normalize: bool, grouped: bool = False) -> s
     from itertools import product
 
     letters = GROUPS if grouped else LETTERS
-    sym = GROUP_SQL + " " if grouped else "role "
+    sym = GROUP_SQL + " " if grouped else VALID_ROLE_SQL + " "
     leads = ",\n         ".join(
         f"lead({sym.strip()}, {i}) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
         f" AS nxt{i}"
         for i in range(1, n)
     )
+    # NULL (out-of-alphabet / missing next row) propagates through || so an
+    # invalid position anywhere voids the gram — the engine's rule
     gram_expr = " || '.' || ".join(["g0"] + [f"nxt{i}" for i in range(1, n)])
     pivot_cols = []
     for tup in product(letters, repeat=n):
@@ -109,12 +124,12 @@ def _sql_ngram(n: int, prefix: str, normalize: bool, grouped: bool = False) -> s
         f"{TRANSCRIPTS_SQL_CTE}, t2 AS (\n"
         f"  SELECT conv_id, {sym}AS g0,\n         {leads}\n"
         "  FROM transcripts),\n"
-        f" grams AS (SELECT conv_id, {gram_expr} AS gram FROM t2"
-        f" WHERE nxt{n-1} IS NOT NULL),\n"
+        f" grams AS (SELECT conv_id, {gram_expr} AS gram FROM t2),\n"
         " gramcnt AS (SELECT conv_id, gram, count(*) AS cnt FROM grams"
-        " GROUP BY conv_id, gram),\n"
-        # every conv keeps a row even with zero grams (single-turn convs)
-        f" tot AS (SELECT conv_id, count(nxt{n-1}) AS tot FROM t2"
+        " WHERE gram IS NOT NULL GROUP BY conv_id, gram),\n"
+        # every conv keeps a row even with zero grams (single-turn convs);
+        # tot counts FULLY-valid grams, the engine's denominator
+        " tot AS (SELECT conv_id, count(gram) AS tot FROM grams"
         " GROUP BY conv_id)\n"
         f"SELECT t.conv_id,\n    {cols}\n"
         "FROM tot t LEFT JOIN gramcnt g ON g.conv_id = t.conv_id\n"
@@ -126,19 +141,21 @@ def _sql_cksaap(kspace: int, grouped: bool = False) -> str:
     """k-spaced pair composition via pre-aggregated (gap, pair) counts + a
     MAX(CASE) pivot (see _sql_ngram for why not a wide FILTER aggregate)."""
     letters = GROUPS if grouped else LETTERS
-    sym = GROUP_SQL if grouped else "role"
+    sym = GROUP_SQL if grouped else VALID_ROLE_SQL
     prefix = "cksaagp" if grouped else "cksaap"
     leads = ",\n         ".join(
         f"lead({sym}, {d}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt{d}"
         for d in range(1, kspace + 2)
     )
+    # pair NULL iff either end is out-of-alphabet or past the conv end —
+    # exactly the engine's both-valid rule; tot counts the non-null pairs
     gram_selects = "\n  UNION ALL\n".join(
         f"  SELECT conv_id, {d - 1} AS gap, g0 || '.' || nxt{d} AS pair"
-        f" FROM t2 WHERE nxt{d} IS NOT NULL"
+        f" FROM t2 WHERE g0 IS NOT NULL AND nxt{d} IS NOT NULL"
         for d in range(1, kspace + 2)
     )
     tot_cols = ", ".join(
-        f"count(nxt{d}) AS tot{d - 1}" for d in range(1, kspace + 2)
+        f"count(g0 || nxt{d}) AS tot{d - 1}" for d in range(1, kspace + 2)
     )
     pivot = []
     for g in range(kspace + 1):
@@ -215,7 +232,8 @@ def _sql_ctdt() -> str:
             a, b = GROUPS[i], GROUPS[j]
             cols.append(
                 f"count(*) FILTER ((grp = '{a}' AND nxt = '{b}') OR (grp = '{b}' AND nxt = '{a}'))"
-                f' / count(nxt) AS "ctdt_{a}.{b}"'
+                # both-valid adjacent pairs (grp||nxt non-null iff both are)
+                f' / greatest(count(grp || nxt), 1) AS "ctdt_{a}.{b}"'
             )
     colsql = ",\n    ".join(cols)
     return (
@@ -374,7 +392,7 @@ SQL_CONV_SUMMARY = f"""{TRANSCRIPTS_SQL_CTE}SELECT conv_id,
     CAST(count(*) AS DOUBLE) AS n_turns,
     (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec,
     count(*) FILTER (tool <> '') / count(*) AS tool_share,
-    CAST(count(DISTINCT role) AS DOUBLE) AS n_roles
+    CAST(count(DISTINCT ({VALID_ROLE_SQL})) AS DOUBLE) AS n_roles
 FROM transcripts GROUP BY conv_id"""
 
 SQL_ASOF_ORDERS = f"""{TRANSCRIPTS_SQL_CTE}SELECT t.conv_id, t.turn_idx,
@@ -397,7 +415,8 @@ def _sql_lookup() -> str:
             cases = " ".join(
                 f"WHEN '{s}' THEN {table[i, j]!r}" for i, s in enumerate(LETTERS)
             )
-            cols.append(f'CASE role {cases} END AS "{prefix}_{j}"')
+            # unknown roles -> 0 rows (the engine's documented rule), not NULL
+            cols.append(f'CASE role {cases} ELSE 0.0 END AS "{prefix}_{j}"')
     colsql = ",\n    ".join(cols)
     return f"{TRANSCRIPTS_SQL_CTE}SELECT conv_id, turn_idx,\n    {colsql}\nFROM transcripts"
 
@@ -415,15 +434,19 @@ def _sql_multihot() -> str:
 
 
 def _sql_distance_pair(distance: int) -> str:
+    # denominators are the engine's valid-only block sums: valid rows for
+    # d0, both-valid pairs (grp || nxt non-null) for each distance
     cols = [
-        f"count(*) FILTER (grp = '{g}') / count(*) AS \"dp_d0_{g}\""
+        f"count(*) FILTER (grp = '{g}') / greatest(count(grp), 1)"
+        f' AS "dp_d0_{g}"'
         for g in GROUPS
     ]
     for d in range(1, distance + 1):
         for a in GROUPS:
             for b in GROUPS:
                 cols.append(
-                    f"count(*) FILTER (grp = '{a}' AND nxt{d} = '{b}') / count(nxt{d})"
+                    f"count(*) FILTER (grp = '{a}' AND nxt{d} = '{b}')"
+                    f" / greatest(count(grp || nxt{d}), 1)"
                     f' AS "dp_d{d}_{a}.{b}"'
                 )
     leads = ",\n         ".join(
@@ -469,11 +492,12 @@ def _sql_dde() -> str:
         for j, b in enumerate(LETTERS)
     )
     return f"""{TRANSCRIPTS_SQL_CTE}, t2 AS (
-  SELECT conv_id, role AS a, lead(role) OVER ({WIN}) AS b FROM transcripts),
- uni AS (SELECT conv_id, count(*) AS tot,
+  SELECT conv_id, {VALID_ROLE_SQL} AS a,
+         lead({VALID_ROLE_SQL}) OVER ({WIN}) AS b FROM transcripts),
+ uni AS (SELECT conv_id, greatest(count({VALID_ROLE_SQL}), 1) AS tot,
          {uni}
          FROM transcripts GROUP BY conv_id),
- bi AS (SELECT conv_id, count(b) AS npairs,
+ bi AS (SELECT conv_id, count(a || b) AS npairs,
          {bi}
          FROM t2 GROUP BY conv_id),
  m AS (SELECT u.conv_id, b.npairs,
@@ -596,12 +620,15 @@ def _sql_asdc(max_skip: int) -> str:
         for i, a in enumerate(LETTERS)
         for j, b in enumerate(LETTERS)
     )
+    in_list = ", ".join(f"'{s}'" for s in LETTERS)
     return f"""{TRANSCRIPTS_SQL_CTE}, p AS (
-  SELECT a.conv_id, a.role AS ra, b.role AS rb
+  SELECT a.conv_id,
+         CASE WHEN a.role IN ({in_list}) THEN a.role END AS ra,
+         CASE WHEN b.role IN ({in_list}) THEN b.role END AS rb
   FROM transcripts a JOIN transcripts b
     ON b.conv_id = a.conv_id
    AND b.turn_idx - a.turn_idx BETWEEN 1 AND {max_skip - 1}),
- c AS (SELECT conv_id, count(*) AS npairs,
+ c AS (SELECT conv_id, count(ra || rb) AS npairs,
          {cnt}
        FROM p GROUP BY conv_id),
  base AS (SELECT DISTINCT conv_id FROM transcripts)
@@ -664,7 +691,8 @@ FROM s"""
 
 
 SQL_TOKEN_COUNT = """SELECT doc_id,
-    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+    CAST(len(string_split_regex(coalesce(text, ''), '\\s+')) AS BIGINT)
+      AS n_tokens
 FROM documents"""
 
 SQL_EXACT_DEDUP = """SELECT doc_id, n_chars FROM documents
@@ -1366,7 +1394,7 @@ def q_model_tokens(sf):
 
 
 SQL_MODEL_TOKENS = """SELECT doc_id,
-    CAST(least(len(list_filter(string_split_regex(text, '\\s+'),
+    CAST(least(len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
                                x -> x <> '')), 512) AS BIGINT)
       AS n_model_tokens
 FROM documents"""
@@ -1419,7 +1447,8 @@ def q_ngram_jaccard(sf):
 
 SQL_NGRAM_JACCARD = """WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS ws
   FROM documents),
  g AS (SELECT doc_id, list_distinct(
          CASE WHEN len(ws) = 0 THEN []
@@ -1587,7 +1616,10 @@ hist AS (
                                       / (mm.hi - mm.lo)) AS BIGINT),
                            {PLOT_NBINS - 1}) END AS b,
            count(*) AS c
-    FROM transcripts t, mm GROUP BY 1) h ON h.b = g.i),
+    FROM transcripts t, mm
+    -- DuckDB's least() IGNORES nulls, so a null value would otherwise
+    -- clamp into the top bin instead of being uncounted (engine rule)
+    WHERE t.value IS NOT NULL GROUP BY 1) h ON h.b = g.i),
 feat AS (SELECT conv_id,
     {feat_cols}
   FROM transcripts GROUP BY conv_id),

@@ -42,12 +42,13 @@ WITH transcripts AS (
     CAST(user_id AS VARCHAR) AS conv_id,
     CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER)
       AS turn_idx,
-    event_type AS role,
-    props AS text,
-    CASE WHEN value >= 100 THEN event_type ELSE '' END AS tool,
+    coalesce(event_type, '') AS role,
+    coalesce(props, '') AS text,
+    CASE WHEN value >= 100 THEN coalesce(event_type, '') ELSE '' END AS tool,
     ts,
     value
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
 )
 """
 
@@ -64,6 +65,17 @@ def from_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Datas
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
 
     def to_transcript(batch: pa.Table) -> pa.Table:
+        # identity/order triple must be present: a null user_id has no
+        # conversation, a null ts has no position (it would cast to INT_MIN
+        # garbage in ts_us and corrupt latency/windows/session gaps), a
+        # null event_id breaks the deterministic tie-break.  Same
+        # malformed-row-drop discipline as sources.io.read_rawlog.
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"])),
+            pc.is_valid(batch["event_id"]),
+        )
+        if not pc.all(ok).as_py():
+            batch = batch.filter(ok)
         value = batch["value"]
         # null-harden the string columns at the ingestion boundary: a null
         # role encodes to the unknown code (like any non-letter), null

@@ -190,8 +190,10 @@ def test_queries_survive_null_injected_input(tmp_path):
     import __ray_entry__ as e
 
     rng = np.random.default_rng(7)
+    # ts is NOT protected: a null ts must be dropped at ingestion (it casts
+    # to INT_MIN garbage in ts_us otherwise), not silently computed on
     keys = {"event_id", "user_id", "doc_id", "vec_id", "o_orderkey",
-            "o_custkey", "ts"}
+            "o_custkey"}
     src = SF
     for f in os.listdir(src):
         if not f.endswith(".parquet"):
@@ -211,10 +213,19 @@ def test_queries_survive_null_injected_input(tmp_path):
 
     qs = e.queries()
     for name in ("aac", "lag_family", "plot_data", "knn_exact", "dbscan",
-                 "fit_transform", "embedding_neardup", "zscore_aac"):
+                 "fit_transform", "embedding_neardup", "zscore_aac",
+                 "latency", "sessions"):
         r = qs[name](str(tmp_path))
         df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
         assert df is not None, name
+        # no INT_MIN-scale garbage from a null-ts cast anywhere
+        for c in df.columns:
+            v = df[c]
+            if v.dtype.kind in "if" and len(v):
+                finite = v.to_numpy(dtype=float)
+                finite = finite[np.isfinite(finite)]
+                if len(finite):
+                    assert np.abs(finite).max() < 1e15, (name, c)
 
 
 def test_queries_survive_single_row_input(tmp_path):
