@@ -49,6 +49,7 @@ def bucket_join(
     right_suffix: str = "_r",
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
+    right_types: list[pa.DataType] | None = None,
 ) -> ray.data.Dataset:
     """Join two Datasets on equality of ``on`` (left) vs ``right_on`` (right).
 
@@ -57,7 +58,14 @@ def bucket_join(
     side's non-key columns (collisions renamed with ``right_suffix``).
 
     Pass ``left_cols`` / ``right_cols`` (column name lists) when known to
-    avoid a schema-probe execution of each input's lineage.
+    avoid a schema-probe execution of each input's lineage.  When passing
+    ``right_cols``, also pass ``right_types`` (parallel pyarrow types) if you
+    can: it types the left side's padding columns, so buckets that receive no
+    right rows still emit concretely-typed right-value columns.  Without it
+    such buckets emit Arrow ``null``-typed columns — valid for every
+    downstream Arrow kernel (promotes to the concrete type on concat), but
+    ``to_pandas()`` on the raw join output then carries a block-mix-dependent
+    dtype (object vs float64) for those columns.
     """
     assert how in ("inner", "left_outer", "left_semi", "left_anti"), how
     on = list(on)
@@ -72,6 +80,10 @@ def bucket_join(
 
     lnames, ltypes = _schema(left, left_cols)
     rnames, rtypes = _schema(right, right_cols)
+    if right_types is not None:
+        rtypes = list(right_types)
+        assert len(rtypes) == len(rnames), (rnames, rtypes)
+    rtype_of = dict(zip(rnames, rtypes)) if rtypes is not None else {}
     # right value (non-key) columns, renamed on collision with ANY left col
     rvals = [c for c in rnames if c not in right_on]
     rv_out = [c + right_suffix if c in lnames else c for c in rvals]
@@ -86,7 +98,7 @@ def bucket_join(
             return pa.table({})
         cols = {c: t[c] for c in lnames}
         for c, oc in zip(rvals, rv_out):
-            cols[oc] = pa.nulls(len(t))
+            cols[oc] = pa.nulls(len(t), type=rtype_of.get(c))
         key_df = t.select(on).to_pandas()
         cols[_JB] = pa.array(_key_bucket(key_df, num_buckets), pa.int32())
         cols[_SIDE] = pa.array(np.zeros(len(t), dtype=np.int8), pa.int8())

@@ -525,6 +525,10 @@ def connected_components(
         .union(edges.map_batches(rev, batch_format="pyarrow"))
         .materialize()
     )
+    # node/label columns all carry the edge id type; threading it into every
+    # bucket_join keeps buckets that receive no right rows concretely typed
+    # (schema probe is free here — und is materialized)
+    idt = und.schema().types[0]
 
     def init(t: pa.Table) -> pa.Table:
         lab = pc.if_else(
@@ -541,13 +545,13 @@ def connected_components(
         msgs = bucket_join(
             und, labels, on=["src"], right_on=["node"], how="inner",
             num_buckets=num_buckets, left_cols=["src", "dst"],
-            right_cols=["node", "label"],
+            right_cols=["node", "label"], right_types=[idt, idt],
         )
         inc = msgs.groupby("dst").min("label")
         new = bucket_join(
             labels, inc, on=["node"], right_on=["dst"], how="left_outer",
             num_buckets=num_buckets, left_cols=["node", "label"],
-            right_cols=["dst", "min(label)"],
+            right_cols=["dst", "min(label)"], right_types=[idt, idt],
         )
 
         def upd(t: pa.Table) -> pa.Table:
@@ -589,6 +593,7 @@ def connected_components(
             labels, labels, on=["label"], right_on=["node"], how="inner",
             num_buckets=num_buckets, right_suffix="_of",
             left_cols=["node", "label"], right_cols=["node", "label"],
+            right_types=[idt, idt],
         )
 
         def jump(t: pa.Table) -> pa.Table:

@@ -524,6 +524,7 @@ def test_bucket_join_randomized_vs_pandas_semantics():
     (pandas merge computed on null-key-filtered right, left null keys as
     non-matching)."""
     import pandas as pd
+    import pyarrow as pa
 
     import ray.data
 
@@ -553,9 +554,13 @@ def test_bucket_join_randomized_vs_pandas_semantics():
             ("left_semi", lambda: L[L["k"].isin(set(Rnn["k"]))]),
             ("left_anti", lambda: L[~L["k"].isin(set(Rnn["k"]))]),
         ):
+            # right_types makes the padding concretely typed — without it a
+            # bucket with no right rows emits a null-typed rv column and the
+            # raw to_pandas dtype depends on the block mix (documented)
             got = bucket_join(
                 lds, rds, on=["k"], how=how, num_buckets=4,
                 left_cols=["k", "lv"], right_cols=["k", "rv"],
+                right_types=[pa.string(), pa.int64()],
             ).to_pandas()
             want = ref()
             cols = list(got.columns)
