@@ -83,7 +83,14 @@ def bucket_join(
     if right_types is not None:
         rtypes = list(right_types)
         assert len(rtypes) == len(rnames), (rnames, rtypes)
-    rtype_of = dict(zip(rnames, rtypes)) if rtypes is not None else {}
+    # Ray's Schema.types reports python classes (not pyarrow DataTypes) for
+    # object columns of pandas-backed blocks — only concrete Arrow types can
+    # type the padding; anything else falls back to null-typed padding
+    rtype_of = {
+        n: t
+        for n, t in zip(rnames, rtypes or [])
+        if isinstance(t, pa.DataType)
+    }
     # right value (non-key) columns, renamed on collision with ANY left col
     rvals = [c for c in rnames if c not in right_on]
     rv_out = [c + right_suffix if c in lnames else c for c in rvals]

@@ -60,22 +60,21 @@ def _drop_ts(ds: ray.data.Dataset) -> ray.data.Dataset:
 # Out-of-alphabet roles are EXCLUDED everywhere in the engine (code -1 /
 # group -1): the SQL symbols go to NULL for them, so NULL-propagation
 # through concatenations and FILTERs expresses the same rule.  On a clean
-# corpus (roles ⊆ alphabet) both forms are identical.
-VALID_ROLE_SQL = (
-    "CASE WHEN role IN ('click','error','purchase','signup','view') "
-    "THEN role END"
-)
-GROUP_SQL = (
-    "CASE WHEN role IN ('click','purchase','signup') THEN 'act' "
-    "WHEN role IN ('error','view') THEN 'obs' END"
-)
+# corpus (roles ⊆ alphabet) both forms are identical.  Both fragments are
+# DERIVED from EVENT_ALPHABET so the SQL can never desync from the engine.
+_ROLE_IN_LIST = ", ".join(f"'{s}'" for s in sorted(LETTERS))
+VALID_ROLE_SQL = f"CASE WHEN role IN ({_ROLE_IN_LIST}) THEN role END"
+GROUP_SQL = "CASE " + " ".join(
+    f"WHEN role IN ({', '.join(repr(m) for m in ms)}) THEN '{g}'"
+    for g, ms in EVENT_ALPHABET.groups.items()
+) + " END"
 
 
 def _sql_aac() -> str:
-    in_list = ", ".join(f"'{s}'" for s in LETTERS)
     cols = ",\n    ".join(
         f"count(*) FILTER (role = '{s}') "
-        f"/ greatest(count(*) FILTER (role IN ({in_list})), 1) AS \"aac_{s}\""
+        f"/ greatest(count(*) FILTER (role IN ({_ROLE_IN_LIST})), 1)"
+        f" AS \"aac_{s}\""
         for s in LETTERS
     )
     return f"{TRANSCRIPTS_SQL_CTE}SELECT conv_id,\n    {cols}\nFROM transcripts GROUP BY conv_id"
@@ -620,11 +619,10 @@ def _sql_asdc(max_skip: int) -> str:
         for i, a in enumerate(LETTERS)
         for j, b in enumerate(LETTERS)
     )
-    in_list = ", ".join(f"'{s}'" for s in LETTERS)
     return f"""{TRANSCRIPTS_SQL_CTE}, p AS (
   SELECT a.conv_id,
-         CASE WHEN a.role IN ({in_list}) THEN a.role END AS ra,
-         CASE WHEN b.role IN ({in_list}) THEN b.role END AS rb
+         CASE WHEN a.role IN ({_ROLE_IN_LIST}) THEN a.role END AS ra,
+         CASE WHEN b.role IN ({_ROLE_IN_LIST}) THEN b.role END AS rb
   FROM transcripts a JOIN transcripts b
     ON b.conv_id = a.conv_id
    AND b.turn_idx - a.turn_idx BETWEEN 1 AND {max_skip - 1}),
@@ -1146,7 +1144,7 @@ def q_simhash_dedup(sf):
 def q_embedding_neardup(sf):
     from protein_feature_engineering_ray.stages.dedup import embedding_neardup
 
-    vecs = _read_vectors(sf)
+    vecs = _read_vectors(sf, columns=["vec_id", "embedding"])
     return embedding_neardup(vecs, threshold=0.4, n_planes=6)
 
 
@@ -1166,14 +1164,16 @@ def q_dbscan(sf):
 
 DBSCAN_THRESHOLD = 0.35
 
-SQL_DBSCAN = f"""WITH RECURSIVE e AS (
+SQL_DBSCAN = f"""WITH RECURSIVE emb AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+ e AS (
   SELECT a.vec_id AS src, b.vec_id AS dst
-  FROM embeddings a JOIN embeddings b
+  FROM emb a JOIN emb b
     ON a.vec_id <> b.vec_id
    AND list_cosine_similarity(a.embedding, b.embedding)
        >= {DBSCAN_THRESHOLD}),
  reach(node, lab) AS (
-  SELECT vec_id, vec_id FROM embeddings
+  SELECT vec_id, vec_id FROM emb
   UNION
   SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node)
 SELECT CAST(node AS BIGINT) AS vec_id, CAST(min(lab) AS BIGINT) AS cluster
@@ -1190,7 +1190,8 @@ def q_knn_partition(sf):
     bit-exact against the SQL window form."""
     from protein_feature_engineering_ray.stages.similarity import knn_train_partition
 
-    vecs = _read_vectors(sf)
+    vecs = _read_vectors(sf, columns=["vec_id", "embedding", "label"],
+                         require_label=True)
     out = knn_train_partition(vecs, k=10)
     # deterministic schema: one column per corpus label (a label absent from
     # every top-k list would otherwise drop its column)
@@ -1210,9 +1211,12 @@ def _sql_knn_partition() -> str:
         f" AS knn_label_{lb}"
         for lb in EMB_LABELS
     )
-    return f"""WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 5 = 0),
- tr AS (SELECT vec_id AS nid, embedding, label FROM embeddings
+    return f"""WITH emb AS MATERIALIZED (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+ q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM emb WHERE vec_id % 5 = 0),
+ tr AS (SELECT vec_id AS nid, embedding, label FROM emb
         WHERE vec_id % 5 <> 0),
  s AS (SELECT q.qid, tr.nid, tr.label,
               list_cosine_similarity(q.qe, tr.embedding) AS c
@@ -1264,18 +1268,20 @@ def q_fit_transform(sf):
     # (count + thin + collect), which would otherwise re-execute the
     # parquet scan ~20× — the legitimate reuse-N-times exception to the
     # no-mid-pipeline-materialize rule (blocks spill if large)
-    vecs = _read_vectors(sf).materialize()
+    vecs = _read_vectors(sf, require_label=True).materialize()
     if vecs.count() == 0:
         # ten fits + chained transforms all degenerate on an empty corpus;
-        # return the typed empty frame directly
+        # return a typed empty frame with the SAME column order and dtypes
+        # as the non-empty path (assign stages emit int32 cluster ids)
         import pandas as pd
 
-        cols = ["vec_id", "kmeans_cluster", "mcl_cluster", "gmm_cluster",
-                "agglo_cluster", "spectral_cluster", "meanshift_cluster",
-                "apc_cluster"]
-        out = {c: pd.Series([], dtype=np.int64) for c in cols}
+        out = {"vec_id": pd.Series([], dtype=np.int64)}
         for c in ("pc0", "pc1", "ts0", "ts1", "ld0", "ld1"):
             out[c] = pd.Series([], dtype=np.float64)
+        for c in ("kmeans_cluster", "mcl_cluster", "gmm_cluster",
+                  "agglo_cluster", "spectral_cluster", "meanshift_cluster",
+                  "apc_cluster"):
+            out[c] = pd.Series([], dtype=np.int32)
         return pd.DataFrame(out)
     pca_m = pca_fit(vecs, vec_col="embedding", k=2, sample_by="vec_id")
     lda_m = lda_fit(vecs, "label", vec_col="embedding", k=2,
@@ -1322,19 +1328,23 @@ def _empty_knn_frame():
                          "nbr_id": pd.Series([], dtype=np.int64)})
 
 
-def _read_vectors(sf, columns: list[str] | None = None):
-    """embeddings.parquet with malformed (null-embedding / null-label) rows
-    dropped at the ingestion boundary: vector kernels cannot process a null
-    vector, and Ray's tensor-extension cast fails outright on a list column
-    containing nulls.  The filter runs in Arrow batch format BEFORE any
-    pandas conversion, so clean corpora pass through untouched."""
+def _read_vectors(sf, columns: list[str] | None = None,
+                  require_label: bool = False):
+    """embeddings.parquet with malformed rows dropped at the ingestion
+    boundary: a null EMBEDDING is always dropped (vector kernels cannot
+    process it, and Ray's tensor-extension cast fails outright on a list
+    column containing nulls); a null LABEL is dropped only when the caller
+    actually consumes labels (``require_label=True``) — an unlabeled vector
+    is still a perfectly good cosine neighbor for label-free queries.  The
+    filter runs in Arrow batch format BEFORE any pandas conversion, so clean
+    corpora pass through untouched."""
     ds = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=columns)
 
     def drop_malformed(t):
         import pyarrow.compute as pc
 
         m = pc.is_valid(t["embedding"])
-        if "label" in t.column_names:
+        if require_label and "label" in t.column_names:
             m = pc.and_(m, pc.is_valid(t["label"]))
         return t.filter(m)
 
@@ -1350,7 +1360,7 @@ def q_ivf_knn(sf):
     tested in pytest (test_extensions)."""
     from protein_feature_engineering_ray.stages.similarity import ivf_knn
 
-    vecs = _read_vectors(sf)
+    vecs = _read_vectors(sf, columns=["vec_id", "embedding"])
 
     def qfilter(t):
         import pyarrow.compute as pc
@@ -1406,7 +1416,7 @@ def q_knn_exact(sf):
     against DuckDB list_cosine_similarity."""
     from protein_feature_engineering_ray.stages.similarity import knn_brute
 
-    vecs = _read_vectors(sf)
+    vecs = _read_vectors(sf, columns=["vec_id", "embedding"])
 
     def qfilter(t):
         import pyarrow.compute as pc
@@ -1421,11 +1431,13 @@ def q_knn_exact(sf):
     return nbrs[["query_id", "nbr_id"]].astype(np.int64)
 
 
-SQL_KNN_EXACT = """WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+SQL_KNN_EXACT = """WITH emb AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+ q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM emb WHERE vec_id < 4),
  s AS (SELECT q.qid, e.vec_id AS nid,
               list_cosine_similarity(q.qe, e.embedding) AS c
-       FROM q CROSS JOIN embeddings e),
+       FROM q CROSS JOIN emb e),
  r AS (SELECT qid, nid,
               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn
        FROM s)

@@ -66,12 +66,21 @@ def asof_join(
     turn_schema = turns.schema()  # ray.data Schema wrapper
     if turn_schema is None:
         # fully-empty left side (zero-row source loses its schema through
-        # Ray's lazy ops): emit a typed empty result — best-effort dtypes
-        # (the canonical transcript types for the known columns, float64
-        # for the rest)
-        known = {"conv_id": pa.string(), "ts": pa.timestamp("us"),
-                 "turn_idx": pa.int32(), "event_id": pa.int64()}
-        names = list(left_cols) if left_cols is not None else ["conv_id", "ts"]
+        # Ray's lazy ops): emit a typed empty result mirroring the non-empty
+        # path's column set — left_cols ∪ {conv_id, ts} ∪ assign_turn_idx_by
+        # in canonical transcript order (the engine's canonical left shape;
+        # unknown extras land at the end, float64)
+        known = {"conv_id": pa.string(), "event_id": pa.int64(),
+                 "turn_idx": pa.int32(), "role": pa.string(),
+                 "text": pa.string(), "tool": pa.string(),
+                 "ts": pa.timestamp("us"), "value": pa.float64()}
+        if left_cols is not None:
+            need = (set(left_cols) | {"conv_id", "ts"}
+                    | set(assign_turn_idx_by or []))
+        else:
+            need = set(known)
+        names = [c for c in known if c in need]
+        names += sorted(need - set(names))
         cols = {c: pa.array([], known.get(c, pa.float64())) for c in names}
         for f in feature_cols:
             cols[f] = pa.array([], pa.float64())

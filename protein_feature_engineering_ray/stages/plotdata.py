@@ -55,15 +55,18 @@ def histogram_counts(
     so any engine evaluating the same three IEEE ops lands every value in the
     same bin.  Returns ``(idx, value)`` with zero bins present.
     """
+    def _zero_hist() -> pd.DataFrame:
+        return pd.DataFrame({
+            "idx": np.arange(nbins, dtype=np.int64),
+            "value": np.zeros(nbins, dtype=np.float64),
+        })
+
     if lo is None or hi is None:
         agg = ds.aggregate(Min(col), Max(col))
         mn = agg[f"min({col})"] if agg else None
         mx = agg[f"max({col})"] if agg else None
         if mn is None or mx is None:  # empty / all-null column
-            return pd.DataFrame({
-                "idx": np.arange(nbins, dtype=np.int64),
-                "value": np.zeros(nbins, dtype=np.float64),
-            })
+            return _zero_hist()
         lo = float(mn) if lo is None else lo
         hi = float(mx) if hi is None else hi
 
@@ -88,10 +91,7 @@ def histogram_counts(
         [f"b{i}" for i in range(nbins)]
     )
     if sums is None:  # zero blocks reached the aggregate
-        return pd.DataFrame({
-            "idx": np.arange(nbins, dtype=np.int64),
-            "value": np.zeros(nbins, dtype=np.float64),
-        })
+        return _zero_hist()
     return pd.DataFrame({
         "idx": np.arange(nbins, dtype=np.int64),
         "value": np.array([sums[f"sum(b{i})"] for i in range(nbins)],

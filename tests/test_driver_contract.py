@@ -227,6 +227,41 @@ def test_queries_survive_null_injected_input(tmp_path):
                 if len(finite):
                     assert np.abs(finite).max() < 1e15, (name, c)
 
+    # Oracle PARITY on the dirty corpus itself — every oracle is null-aware
+    # (identity-row drops, NULL symbol propagation, IS NOT NULL vector
+    # reads), so engine and DuckDB must agree on null-injected data too,
+    # not just on the driver's clean tables.
+    import duckdb
+
+    con = duckdb.connect()
+    for f in os.listdir(tmp_path):
+        if f.endswith(".parquet"):
+            con.execute(
+                f"CREATE VIEW {f[:-8]} AS SELECT * FROM "
+                f"read_parquet('{tmp_path / f}')"
+            )
+    oracles = e.oracle_sql()
+    for name in ("aac", "knn_exact", "ivf_knn", "knn_partition", "dbscan",
+                 "sessions", "token_count", "conv_summary"):
+        r = qs[name](str(tmp_path))
+        got = r if isinstance(r, pd.DataFrame) else r.to_pandas()
+        want = con.execute(oracles[name]).df()
+        got = got[sorted(got.columns)].sort_values(
+            sorted(got.columns), kind="mergesort").reset_index(drop=True)
+        want = want[sorted(want.columns)].sort_values(
+            sorted(want.columns), kind="mergesort").reset_index(drop=True)
+        assert len(got) == len(want), (name, len(got), len(want))
+        assert list(got.columns) == list(want.columns), name
+        for c in got.columns:
+            a, w = got[c], want[c]
+            if a.dtype.kind == "f" or w.dtype.kind == "f":
+                assert np.allclose(a.to_numpy(dtype=float),
+                                   w.to_numpy(dtype=float),
+                                   rtol=1e-9, atol=1e-12, equal_nan=True), (
+                    name, c)
+            else:
+                assert a.astype(str).equals(w.astype(str)), (name, c)
+
 
 def test_queries_survive_single_row_input(tmp_path):
     """ONE-row sf dir: the n=1 degenerate paths at catalog level (empty
