@@ -206,10 +206,10 @@ def run_bench() -> dict:
     def one_knn():
         import numpy as np
 
-        import ray as _ray
+        from protein_feature_engineering_ray.sources.io import sized_read_parquet
         from protein_feature_engineering_ray.stages.similarity import knn_brute
 
-        vecs = _ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        vecs = sized_read_parquet(f"{sf_dir}/embeddings.parquet")
         qdf = vecs.limit(4).to_pandas()
         Qm = np.stack(qdf["embedding"].to_numpy())
         knn_brute(vecs, Qm, qdf["vec_id"].to_numpy(), k=5)
