@@ -1097,20 +1097,18 @@ def q_minmax_aac(sf):
 
 
 def q_lang_quality(sf):
-    from protein_feature_engineering_ray.stages.text import lang_id, text_quality
+    from protein_feature_engineering_ray.stages.text import text_profile
 
     docs = sized_read_parquet(
         f"{sf}/documents.parquet", columns=["doc_id", "text"]
     )
-    # autoscaling (1, hi) actor pools: two chained FIXED pools reserve all
-    # their CPUs up front and DEADLOCK a 4-CPU session (the read task
-    # starves); min=1 keeps the pipeline live at any session size, while
-    # hi scales with the session so a 32-CPU run isn't throttled to 2
-    # actors per stage
+    # ONE fused quality+langid pool (two chained pools paid spin-up twice
+    # and a FIXED pool pair deadlocks a 4-CPU session — the read task
+    # starves); autoscaling (1, hi): min=1 keeps the pipeline live at any
+    # session size, hi scales with the session so a 32-CPU run isn't
+    # throttled to 2 actors
     hi = max(2, int(ray.cluster_resources().get("CPU", 4)) // 4)
-    return lang_id(
-        text_quality(docs, concurrency=(1, hi)), concurrency=(1, hi)
-    ).select_columns(
+    return text_profile(docs, concurrency=(1, hi)).select_columns(
         ["doc_id", "n_words", "avg_word_len", "stopword_ratio", "lang_pred"]
     )
 

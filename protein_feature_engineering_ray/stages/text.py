@@ -196,6 +196,28 @@ def lang_id(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
                           concurrency=concurrency)
 
 
+class TextProfile:
+    """Fused quality + language-ID actor: one pool, one batch pass, instead
+    of two chained pools each paying actor spin-up and a separate scan of
+    the text column.  Output = TextQuality columns + lang_pred, identical to
+    ``lang_id(text_quality(ds))``."""
+
+    def __init__(self):
+        self.quality = TextQuality()
+        self.langid = LangId()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return self.langid(self.quality(t))
+
+
+def text_profile(ds: ray.data.Dataset, concurrency: int = 4,
+                 batch_size: int = 4096) -> ray.data.Dataset:
+    return ds.map_batches(
+        TextProfile, batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
 def fingerprint(ds: ray.data.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
     """Deterministic 64-bit document fingerprint (stable content hash) —
