@@ -567,3 +567,59 @@ def test_backfill_float32_packed_output(tmp_path):
     np.testing.assert_allclose(
         packed, a[feat_cols].to_numpy(), rtol=1e-6, atol=1e-6
     )
+
+
+def test_sized_read_parquet_block_count(tmp_path):
+    """Block count derives from FILE BYTES, not cpu count: a tiny table
+    collapses to min_blocks (the per-block exchange cost was measured
+    near-linear in block count), a synthetic big size yields ceil(sz/32MB),
+    and an explicit override or a non-path input falls through untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from protein_feature_engineering_ray.sources import io as src_io
+
+    p = tmp_path / "tiny.parquet"
+    pq.write_table(pa.table({"x": list(range(100))}), p)
+
+    ds = src_io.sized_read_parquet(str(p))
+    assert ds.count() == 100
+
+    captured = {}
+    orig = src_io.ray.data.read_parquet
+
+    def spy(path, columns=None, **kw):
+        captured.update(kw)
+        return orig(path, columns=columns, **kw)
+
+    src_io.ray.data.read_parquet = spy
+    try:
+        src_io.sized_read_parquet(str(p))
+        assert captured["override_num_blocks"] == 4  # min_blocks floor
+        captured.clear()
+        src_io.sized_read_parquet(str(p), min_blocks=2)
+        assert captured["override_num_blocks"] == 2
+        captured.clear()
+        # caller override wins over the derived count
+        src_io.sized_read_parquet(str(p), override_num_blocks=7)
+        assert captured["override_num_blocks"] == 7
+        captured.clear()
+        # a fat file gets ceil(bytes / 32MB)
+        import os as _os
+        orig_getsize = _os.path.getsize
+        _os.path.getsize = lambda _: 100 << 20
+        try:
+            src_io.sized_read_parquet(str(p))
+            assert captured["override_num_blocks"] == 4  # ceil(100/32) = 4
+            _os.path.getsize = lambda _: (32 << 20) * 50
+            captured.clear()
+            src_io.sized_read_parquet(str(p))
+            assert captured["override_num_blocks"] == 50
+        finally:
+            _os.path.getsize = orig_getsize
+        captured.clear()
+        # list-of-paths input: no override injected (Ray default heuristic)
+        src_io.sized_read_parquet([str(p), str(p)])
+        assert "override_num_blocks" not in captured
+    finally:
+        src_io.ray.data.read_parquet = orig
