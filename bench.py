@@ -96,9 +96,13 @@ def run_bench() -> dict:
         )
 
     n_turns *= max(replicate, 1)
-    # fixed bucket count (a property of the DATA layout, not the cpu count;
-    # swept at 40M turns: 128→16.5s, 256→9.5s, 512→8.2s, 1024→9.1s @32cpu)
-    num_buckets = 512
+    # SIZE-derived bucket count (a property of the DATA layout, not the cpu
+    # count): ~64k rows per bucket, floored to a power of two, min 64.
+    # Reproduces the measured optima at both bench scales — 512 at 40M turns
+    # (swept: 128→16.5s, 256→9.5s, 512→8.2s, 1024→9.1s @32cpu) and 64 at
+    # 2M turns (swept: 32→2.2s, 64→1.3s, 128→1.6s, 512→2.3s sweep line) —
+    # and keeps growing with the input at real scale.
+    num_buckets = max(64, 1 << (max(1, n_turns // 65536).bit_length() - 1))
 
     times: dict[str, float] = {}
 
