@@ -63,10 +63,16 @@ def _drop_ts(ds: ray.data.Dataset) -> ray.data.Dataset:
 # through concatenations and FILTERs expresses the same rule.  On a clean
 # corpus (roles ⊆ alphabet) both forms are identical.  Both fragments are
 # DERIVED from EVENT_ALPHABET so the SQL can never desync from the engine.
-_ROLE_IN_LIST = ", ".join(f"'{s}'" for s in sorted(LETTERS))
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal (python repr would emit a
+    double-quoted IDENTIFIER for strings containing an apostrophe)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+_ROLE_IN_LIST = ", ".join(_sql_str(s) for s in sorted(LETTERS))
 VALID_ROLE_SQL = f"CASE WHEN role IN ({_ROLE_IN_LIST}) THEN role END"
 GROUP_SQL = "CASE " + " ".join(
-    f"WHEN role IN ({', '.join(repr(m) for m in ms)}) THEN '{g}'"
+    f"WHEN role IN ({', '.join(_sql_str(m) for m in ms)}) THEN {_sql_str(g)}"
     for g, ms in EVENT_ALPHABET.groups.items()
 ) + " END"
 

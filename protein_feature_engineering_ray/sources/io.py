@@ -41,9 +41,13 @@ def sized_read_parquet(
     import os
 
     try:
-        sz = os.path.getsize(path)
-        blocks = max(min_blocks, -(-sz // _READ_TARGET_BYTES))
-        kw.setdefault("override_num_blocks", int(blocks))
+        # single FILE only: getsize on a directory returns the dirent size
+        # (~4 KB), which would clamp a partitioned multi-GB dataset to
+        # min_blocks — directories/lists keep Ray's default heuristic
+        if os.path.isfile(path):
+            sz = os.path.getsize(path)
+            blocks = max(min_blocks, -(-sz // _READ_TARGET_BYTES))
+            kw.setdefault("override_num_blocks", int(blocks))
     except (OSError, TypeError):
         pass  # list-of-paths / remote path: keep Ray's default heuristic
     return ray.data.read_parquet(path, columns=columns, **kw)

@@ -53,8 +53,28 @@ WITH transcripts AS (
 """
 
 
+# transcript output column -> the events.parquet columns it derives from
+_SRC_OF = {
+    "conv_id": ("user_id",),
+    "event_id": ("event_id",),
+    "turn_idx": (),
+    "role": ("event_type",),
+    "text": ("props",),
+    "tool": ("event_type", "value"),
+    "ts": ("ts",),
+    "value": ("value",),
+}
+# identity/order columns every consumer needs (order_cols + tie-break)
+_ALWAYS = ("conv_id", "event_id", "turn_idx", "ts")
+
+
 def from_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """events.parquet -> transcript-shaped Dataset (lazy, per-batch transform).
+
+    ``columns`` selects transcript OUTPUT columns; the identity/order columns
+    (conv_id, event_id, turn_idx, ts) are always included, and the read is
+    pruned to exactly the source columns those outputs derive from — the
+    column-prune-at-the-read rule for the widest table in the system.
 
     ``turn_idx`` needs per-conversation ordering, which the co-location
     shuffle (core.bucket) establishes anyway — so here we only project and
@@ -64,7 +84,20 @@ def from_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Datas
     """
     from protein_feature_engineering_ray.sources.io import sized_read_parquet
 
-    ds = sized_read_parquet(f"{sf_dir}/events.parquet")
+    if columns is None:
+        out_cols = list(_SRC_OF)
+        src_cols = None
+    else:
+        unknown = set(columns) - set(_SRC_OF)
+        if unknown:
+            raise ValueError(f"from_events: unknown columns {sorted(unknown)}")
+        out_cols = [c for c in _SRC_OF
+                    if c in _ALWAYS or c in set(columns)]
+        src_cols = sorted(
+            {"user_id", "ts", "event_id"}  # malformed-row-drop triple
+            | {s for c in out_cols for s in _SRC_OF[c]}
+        )
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet", columns=src_cols)
 
     def to_transcript(batch: pa.Table) -> pa.Table:
         # identity/order triple must be present: a null user_id has no
@@ -78,33 +111,38 @@ def from_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Datas
         )
         if not pc.all(ok).as_py():
             batch = batch.filter(ok)
-        value = batch["value"]
         # null-harden the string columns at the ingestion boundary: a null
         # role encodes to the unknown code (like any non-letter), null
         # text/tool become ""; a null value stays null (-> NaN, the numeric
         # kernels' existing missing-data path).  A null tool CONDITION
         # (null value) also yields "", via the outer fill.
-        et = pc.fill_null(batch["event_type"], "")
-        tool = pc.fill_null(
-            pc.if_else(pc.greater_equal(value, 100.0), et,
-                       pa.scalar("", pa.string())),
-            "",
-        )
-        return pa.table(
-            {
-                "conv_id": pc.cast(batch["user_id"], pa.string()),
+        out: dict = {}
+        for c in out_cols:
+            if c == "conv_id":
+                out[c] = pc.cast(batch["user_id"], pa.string())
+            elif c == "event_id":
                 # event_id breaks ts ties deterministically in the later sort
-                "event_id": batch["event_id"],
-                "turn_idx": pa.array(
+                out[c] = batch["event_id"]
+            elif c == "turn_idx":
+                out[c] = pa.array(
                     np.full(len(batch), -1, dtype=np.int32), pa.int32()
-                ),
-                "role": et,
-                "text": pc.fill_null(batch["props"], ""),
-                "tool": tool,
-                "ts": batch["ts"],
-                "value": value,
-            }
-        )
+                )
+            elif c == "role":
+                out[c] = pc.fill_null(batch["event_type"], "")
+            elif c == "text":
+                out[c] = pc.fill_null(batch["props"], "")
+            elif c == "tool":
+                et = pc.fill_null(batch["event_type"], "")
+                out[c] = pc.fill_null(
+                    pc.if_else(pc.greater_equal(batch["value"], 100.0), et,
+                               pa.scalar("", pa.string())),
+                    "",
+                )
+            elif c == "ts":
+                out[c] = batch["ts"]
+            elif c == "value":
+                out[c] = batch["value"]
+        return pa.table(out)
 
     return ds.map_batches(to_transcript, batch_format="pyarrow")
 

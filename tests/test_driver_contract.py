@@ -44,25 +44,30 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _assert_matches_oracle(got: pd.DataFrame, want: pd.DataFrame, name: str = ""):
+    """The ONE canonical engine-vs-DuckDB frame compare (clean- and
+    dirty-corpus gates must share tolerance/NaN rules)."""
+    got, want = _canon(got), _canon(want)
+    assert len(got) == len(want), (name, len(got), len(want))
+    assert list(got.columns) == list(want.columns), name
+    for c in got.columns:
+        a, w = got[c], want[c]
+        if a.dtype.kind == "f" or w.dtype.kind == "f":
+            np.testing.assert_allclose(
+                a.to_numpy(dtype=float), w.to_numpy(dtype=float),
+                rtol=1e-9, atol=1e-12, equal_nan=True, err_msg=f"{name}:{c}",
+            )
+        else:
+            assert a.astype(str).equals(w.astype(str)), (name, c)
+
+
 @pytest.mark.parametrize("name", SUBSET)
 def test_query_matches_oracle(contract, con, name):
     queries, oracles = contract
     got = queries[name](SF)
     if not isinstance(got, pd.DataFrame):
         got = got.to_pandas()
-    got = _canon(got)
-    want = _canon(con.execute(oracles[name]).df())
-    assert len(got) == len(want)
-    assert list(got.columns) == list(want.columns)
-    for c in got.columns:
-        a, w = got[c], want[c]
-        if a.dtype.kind == "f" or w.dtype.kind == "f":
-            np.testing.assert_allclose(
-                a.to_numpy(dtype=float), w.to_numpy(dtype=float),
-                rtol=1e-9, atol=1e-12, equal_nan=True, err_msg=c,
-            )
-        else:
-            assert a.astype(str).equals(w.astype(str)), c
+    _assert_matches_oracle(got, con.execute(oracles[name]).df(), name)
 
 
 def test_entry_smoke():
@@ -212,12 +217,15 @@ def test_queries_survive_null_injected_input(tmp_path):
         pq.write_table(pa.table(cols), tmp_path / f)
 
     qs = e.queries()
+    results: dict[str, pd.DataFrame] = {}
     for name in ("aac", "lag_family", "plot_data", "knn_exact", "dbscan",
                  "fit_transform", "embedding_neardup", "zscore_aac",
-                 "latency", "sessions"):
+                 "latency", "sessions", "ivf_knn", "knn_partition",
+                 "token_count", "conv_summary"):
         r = qs[name](str(tmp_path))
         df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
         assert df is not None, name
+        results[name] = df
         # no INT_MIN-scale garbage from a null-ts cast anywhere
         for c in df.columns:
             v = df[c]
@@ -230,7 +238,8 @@ def test_queries_survive_null_injected_input(tmp_path):
     # Oracle PARITY on the dirty corpus itself — every oracle is null-aware
     # (identity-row drops, NULL symbol propagation, IS NOT NULL vector
     # reads), so engine and DuckDB must agree on null-injected data too,
-    # not just on the driver's clean tables.
+    # not just on the driver's clean tables.  Same compare as the clean
+    # gate (_assert_matches_oracle); frames reused from the loop above.
     import duckdb
 
     con = duckdb.connect()
@@ -243,24 +252,9 @@ def test_queries_survive_null_injected_input(tmp_path):
     oracles = e.oracle_sql()
     for name in ("aac", "knn_exact", "ivf_knn", "knn_partition", "dbscan",
                  "sessions", "token_count", "conv_summary"):
-        r = qs[name](str(tmp_path))
-        got = r if isinstance(r, pd.DataFrame) else r.to_pandas()
-        want = con.execute(oracles[name]).df()
-        got = got[sorted(got.columns)].sort_values(
-            sorted(got.columns), kind="mergesort").reset_index(drop=True)
-        want = want[sorted(want.columns)].sort_values(
-            sorted(want.columns), kind="mergesort").reset_index(drop=True)
-        assert len(got) == len(want), (name, len(got), len(want))
-        assert list(got.columns) == list(want.columns), name
-        for c in got.columns:
-            a, w = got[c], want[c]
-            if a.dtype.kind == "f" or w.dtype.kind == "f":
-                assert np.allclose(a.to_numpy(dtype=float),
-                                   w.to_numpy(dtype=float),
-                                   rtol=1e-9, atol=1e-12, equal_nan=True), (
-                    name, c)
-            else:
-                assert a.astype(str).equals(w.astype(str)), (name, c)
+        _assert_matches_oracle(
+            results[name], con.execute(oracles[name]).df(), name
+        )
 
 
 def test_queries_survive_single_row_input(tmp_path):
