@@ -131,7 +131,9 @@ def flagship_backfill(
     kernels = [make_kernel(n, alphabet, p)[1] for n, p in specs]
     fn = make_backfill_fn(kernels, alphabet)
     return grouped_buckets(
-        from_events(sf_dir), fn, num_buckets=num_buckets,
+        # text never feeds a turn kernel — prune it at the parquet decode
+        from_events(sf_dir, columns=["role", "tool", "value"]),
+        fn, num_buckets=num_buckets,
         order_cols=("conv_id", "ts", "event_id"),
     )
 

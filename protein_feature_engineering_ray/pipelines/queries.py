@@ -28,6 +28,14 @@ from protein_feature_engineering_ray.sources.transcripts import (
 )
 
 ORDER = ("conv_id", "ts", "event_id")
+# every transcript kernel consumes role/tool/value (+ the identity columns
+# from_events always includes); text NEVER rides the exchange or even the
+# parquet decode in catalog queries
+TRANSCRIPT_COLS = ["role", "tool", "value"]
+
+
+def _events(sf_dir: str) -> ray.data.Dataset:
+    return from_events(sf_dir, columns=TRANSCRIPT_COLS)
 LETTERS = list(EVENT_ALPHABET.letters)
 GROUPS = list(EVENT_ALPHABET.groups.keys())
 GROUP_OF = {m: g for g, ms in EVENT_ALPHABET.groups.items() for m in ms}
@@ -37,7 +45,7 @@ NB = 32  # bucket count for sf-scale correctness runs
 def _conv(sf_dir: str, specs: list[tuple[str, dict]]) -> ray.data.Dataset:
     ks = [make_kernel(n, EVENT_ALPHABET, p)[1] for n, p in specs]
     return conv_features(
-        from_events(sf_dir), ks, alphabet=EVENT_ALPHABET, num_buckets=NB,
+        _events(sf_dir), ks, alphabet=EVENT_ALPHABET, num_buckets=NB,
         order_cols=ORDER, assign_turn_idx=True,
     )
 
@@ -45,7 +53,7 @@ def _conv(sf_dir: str, specs: list[tuple[str, dict]]) -> ray.data.Dataset:
 def _turn(sf_dir: str, specs: list[tuple[str, dict]]) -> ray.data.Dataset:
     ks = [make_kernel(n, EVENT_ALPHABET, p)[1] for n, p in specs]
     return turn_features(
-        from_events(sf_dir), ks, alphabet=EVENT_ALPHABET, num_buckets=NB,
+        _events(sf_dir), ks, alphabet=EVENT_ALPHABET, num_buckets=NB,
         order_cols=ORDER, assign_turn_idx=True,
     )
 
@@ -804,7 +812,7 @@ def q_rollstats(sf):
 def q_sessions(sf):
     from protein_feature_engineering_ray.stages.sessionize import sessionize
 
-    ds = sessionize(from_events(sf), gap_seconds=GAP_SECONDS, num_buckets=NB,
+    ds = sessionize(_events(sf), gap_seconds=GAP_SECONDS, num_buckets=NB,
                     order_cols=ORDER, assign_turn_idx=True)
     return ds.select_columns(["conv_id", "turn_idx", "session_idx"])
 
@@ -812,14 +820,14 @@ def q_sessions(sf):
 def q_session_stats(sf):
     from protein_feature_engineering_ray.stages.sessionize import session_stats
 
-    return session_stats(from_events(sf), gap_seconds=GAP_SECONDS,
+    return session_stats(_events(sf), gap_seconds=GAP_SECONDS,
                          num_buckets=NB, order_cols=ORDER)
 
 
 def q_session_comp(sf):
     from protein_feature_engineering_ray.stages.sessionize import session_composition
 
-    return session_composition(from_events(sf), EVENT_ALPHABET,
+    return session_composition(_events(sf), EVENT_ALPHABET,
                                gap_seconds=GAP_SECONDS, num_buckets=NB,
                                order_cols=ORDER)
 
@@ -828,7 +836,7 @@ def q_frames(sf):
     from protein_feature_engineering_ray.stages.sessionize import frame_features
 
     return frame_features(
-        from_events(sf), stride=FRAME_STRIDE, alphabet=EVENT_ALPHABET,
+        _events(sf), stride=FRAME_STRIDE, alphabet=EVENT_ALPHABET,
         num_buckets=NB, order_cols=ORDER, assign_turn_idx=True,
     )
 
@@ -836,7 +844,7 @@ def q_frames(sf):
 def q_asof_orders(sf):
     from protein_feature_engineering_ray.stages.asof import asof_join
 
-    turns = from_events(sf)
+    turns = _events(sf)
     orders = sized_read_parquet(
         f"{sf}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
@@ -920,7 +928,7 @@ def _canonical(sf):
         return table.set_column(idx, "turn_idx", pa.array(ti, pa.int32()))
 
     return grouped_buckets(
-        from_events(sf), assign, num_buckets=NB, order_cols=ORDER
+        _events(sf), assign, num_buckets=NB, order_cols=ORDER
     )
 
 
@@ -1560,7 +1568,7 @@ def q_plot_data(sf):
 
     cnt_cols = [f"cnt_{s}" for s in LETTERS]
     conv = conv_features(
-        from_events(sf),
+        _events(sf),
         [CompositionK(LETTERS, normalize=False, prefix="cnt")],
         alphabet=EVENT_ALPHABET, num_buckets=NB, order_cols=ORDER,
         assign_turn_idx=True,
