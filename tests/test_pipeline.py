@@ -623,3 +623,24 @@ def test_sized_read_parquet_block_count(tmp_path):
         assert "override_num_blocks" not in captured
     finally:
         src_io.ray.data.read_parquet = orig
+
+
+def test_from_events_column_pruning_contract():
+    """``columns`` selects transcript outputs: identity/order columns are
+    always included, pruned outputs equal the full read's on shared columns,
+    and unknown names raise."""
+    import pytest
+
+    from protein_feature_engineering_ray.sources.transcripts import from_events
+
+    sf = "/root/testdata/sf0.001"
+    full = from_events(sf).to_pandas().sort_values(
+        ["conv_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    pruned = from_events(sf, columns=["role", "value"]).to_pandas().sort_values(
+        ["conv_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    assert list(pruned.columns) == ["conv_id", "event_id", "turn_idx",
+                                    "role", "ts", "value"]
+    for c in pruned.columns:
+        assert pruned[c].equals(full[c]), c
+    with pytest.raises(ValueError):
+        from_events(sf, columns=["no_such_col"])
