@@ -218,6 +218,110 @@ def text_profile(ds: ray.data.Dataset, concurrency: int = 4,
     )
 
 
+def _winnow_segments(h: np.ndarray, offsets: np.ndarray, k: int, window: int):
+    """Winnowing fingerprints over per-document token-hash segments.
+
+    For each document (a segment of ``h``): polynomial rolling hash of
+    every k-gram of token hashes, then the MINIMUM VALUE of each sliding
+    window of ``window`` consecutive k-gram hashes (the winnowing scheme;
+    the output is the deduplicated value set, so intra-window tie position
+    is irrelevant).  Guarantees every shared substring of at least
+    k+window-1 tokens contributes at least one IDENTICAL fingerprint to
+    both documents — the matching property a whole-document content hash
+    cannot give.  A document with at least k tokens but fewer than
+    k+window-1 emits its single minimum gram, so every k-token-or-longer
+    document is fingerprinted.
+
+    Fully vectorized: one k-gram pass over the flat hash array (documents
+    shorter than k simply contribute no grams), one sliding-window-view
+    minimum, boundary grams masked out per segment.  Returns
+    (row_ids, fingerprints) arrays.
+    """
+    n = len(h)
+    n_rows = len(offsets) - 1
+    if n < k:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64))
+    # rolling polynomial hash over k consecutive token hashes
+    B = np.uint64(1099511628211)  # FNV prime as the base
+    gram = np.zeros(n - k + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):  # k is tiny (4-8); the array op is the hot axis
+            gram = gram * B + h[j:n - k + 1 + j]
+    # gram i spans tokens [i, i+k); valid iff entirely inside one segment
+    seg_of = np.repeat(np.arange(n_rows), np.diff(offsets))
+    valid = seg_of[: n - k + 1] == seg_of[k - 1:]
+    rid_parts = [np.empty(0, np.int64)]
+    fp_parts = [np.empty(0, np.uint64)]
+    if window <= 1:
+        rid_parts.append(seg_of[: n - k + 1][valid].astype(np.int64))
+        fp_parts.append(gram[valid])
+    else:
+        # sliding-window minimum; windows that straddle a segment boundary
+        # are dropped (first and last covered token must share a segment —
+        # segments are contiguous, so that implies every gram inside is
+        # valid too)
+        g = np.where(valid, gram, np.uint64(0xFFFFFFFFFFFFFFFF))
+        if len(g) >= window:
+            sw = np.lib.stride_tricks.sliding_window_view(g, window)
+            win_min = sw.min(axis=1)
+            first = seg_of[: len(win_min)]
+            last = seg_of[window + k - 2: window + k - 2 + len(win_min)]
+            keep = first == last
+            rid_parts.append(first[keep].astype(np.int64))
+            fp_parts.append(win_min[keep])
+        # short-document fallback: a segment with >=1 valid gram but fewer
+        # than `window` grams gets its minimum gram (per-segment reduceat
+        # over ALL gram segments, then select the short ones — reducing
+        # over short starts alone would span the segments in between)
+        n_grams = np.bincount(seg_of[: n - k + 1][valid], minlength=n_rows)
+        if ((n_grams > 0) & (n_grams < window)).any():
+            v_rid = seg_of[: n - k + 1][valid]  # already non-decreasing
+            v_gram = gram[valid]
+            u_rid, u_starts = np.unique(v_rid, return_index=True)
+            mins_all = np.minimum.reduceat(v_gram, u_starts)
+            sel = n_grams[u_rid] < window
+            rid_parts.append(u_rid[sel].astype(np.int64))
+            fp_parts.append(mins_all[sel])
+    rid = np.concatenate(rid_parts)
+    fp = np.concatenate(fp_parts)
+    if len(rid) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64))
+    pair = np.stack([rid.astype(np.uint64), fp], axis=1)
+    uniq = np.unique(pair, axis=0)
+    return (uniq[:, 0].astype(np.int64), uniq[:, 1].astype(np.uint64))
+
+
+def winnow_fingerprints(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, window: int = 4,
+) -> ray.data.Dataset:
+    """Rolling-hash document fingerprints (winnowing) — one output row per
+    distinct (doc, fingerprint).  Stateless Arrow+numpy map; at 100 TB the
+    output is a fingerprint table you co-locate by fingerprint (coarse
+    buckets) to find cross-document substring matches, the same shuffle
+    discipline as minhash band buckets."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t[text_col], "")
+        flat, offsets = _tokens_flat(pc.utf8_lower(texts), r"\s+")
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(
+            np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        ).astype(np.uint64)
+        # drop split artifacts ("" tokens) and rebuild offsets
+        nonempty = tok_len > 0
+        rid_all = np.repeat(np.arange(len(t)), np.diff(offsets))
+        h2, rid2 = h[nonempty], rid_all[nonempty]
+        counts = np.bincount(rid2, minlength=len(t))
+        off2 = np.concatenate([[0], np.cumsum(counts)])
+        rid, fp = _winnow_segments(h2, off2, k, window)
+        ids = t[id_col].take(pa.array(rid, pa.int64()))
+        return pa.table({id_col: ids,
+                         "fingerprint": pa.array(fp, pa.uint64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def fingerprint(ds: ray.data.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
     """Deterministic 64-bit document fingerprint (stable content hash) —

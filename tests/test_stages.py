@@ -391,3 +391,61 @@ def test_media_resize_and_frame_sample_plumbing():
     a = frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     b = frames2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     assert (a["frame"] == b["frame"]).all()
+
+
+def test_winnow_fingerprints_vs_reference():
+    """Winnowing fingerprints equal a pure-python reference (per-doc k-gram
+    rolling hash -> sliding-window min -> set), including the short-doc
+    fallback, and give the guaranteed-match property: docs sharing a
+    >= k+window-1-token substring share at least one fingerprint."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from protein_feature_engineering_ray.stages.text import winnow_fingerprints
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens >= k+w-1
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            f"one two three {shared} four five",
+            f"xx yy {shared} zz",
+            "completely different words here entirely now",
+            "tiny doc",                      # < k tokens -> no fingerprints
+            "just four small tokens",        # k <= tokens < k+w-1 -> fallback
+            "",                               # empty
+        ],
+    })
+    ds = ray.data.from_pandas(docs)
+    out = winnow_fingerprints(ds, k=k, window=w).to_pandas()
+
+    def ref_fps(text):
+        toks = [t for t in text.lower().split() if t]
+        if len(toks) < k:
+            return set()
+        h = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+        B = np.uint64(1099511628211)
+        grams = []
+        with np.errstate(over="ignore"):
+            for i in range(len(h) - k + 1):
+                g = np.uint64(0)
+                for j in range(k):
+                    g = g * B + h[i + j]
+                grams.append(g)
+        if len(grams) < w:
+            return {min(grams)}
+        return {min(grams[i:i + w]) for i in range(len(grams) - w + 1)}
+
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        got = set(out[out["doc_id"] == did]["fingerprint"])
+        assert got == ref_fps(text), did
+
+    # guaranteed-match property across docs 0 and 1
+    f0 = set(out[out["doc_id"] == 0]["fingerprint"])
+    f1 = set(out[out["doc_id"] == 1]["fingerprint"])
+    f2 = set(out[out["doc_id"] == 2]["fingerprint"])
+    assert f0 & f1, "shared substring must share a fingerprint"
+    assert not (f0 & f2)
