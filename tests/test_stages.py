@@ -449,3 +449,49 @@ def test_winnow_fingerprints_vs_reference():
     f2 = set(out[out["doc_id"] == 2]["fingerprint"])
     assert f0 & f1, "shared substring must share a fingerprint"
     assert not (f0 & f2)
+
+
+def test_winnow_matches_pairs_and_counts():
+    """winnow_matches finds the doc pairs sharing >= min_shared fingerprints
+    with exact shared counts (vs the per-doc fingerprint sets), orients
+    id_a < id_b, and excludes unrelated docs."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from protein_feature_engineering_ray.stages.text import (
+        winnow_fingerprints,
+        winnow_matches,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            f"intro words {body} outro",
+            f"{body} trailing stuff here",
+            "unrelated content entirely different from everything else now",
+            f"prefix {body}",
+        ],
+    })
+    ds = ray.data.from_pandas(docs)
+    k, w = 3, 4
+    got = winnow_matches(ds, k=k, window=w, min_shared=2,
+                         num_buckets=8).to_pandas()
+    got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    fps = winnow_fingerprints(ds, k=k, window=w).to_pandas()
+    sets = {d: set(g["fingerprint"]) for d, g in fps.groupby("doc_id")}
+    want = []
+    for a in range(4):
+        for b in range(a + 1, 4):
+            n = len(sets.get(a, set()) & sets.get(b, set()))
+            if n >= 2:
+                want.append((a, b, n))
+    want = pd.DataFrame(want, columns=["id_a", "id_b", "n_shared"])
+    assert len(got) == len(want) and len(want) >= 3  # 0-1, 0-3, 1-3 at least
+    for (_, g), (_, w_) in zip(got.iterrows(), want.iterrows()):
+        assert (g["id_a"], g["id_b"], g["n_shared"]) == (
+            w_["id_a"], w_["id_b"], w_["n_shared"])
+    assert not ((got["id_a"] == 2) | (got["id_b"] == 2)).any()
