@@ -203,3 +203,59 @@ def test_lag_merge_ordered_equals_apply(series, nlag):
             got, want, rtol=1e-6, atol=1e-6,
             err_msg=f"{type(k).__name__} nlag={nlag} bounds={bounds}",
         )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=30),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=5),
+)
+def test_winnow_segments_properties(token_docs, k, window):
+    """_winnow_segments invariants on random corpora: (1) equals the pure
+    per-doc reference (rolling k-gram hash -> window min -> set, with the
+    short-doc min fallback); (2) batch composition — fingerprints of a doc
+    do not depend on which other docs share the batch."""
+    from protein_feature_engineering_ray.stages.text import _winnow_segments
+
+    hashes = [
+        pd.util.hash_array(np.asarray(d, dtype=object)).astype(np.uint64)
+        if d else np.empty(0, np.uint64)
+        for d in token_docs
+    ]
+    flat = (np.concatenate(hashes) if any(len(h) for h in hashes)
+            else np.empty(0, np.uint64))
+    offsets = np.concatenate([[0], np.cumsum([len(h) for h in hashes])])
+    rid, fp = _winnow_segments(flat, offsets, k, window)
+
+    B = np.uint64(1099511628211)
+
+    def ref(h):
+        if len(h) < k:
+            return set()
+        grams = []
+        with np.errstate(over="ignore"):
+            for i in range(len(h) - k + 1):
+                g = np.uint64(0)
+                for j in range(k):
+                    g = g * B + h[i + j]
+                grams.append(g)
+        if window <= 1:
+            return set(grams)
+        if len(grams) < window:
+            return {min(grams)}
+        return {min(grams[i:i + window]) for i in range(len(grams) - window + 1)}
+
+    for i, h in enumerate(hashes):
+        got = set(fp[rid == i])
+        assert got == ref(h), (i, k, window)
+
+    # composition: each doc alone gives the same set
+    for i, h in enumerate(hashes):
+        ri, fi = _winnow_segments(
+            h, np.array([0, len(h)]), k, window
+        )
+        assert set(fi) == set(fp[rid == i]), i
