@@ -348,6 +348,7 @@ class TextLen:
     (the notebooks' tokenized-length analogue, ESM_embed.ipynb cell 2)."""
 
     lookback = 0
+    needs_text = True  # pruned reads must keep the text column for this kernel
 
     def names(self) -> list[str]:
         return ["text_len"]

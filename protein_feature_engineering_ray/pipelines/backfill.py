@@ -130,9 +130,13 @@ def flagship_backfill(
     specs = turn_specs or EVENTS_TURN_SPECS
     kernels = [make_kernel(n, alphabet, p)[1] for n, p in specs]
     fn = make_backfill_fn(kernels, alphabet)
+    # prune text at the parquet decode unless a kernel declares it reads
+    # text (kernel contract: ``needs_text = True``, e.g. TextLen)
+    cols = ["role", "tool", "value"]
+    if any(getattr(k, "needs_text", False) for k in kernels):
+        cols.append("text")
     return grouped_buckets(
-        # text never feeds a turn kernel — prune it at the parquet decode
-        from_events(sf_dir, columns=["role", "tool", "value"]),
+        from_events(sf_dir, columns=cols),
         fn, num_buckets=num_buckets,
         order_cols=("conv_id", "ts", "event_id"),
     )

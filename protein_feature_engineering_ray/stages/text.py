@@ -334,11 +334,14 @@ def winnow_matches(
     Shuffle discipline: fingerprints are co-located by a COARSE hash bucket
     (one Ray group per ~fingerprint-space/num_buckets, never one group per
     fingerprint — the minhash lesson), pairs are emitted vectorized inside
-    each bucket, and the pair counts aggregate with a tiny groupby.  A
-    fingerprint shared by more than ``max_group`` documents is dropped with
-    a warning flag column instead of emitting O(m²) pairs — at corpus scale
-    such a fingerprint is a boilerplate shingle with no matching value
-    (the same hot-key cap as the LSH band buckets).
+    each bucket (rank/offset arithmetic, no per-group Python loop), and the
+    pair counts aggregate with a tiny groupby.  A fingerprint shared by
+    more than ``max_group`` documents is SILENTLY dropped instead of
+    emitting O(m²) pairs — at corpus scale such a fingerprint is a
+    boilerplate shingle with no matching value (the same hot-key cap as
+    the LSH band buckets); raise ``max_group`` if you need those pairs.
+    Document ids must be orderable (the output orients id_a < id_b); the
+    id dtype is preserved from the input.
     """
     fps = winnow_fingerprints(ds, text_col=text_col, id_col=id_col,
                               k=k, window=window)
@@ -350,40 +353,52 @@ def winnow_matches(
 
     def pairs(g: pa.Table) -> pa.Table:
         if g.num_columns == 0 or g.num_rows == 0:
+            # column-less empty group (only on an empty input dataset)
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "n_shared": pa.array([], pa.int64())})
-        df = pd.DataFrame({
-            "fp": g["fingerprint"].to_numpy(zero_copy_only=False),
-            "id": g[id_col].to_numpy(zero_copy_only=False),
-        })
-        # all pairs per fingerprint group, quadratic ONLY within a group and
-        # capped at max_group members; sort for deterministic id_a < id_b
-        df = df.sort_values(["fp", "id"], kind="mergesort")
-        sizes = df.groupby("fp", sort=False)["id"].transform("size")
-        # singleton fingerprints (the vast majority) never reach the pair
-        # loop; the loop runs only over genuinely shared fingerprints, each
-        # group <= max_group members
-        df = df[(sizes >= 2) & (sizes <= max_group)]
-        out_a, out_b = [], []
-        for _, grp in df.groupby("fp", sort=False):
-            ids = grp["id"].to_numpy()
-            m = len(ids)
-            iu = np.triu_indices(m, 1)
-            out_a.append(ids[iu[0]])
-            out_b.append(ids[iu[1]])
-        if not out_a:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
+        id_type = g.schema.field(id_col).type
+        fp = g["fingerprint"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False))
+
+        def _empty():
+            return pa.table({"id_a": pa.array([], id_type),
+                             "id_b": pa.array([], id_type),
                              "n_shared": pa.array([], pa.int64())})
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
+
+        # sort by (fp, id): deterministic id_a < id_b within each group
+        # (a doc emits each fingerprint at most once, so no equal-id pairs)
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        new_grp = np.empty(len(fp), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = fp[1:] != fp[:-1]
+        grp_of = np.cumsum(new_grp) - 1
+        sizes = np.bincount(grp_of)
+        keep = (sizes[grp_of] >= 2) & (sizes[grp_of] <= max_group)
+        if not keep.any():
+            return _empty()
+        ids = ids[keep]
+        grp_of = grp_of[keep]
+        # all (i<j) pairs per group, fully vectorized: element at local rank
+        # r pairs with its r predecessors — b side repeats the element r
+        # times, a side is the group's first r elements (rank/offset trick)
+        dense = np.cumsum(np.concatenate([[True], grp_of[1:] != grp_of[:-1]])) - 1
+        gstart = np.concatenate([[0], np.flatnonzero(dense[1:] != dense[:-1]) + 1])
+        rank = np.arange(len(ids)) - gstart[dense]
+        total = int(rank.sum())
+        if total == 0:
+            return _empty()
+        b = np.repeat(ids, rank)
+        pre = np.cumsum(rank) - rank
+        within = np.arange(total) - np.repeat(pre, rank)
+        a = ids[np.repeat(gstart[dense], rank) + within]
         pdf = pd.DataFrame({"id_a": a, "id_b": b})
         cnt = pdf.groupby(["id_a", "id_b"], sort=False).size().reset_index(
             name="n_shared")
         return pa.table({
-            "id_a": pa.array(cnt["id_a"].to_numpy(), pa.int64()),
-            "id_b": pa.array(cnt["id_b"].to_numpy(), pa.int64()),
+            "id_a": pa.Array.from_pandas(cnt["id_a"], type=id_type),
+            "id_b": pa.Array.from_pandas(cnt["id_b"], type=id_type),
             "n_shared": pa.array(cnt["n_shared"].to_numpy(), pa.int64()),
         })
 

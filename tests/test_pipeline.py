@@ -625,11 +625,12 @@ def test_sized_read_parquet_block_count(tmp_path):
         src_io.ray.data.read_parquet = orig
 
 
+@pytest.mark.skipif(not os.path.isdir("/root/testdata/sf0.001"),
+                    reason="driver testdata not present")
 def test_from_events_column_pruning_contract():
     """``columns`` selects transcript outputs: identity/order columns are
     always included, pruned outputs equal the full read's on shared columns,
     and unknown names raise."""
-    import pytest
 
     from protein_feature_engineering_ray.sources.transcripts import from_events
 

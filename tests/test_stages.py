@@ -495,3 +495,10 @@ def test_winnow_matches_pairs_and_counts():
         assert (g["id_a"], g["id_b"], g["n_shared"]) == (
             w_["id_a"], w_["id_b"], w_["n_shared"])
     assert not ((got["id_a"] == 2) | (got["id_b"] == 2)).any()
+
+    # id dtype is preserved: the same corpus with STRING doc ids
+    sdocs = docs.assign(doc_id=docs["doc_id"].map(lambda i: f"doc{i}"))
+    sgot = winnow_matches(ray.data.from_pandas(sdocs), k=k, window=w,
+                          min_shared=2, num_buckets=8).to_pandas()
+    assert sgot["id_a"].map(type).eq(str).all()
+    assert len(sgot) == len(got)
