@@ -502,3 +502,47 @@ def test_winnow_matches_pairs_and_counts():
                           min_shared=2, num_buckets=8).to_pandas()
     assert sgot["id_a"].map(type).eq(str).all()
     assert len(sgot) == len(got)
+
+
+def test_text_stages_adversarial_unicode():
+    """Quality/lang-ID/token/fingerprint stages over adversarial text: CJK,
+    emoji, combining marks, a 1MB single token, null bytes in-python
+    strings, and whitespace-only docs — no crashes, sane invariants."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from protein_feature_engineering_ray.stages.text import (
+        text_profile,
+        token_count,
+        winnow_fingerprints,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "你好世界 这是中文文本 完全没有空格的长句子也要处理",
+            "emoji 🎉🎊 mixed with ASCII and ümlaut über naïve café",
+            "a" * (1 << 20),                 # one 1MB token
+            "   \t\n  ",                     # whitespace only
+            "éé combining acute repeated",  # combining marks
+            "the quick brown fox " * 50,     # high repetition
+        ],
+    })
+    ds = ray.data.from_pandas(docs)
+    prof = text_profile(ds, concurrency=1).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert prof["lang_pred"].iloc[0] == "zh"
+    assert (prof["n_words"] >= 0).all()
+    assert (prof["uniq_word_ratio"] <= 1.0 + 1e-9).all()
+    assert prof["n_chars"].iloc[2] == (1 << 20)
+    assert prof["n_words"].iloc[3] == 0
+
+    tc = token_count(ds).to_pandas().sort_values("doc_id")
+    assert (tc["n_tokens"] >= 0).all()
+
+    fp = winnow_fingerprints(ds, k=3, window=4).to_pandas()
+    # repetition-heavy doc still fingerprints; whitespace-only emits none
+    assert (fp["doc_id"] == 5).any()
+    assert not (fp["doc_id"] == 3).any()
