@@ -341,7 +341,9 @@ def winnow_matches(
     boilerplate shingle with no matching value (the same hot-key cap as
     the LSH band buckets); raise ``max_group`` if you need those pairs.
     Document ids must be orderable (the output orients id_a < id_b); the
-    id dtype is preserved from the input.
+    id dtype is preserved from the input (exception: a corpus with ZERO
+    matching pairs loses the id dtype through Ray's empty aggregate and
+    returns int64-typed empty id columns).
     """
     fps = winnow_fingerprints(ds, text_col=text_col, id_col=id_col,
                               k=k, window=window)
