@@ -75,17 +75,19 @@ def save_features(
         return
     if fmt == "svm":
         def to_svm(t: pa.Table) -> list[str]:
+            # columnwise string build (label + " idx:value" per feature
+            # column, pandas str concat): O(K) vectorized ops per block, no
+            # per-row Python f-string loop in the sink
             df = t.to_pandas()
             feat_cols = [c for c in df.columns if c != label_col
                          and df[c].dtype.kind in "fiu"]
-            lab = df[label_col] if label_col else np.zeros(len(df), dtype=int)
-            return [
-                f"{lab.iloc[i] if label_col else 0} "
-                + " ".join(
-                    f"{j + 1}:{df[c].iloc[i]}" for j, c in enumerate(feat_cols)
-                )
-                for i in range(len(df))
-            ]
+            if label_col:
+                lines = df[label_col].astype(str)
+            else:
+                lines = pd.Series(["0"] * len(df), index=df.index)
+            for j, c in enumerate(feat_cols):
+                lines = lines + f" {j + 1}:" + df[c].astype(str)
+            return lines.tolist()
 
         _write_text_blocks(ds, path, to_svm, "svm")
         return

@@ -161,7 +161,19 @@ def corr_pairs(ds: ray.data.Dataset, cols: list[str]) -> pd.DataFrame:
             [t[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in cols],
             axis=1,
         )
-        p = x.T @ x  # int64-exact: per-conv counts x block rows stay small
+        # numpy int64 overflow is SILENT: a block mixing huge per-conv counts
+        # with many rows could wrap x.T @ x before the arbitrary-precision
+        # driver fold ever sees it.  |sum products| <= amax^2 * rows, so fail
+        # loudly while there is still headroom (shrink batch_size to fix).
+        if len(x):
+            amax = int(np.abs(x).max())
+            if amax and amax * amax * len(x) >= (1 << 62):
+                raise OverflowError(
+                    f"corr_pairs block product-sum may overflow int64 "
+                    f"(max |value| {amax}, rows {len(x)}); reduce the "
+                    f"map_batches batch_size so amax^2 * rows < 2^62"
+                )
+        p = x.T @ x  # int64-exact within the guard above
         row: dict[str, list] = {"n": [np.int64(len(x))]}
         for i in range(k):
             row[f"s{i}"] = [x[:, i].sum()]

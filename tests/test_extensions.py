@@ -555,3 +555,31 @@ def test_fit_operators_degenerate_inputs():
         assert tm["sample_Y"].shape == (n, 2)
         out = pca_transform(ds_, tm, vec_col="embedding", out_prefix="ts")
         assert out.count() == n
+
+
+def test_svm_formatter_matches_rowwise_reference(tmp_path):
+    """The columnwise svm string build must reproduce the per-row f-string
+    form exactly (str() of the same float64/int64 values)."""
+    import glob
+
+    import ray.data as rd
+
+    pdf = pd.DataFrame({
+        "label": [1, 0, 2],
+        "f_a": np.array([0.1, 2.5, 1e-9]),
+        "f_b": np.array([7, -3, 0], dtype=np.int64),
+        "name": ["x", "y", "z"],  # non-numeric: excluded
+    })
+    out = str(tmp_path / "svm_ref")
+    save_features(rd.from_pandas(pdf), out, fmt="svm", label_col="label")
+    lines = []
+    for f in sorted(glob.glob(f"{out}/**/*", recursive=True)):
+        if os.path.isfile(f):
+            lines += [ln for ln in open(f).read().splitlines() if ln]
+    feat_cols = ["f_a", "f_b"]
+    want = sorted(
+        f"{pdf['label'].iloc[i]} " + " ".join(
+            f"{j + 1}:{pdf[c].iloc[i]}" for j, c in enumerate(feat_cols))
+        for i in range(len(pdf))
+    )
+    assert sorted(lines) == want

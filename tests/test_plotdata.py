@@ -197,3 +197,19 @@ def test_plot_data_line_null_and_absent_role_matches_sql(tmp_path):
     )
     si = list(got["name"]).index("signup")
     assert np.isnan(got["value"].iloc[si])
+
+
+def test_corr_pairs_overflow_guard():
+    # a block whose product-sum would exceed int64 must fail LOUDLY (silent
+    # numpy wraparound would corrupt the correlation); amax^2 * rows >= 2^62
+    big = np.full(4, 2**31, dtype=np.int64)
+    pdf = pd.DataFrame({"a": big, "b": big})
+    # Ray surfaces worker exceptions wrapped (RayTaskError), so match on the
+    # message rather than the type
+    with pytest.raises(Exception, match="corr_pairs block product-sum"):
+        corr_pairs(ray.data.from_pandas(pdf), ["a", "b"])
+    # just-under-the-guard values still work
+    ok = pd.DataFrame({"a": np.array([3, 1, 4, 1], dtype=np.int64),
+                       "b": np.array([2, 7, 1, 8], dtype=np.int64)})
+    out = corr_pairs(ray.data.from_pandas(ok), ["a", "b"])
+    assert len(out) == 3
