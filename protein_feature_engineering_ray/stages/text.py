@@ -322,10 +322,43 @@ def winnow_fingerprints(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+@ray.remote(num_cpus=0)
+class _WinnowDropActor:
+    def __init__(self):
+        self.fingerprints = 0
+        self.doc_slots = 0
+
+    def add(self, fingerprints: int, doc_slots: int) -> None:
+        self.fingerprints += fingerprints
+        self.doc_slots += doc_slots
+
+    def value(self) -> dict:
+        return {"dropped_fingerprints": self.fingerprints,
+                "dropped_doc_slots": self.doc_slots}
+
+
+class WinnowDropStats:
+    """Side channel for ``winnow_matches``' hot-fingerprint cap (the repo's
+    no-silent-caps rule): pass an instance as ``drop_stats=`` and read
+    ``.value()`` AFTER consuming the matches dataset.  ``dropped_fingerprints``
+    counts distinct fingerprints shared by more than ``max_group`` documents
+    (exact: a fingerprint lands in exactly one bucket); ``dropped_doc_slots``
+    is the total (doc, fingerprint) rows those hot fingerprints covered.
+    Counts can over-state under Ray task RETRIES (a re-executed bucket adds
+    again) — they are a visibility stat, not a ledger."""
+
+    def __init__(self):
+        self._actor = _WinnowDropActor.remote()
+
+    def value(self) -> dict:
+        return ray.get(self._actor.value.remote())
+
+
 def winnow_matches(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
     k: int = 5, window: int = 4, min_shared: int = 2,
     num_buckets: int = 64, max_group: int = 256,
+    drop_stats: WinnowDropStats | None = None,
 ) -> ray.data.Dataset:
     """Cross-document substring matches via winnowing fingerprints:
     (id_a, id_b, n_shared) for unordered doc pairs sharing at least
@@ -336,17 +369,31 @@ def winnow_matches(
     fingerprint — the minhash lesson), pairs are emitted vectorized inside
     each bucket (rank/offset arithmetic, no per-group Python loop), and the
     pair counts aggregate with a tiny groupby.  A fingerprint shared by
-    more than ``max_group`` documents is SILENTLY dropped instead of
-    emitting O(m²) pairs — at corpus scale such a fingerprint is a
-    boilerplate shingle with no matching value (the same hot-key cap as
-    the LSH band buckets); raise ``max_group`` if you need those pairs.
-    Document ids must be orderable (the output orients id_a < id_b); the
-    id dtype is preserved from the input (exception: a corpus with ZERO
-    matching pairs loses the id dtype through Ray's empty aggregate and
-    returns int64-typed empty id columns).
+    more than ``max_group`` documents is dropped instead of emitting O(m²)
+    pairs — at corpus scale such a fingerprint is a boilerplate shingle
+    with no matching value (the same hot-key cap as the LSH band buckets).
+    The cap is LOUD: every affected bucket logs a warning, and passing
+    ``drop_stats=WinnowDropStats()`` tallies exactly how many fingerprints
+    and (doc, fingerprint) slots the cap removed; raise ``max_group`` if
+    you need those pairs.  Document ids must be orderable (the output
+    orients id_a < id_b); the id dtype is preserved from the input,
+    including on a corpus with ZERO matching pairs (the empty result is
+    rebuilt with the probed id type).
     """
     fps = winnow_fingerprints(ds, text_col=text_col, id_col=id_col,
                               k=k, window=window)
+    # probe the id dtype ONCE from the fingerprint stage's Arrow schema (a
+    # limit-1 sample execution, ~0.1 s) so empty results — Ray's empty
+    # aggregate otherwise types id columns int64 — mirror the real schema
+    idt = pa.int64()
+    try:
+        sch = fps.schema()
+        probed = dict(zip(sch.names, sch.types)).get(id_col)
+        if isinstance(probed, pa.DataType):
+            idt = probed
+    except Exception:
+        pass
+    drop_actor = drop_stats._actor if drop_stats is not None else None
 
     def add_bucket(t: pa.Table) -> pa.Table:
         fp = t["fingerprint"].to_numpy(zero_copy_only=False)
@@ -356,8 +403,8 @@ def winnow_matches(
     def pairs(g: pa.Table) -> pa.Table:
         if g.num_columns == 0 or g.num_rows == 0:
             # column-less empty group (only on an empty input dataset)
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
+            return pa.table({"id_a": pa.array([], idt),
+                             "id_b": pa.array([], idt),
                              "n_shared": pa.array([], pa.int64())})
         id_type = g.schema.field(id_col).type
         fp = g["fingerprint"].to_numpy(zero_copy_only=False)
@@ -377,6 +424,18 @@ def winnow_matches(
         new_grp[1:] = fp[1:] != fp[:-1]
         grp_of = np.cumsum(new_grp) - 1
         sizes = np.bincount(grp_of)
+        hot = sizes > max_group
+        if hot.any():
+            n_fp = int(hot.sum())
+            n_slots = int(sizes[hot].sum())
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "winnow_matches hot-fingerprint cap: dropped %d "
+                "fingerprint(s) covering %d (doc, fingerprint) slot(s) in "
+                "this bucket (max_group=%d)", n_fp, n_slots, max_group)
+            if drop_actor is not None:
+                drop_actor.add.remote(n_fp, n_slots)
         keep = (sizes[grp_of] >= 2) & (sizes[grp_of] <= max_group)
         if not keep.any():
             return _empty()
@@ -414,17 +473,29 @@ def winnow_matches(
     total = per_bucket.groupby(["id_a", "id_b"]).sum("n_shared")
 
     def fin(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
+        if t.num_columns == 0 or t.num_rows == 0:
+            # empty block: Ray's empty aggregate types id columns int64
+            # regardless of input — rebuild with the probed id type so
+            # empty and non-empty results share one schema
+            return pa.table({"id_a": pa.array([], idt),
+                             "id_b": pa.array([], idt),
                              "n_shared": pa.array([], pa.int64())})
         n = t["sum(n_shared)"]
         keep = pc.greater_equal(n, min_shared)
         t = t.filter(keep)
-        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+        return pa.table({"id_a": t["id_a"].cast(idt), "id_b": t["id_b"].cast(idt),
                          "n_shared": t["sum(n_shared)"]})
 
-    return total.map_batches(fin, batch_format="pyarrow")
+    # Ray DROPS empty blocks outright (map_batches never runs on them and an
+    # all-empty pipeline materializes with schema None), so a zero-match
+    # corpus would lose the output schema entirely.  Union a typed empty
+    # seed block: a no-op for non-empty results, and the schema anchor —
+    # with the probed id dtype — for empty ones.
+    seed = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], idt), "id_b": pa.array([], idt),
+        "n_shared": pa.array([], pa.int64()),
+    }))
+    return total.map_batches(fin, batch_format="pyarrow").union(seed)
 
 
 def fingerprint(ds: ray.data.Dataset, text_col: str = "text",

@@ -546,3 +546,55 @@ def test_text_stages_adversarial_unicode():
     # repetition-heavy doc still fingerprints; whitespace-only emits none
     assert (fp["doc_id"] == 5).any()
     assert not (fp["doc_id"] == 3).any()
+
+
+def test_winnow_matches_drop_stats_and_empty_dtype():
+    """The hot-fingerprint cap is LOUD (WinnowDropStats tallies dropped
+    fingerprints / doc slots) and a zero-match corpus keeps the probed id
+    dtype in its empty result (was a documented int64 caveat)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from protein_feature_engineering_ray.stages.text import (
+        WinnowDropStats,
+        winnow_matches,
+    )
+
+    # boilerplate-heavy corpus: 10 docs share one body -> with max_group=4
+    # every shared fingerprint is hot and gets dropped (no pairs survive)
+    body = "common boilerplate sentence shared across every document here"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": [body] * 10,
+    })
+    stats = WinnowDropStats()
+    got = winnow_matches(ray.data.from_pandas(docs), k=3, window=4,
+                         min_shared=1, num_buckets=8, max_group=4,
+                         drop_stats=stats).to_pandas()
+    assert len(got) == 0  # every fingerprint was hot
+    v = stats.value()
+    assert v["dropped_fingerprints"] >= 1
+    assert v["dropped_doc_slots"] >= 10 * 1  # each hot fp covered 10 docs
+    # clean corpus: the counter stays zero
+    clean = pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": ["totally distinct alpha beta gamma delta words one",
+                 "another unrelated epsilon zeta eta theta body two"],
+    })
+    stats2 = WinnowDropStats()
+    winnow_matches(ray.data.from_pandas(clean), k=3, window=4, min_shared=1,
+                   num_buckets=8, max_group=4, drop_stats=stats2).to_pandas()
+    assert stats2.value() == {"dropped_fingerprints": 0,
+                              "dropped_doc_slots": 0}
+
+    # zero-match STRING-id corpus: empty result mirrors the string schema
+    sdocs = clean.assign(doc_id=clean["doc_id"].map(lambda i: f"doc{i}"))
+    out = winnow_matches(ray.data.from_pandas(sdocs), k=3, window=4,
+                         min_shared=99, num_buckets=8).materialize()
+    assert out.count() == 0
+    sch = out.schema()
+    t = sch.types[sch.names.index("id_a")]
+    assert isinstance(t, pa.DataType) and pa.types.is_string(t), t
