@@ -327,23 +327,54 @@ def minhash_lsh_candidates(
     )
 
 
+def _group_pair_indices(
+    sz: np.ndarray, small_full: int = 16
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate-pair ROW indices (a_idx, b_idx) over group-contiguous sorted
+    rows: ALL i<j pairs for groups of size <= ``small_full`` (closes the
+    chain's residual under-merge — similar members that are never
+    sort-adjacent and fail against their neighbors — at bounded O(size²)
+    cost), CHAIN (i-1, i) pairs above (hot groups stay O(size)).  Fully
+    vectorized: the all-pairs side is the rank/offset trick (element at
+    local rank r pairs with its r predecessors)."""
+    sz = np.asarray(sz, dtype=np.int64)
+    n = int(sz.sum())
+    starts = np.concatenate([[0], np.cumsum(sz)[:-1]])
+    grp = np.repeat(np.arange(len(sz)), sz)
+    rank = np.arange(n, dtype=np.int64) - starts[grp]
+    small = sz <= small_full
+    srow = small[grp]
+    idx_s = np.flatnonzero(srow)
+    r_s = rank[idx_s]
+    tot = int(r_s.sum())
+    pre = np.cumsum(r_s) - r_s
+    within = np.arange(tot, dtype=np.int64) - np.repeat(pre, r_s)
+    a1 = np.repeat(starts[grp[idx_s]], r_s) + within
+    b1 = np.repeat(idx_s, r_s)
+    lrow = (~small[grp]) & (rank >= 1)
+    b2 = np.flatnonzero(lrow)
+    a2 = b2 - 1
+    return np.concatenate([a1, a2]), np.concatenate([b1, b2])
+
+
 def minhash_candidate_pairs(
     sigs: ray.data.Dataset,
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
     coarse_buckets: int = 64,
+    small_full: int = 16,
 ) -> ray.data.Dataset:
-    """Distinct CHAIN-edge candidate pairs ``(id_a < id_b)`` from banded LSH:
-    within every (band, band_hash) group each member pairs with its sorted
-    PREDECESSOR.  Chains connect a group with the same O(group size) edge
-    volume as a star, but survive downstream threshold verification better:
-    a star loses the whole group when its hub fails verification against
-    everyone, a chain only splits at genuinely-dissimilar adjacent links.
-    (Residual limit, by design: verified-pair connectivity is still not
-    guaranteed for a group whose similar members are never adjacent in id
-    order AND fail against their neighbors — full pairs within small groups
-    would close that at O(size²) cost.)"""
+    """Distinct candidate pairs ``(id_a < id_b)`` from banded LSH: within
+    every (band, band_hash) group of size <= ``small_full``, ALL member
+    pairs; above that, each member pairs with its sorted PREDECESSOR (chain).
+    Chains connect a group with the same O(group size) edge volume as a
+    star, but survive downstream threshold verification better: a star
+    loses the whole group when its hub fails verification against everyone,
+    a chain only splits at genuinely-dissimilar adjacent links.  The
+    small-group all-pairs floor closes the chain's residual under-merge
+    (similar members that are never sort-adjacent AND fail against their
+    neighbors) at bounded O(small_full·size) cost."""
 
     base = _banded_rows(sigs, id_col, bands, rows_per_band, coarse_buckets)
 
@@ -356,20 +387,18 @@ def minhash_candidate_pairs(
                 {"id_a": pd.Series([], dtype=idt),
                  "id_b": pd.Series([], dtype=idt)}
             )
-        # chain in (sig0, id) order within each band group — identical
-        # documents share sig0, so exact-dup runs stay adjacent even when a
-        # band group mixes several distinct texts (see simhash fix)
+        # group-contiguous in (sig0, id) order — identical documents share
+        # sig0, so exact-dup runs stay adjacent even when a band group mixes
+        # several distinct texts (see simhash fix)
         g = g.sort_values(["band", "band_hash", "sig0", id_col],
                           kind="mergesort")
-        first = g.groupby(["band", "band_hash"])[id_col].transform("first")
-        m = (g[id_col] != first).to_numpy()
+        sz = g.groupby(["band", "band_hash"], sort=False).size().to_numpy()
+        ai, bi = _group_pair_indices(sz, small_full)
         ids = g[id_col].to_numpy()
-        # rows are group-contiguous: each non-first row's predecessor row is
-        # its chain partner.  The chain runs in (sig0, id) order, so across
-        # sig0 runs the predecessor can have the LARGER id — normalize to
-        # the documented (id_a < id_b) orientation so mirrored duplicates
-        # of the same unordered pair collapse in the drop_duplicates below.
-        pa_, pb_ = ids[np.flatnonzero(m) - 1], ids[m]
+        # pairs can cross sig0 runs, so the positional predecessor can have
+        # the LARGER id — normalize to the documented (id_a < id_b)
+        # orientation so mirrored duplicates collapse in drop_duplicates
+        pa_, pb_ = ids[ai], ids[bi]
         flip = pb_ < pa_
         out = pd.DataFrame(
             {"id_a": np.where(flip, pb_, pa_),
@@ -395,11 +424,12 @@ def verified_edges_inband(
     rows_per_band: int = 4,
     threshold: float = 0.8,
     coarse_buckets: int = 64,
+    small_full: int = 16,
 ) -> ray.data.Dataset:
-    """Chain-edge candidates AND signature-Jaccard verification in ONE
+    """Candidate generation AND signature-Jaccard verification in ONE
     shuffle: each banded row carries its packed signature, so a (band,
-    band_hash) group verifies each member against its sorted PREDECESSOR in
-    place — no join round-trips (chain vs star: see
+    band_hash) group verifies its candidate pairs in place — no join
+    round-trips (all-pairs for small groups, chain above: see
     ``minhash_candidate_pairs``).  Trades ×bands signature bytes through the
     shuffle for 2 fewer barriers; ``minhash_dedup(verify="joins")`` is the
     low-byte alternative."""
@@ -418,29 +448,22 @@ def verified_edges_inband(
                  "id_b": pd.Series([], dtype=idt),
                  "sig_jaccard": pd.Series([], dtype=np.float64)}
             )
-        # chain in (sig0, id) order — the SAME key the joins path sorts
-        # by, so both verify modes emit identical chains; identical docs
-        # share sig0, keeping exact-dup runs adjacent in mixed band groups
+        # group-contiguous in (sig0, id) order — the SAME key the joins
+        # path sorts by, so both verify modes emit identical pair sets;
+        # identical docs share sig0, keeping exact-dup runs adjacent in
+        # mixed band groups
         g = g.sort_values(["band", "band_hash", "sig0", id_col],
                           kind="mergesort")
         S = np.frombuffer(
             b"".join(g["minhash"]), dtype=np.uint64
         ).reshape(len(g), -1)
-        # chain partner = the PREVIOUS row (rows are group-contiguous); the
-        # group-first row has no partner
-        n = len(g)
-        gb = g.groupby(["band", "band_hash"], sort=False)
-        sz = gb.size().to_numpy()
-        first_idx = np.repeat(
-            np.concatenate([[0], np.cumsum(sz)[:-1]]), sz
-        )
-        is_first = np.arange(n) == first_idx
-        prev_idx = np.maximum(np.arange(n) - 1, 0)
-        sim = (S == S[prev_idx]).mean(axis=1)
+        sz = g.groupby(["band", "band_hash"], sort=False).size().to_numpy()
+        ai, bi = _group_pair_indices(sz, small_full)
+        sim = (S[ai] == S[bi]).mean(axis=1)
         ids = g[id_col].to_numpy()
-        keep = (~is_first) & (sim >= threshold)
+        keep = sim >= threshold
         # normalize to (id_a < id_b) — see minhash_candidate_pairs
-        pa_, pb_ = ids[prev_idx[keep]], ids[keep]
+        pa_, pb_ = ids[ai[keep]], ids[bi[keep]]
         flip = pb_ < pa_
         out = pd.DataFrame(
             {"id_a": np.where(flip, pb_, pa_),
@@ -625,8 +648,10 @@ def minhash_dedup(
     num_buckets: int = 64,
     cc_local_threshold: int = 2_000_000,
     verify: str = "joins",
+    small_full: int = 16,
 ) -> ray.data.Dataset:
-    """Full near-dup pipeline: signature -> banded LSH star-edge candidates
+    """Full near-dup pipeline: signature -> banded LSH candidates
+    (all-pairs in small band groups, chain above)
     -> join-verified signature Jaccard -> connected components -> keep the
     min id per component, drop the rest.
 
@@ -651,12 +676,13 @@ def minhash_dedup(
     if verify == "inband":
         edges = verified_edges_inband(
             packed, id_col, bands, rows_per_band, threshold,
-            coarse_buckets=num_buckets,
+            coarse_buckets=num_buckets, small_full=small_full,
         ).materialize()
     else:
         packed = packed.materialize()  # reused by candidates AND both joins
         pairs = minhash_candidate_pairs(
-            packed, id_col, bands, rows_per_band, coarse_buckets=num_buckets
+            packed, id_col, bands, rows_per_band, coarse_buckets=num_buckets,
+            small_full=small_full,
         )
         edges = verify_pairs(
             pairs, packed, id_col, threshold, num_buckets
@@ -792,12 +818,14 @@ def simhash_dedup(
     bands: int = 4,
     num_buckets: int = 64,
     cc_local_threshold: int = 2_000_000,
+    small_full: int = 16,
 ) -> ray.data.Dataset:
     """SimHash near-dup removal with GUARANTEED candidate recall: the 64-bit
     fingerprint splits into ``bands`` equal bit-bands; a pair within
     ``max_hamming`` bit flips must (pigeonhole, for max_hamming < bands)
     share at least one intact band, so grouping by each band key finds every
-    such pair.  Chain-edge candidates carry both fingerprints (8 bytes — the
+    such pair.  Candidate pairs (all-pairs in small band groups, chain above
+    — see ``_group_pair_indices``) carry both fingerprints (8 bytes — the
     cheap in-band verify), exact popcount Hamming filters them, connected
     components keep the min id per cluster (same machinery as
     minhash_dedup)."""
@@ -841,7 +869,7 @@ def simhash_dedup(
                 {"id_a": pd.Series([], dtype=idt),
                  "id_b": pd.Series([], dtype=idt)}
             )
-        # chain edges in FINGERPRINT-sorted order within each band group:
+        # pair edges in FINGERPRINT-sorted order within each band group:
         # a 16-bit band key collides across genuinely dissimilar texts, so
         # an id-sorted chain can interleave dissimilar members and break
         # every link even between EXACT duplicates (each link spans an
@@ -850,22 +878,18 @@ def simhash_dedup(
         # (ham = 0) and only the genuine block boundaries face the Hamming
         # test.  (Found by the replicated-corpus scale check; the round-2
         # star form had the mirror-image failure — non-hub members of a
-        # collided group never merged with each other.)
+        # collided group never merged with each other.)  Small groups get
+        # ALL pairs (see _group_pair_indices), closing the residual
+        # under-merge when similar members are never fp-sort-adjacent.
         g = g.sort_values(["band", "bkey", "fp", id_col], kind="mergesort")
-        gb = g.groupby(["band", "bkey"], sort=False)
-        sz = gb.size().to_numpy()
-        first_idx = np.repeat(
-            np.concatenate([[0], np.cumsum(sz)[:-1]]), sz
-        )
-        n = len(g)
-        is_first = np.arange(n) == first_idx
-        prev_idx = np.maximum(np.arange(n) - 1, 0)
+        sz = g.groupby(["band", "bkey"], sort=False).size().to_numpy()
+        ai, bi = _group_pair_indices(sz, small_full)
         fp = g["fp"].to_numpy().astype(np.uint64)
-        ham = _popcount64(np.bitwise_xor(fp, fp[prev_idx]))
+        ham = _popcount64(np.bitwise_xor(fp[ai], fp[bi]))
         ids = g[id_col].to_numpy()
-        keep = (~is_first) & (ham <= max_hamming)
+        keep = ham <= max_hamming
         # normalize to (id_a < id_b) — see minhash_candidate_pairs
-        pa_, pb_ = ids[prev_idx[keep]], ids[keep]
+        pa_, pb_ = ids[ai[keep]], ids[bi[keep]]
         flip = pb_ < pa_
         return pd.DataFrame(
             {"id_a": np.where(flip, pb_, pa_),

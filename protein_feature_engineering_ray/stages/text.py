@@ -435,7 +435,11 @@ def winnow_matches(
                 "fingerprint(s) covering %d (doc, fingerprint) slot(s) in "
                 "this bucket (max_group=%d)", n_fp, n_slots, max_group)
             if drop_actor is not None:
-                drop_actor.add.remote(n_fp, n_slots)
+                # synchronous: consuming the matches dataset must imply the
+                # counter saw every bucket's add (a fire-and-forget .remote
+                # races with a .value() read right after to_pandas); hot
+                # buckets are rare so the blocking round-trip is noise
+                ray.get(drop_actor.add.remote(n_fp, n_slots))
         keep = (sizes[grp_of] >= 2) & (sizes[grp_of] <= max_group)
         if not keep.any():
             return _empty()

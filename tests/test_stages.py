@@ -598,3 +598,36 @@ def test_winnow_matches_drop_stats_and_empty_dtype():
     sch = out.schema()
     t = sch.types[sch.names.index("id_a")]
     assert isinstance(t, pa.DataType) and pa.types.is_string(t), t
+
+
+def test_group_pair_indices_small_full():
+    """Small groups emit ALL i<j pairs, large groups chain; mixed layouts
+    stay group-local and fully cover the small groups."""
+    import numpy as np
+
+    from protein_feature_engineering_ray.stages.dedup import _group_pair_indices
+
+    # one small group of 3: all 3 pairs
+    ai, bi = _group_pair_indices(np.array([3]), small_full=16)
+    assert sorted(zip(ai.tolist(), bi.tolist())) == [(0, 1), (0, 2), (1, 2)]
+    # same group above the threshold: chain only
+    ai, bi = _group_pair_indices(np.array([3]), small_full=2)
+    assert sorted(zip(ai.tolist(), bi.tolist())) == [(0, 1), (1, 2)]
+    # mixed: [2 small, 4 large, 3 small] with small_full=3
+    ai, bi = _group_pair_indices(np.array([2, 4, 3]), small_full=3)
+    got = sorted(zip(ai.tolist(), bi.tolist()))
+    want = sorted(
+        [(0, 1)]                                  # group 0 all-pairs
+        + [(2, 3), (3, 4), (4, 5)]                # group 1 chain
+        + [(6, 7), (6, 8), (7, 8)]                # group 2 all-pairs
+    )
+    assert got == want
+    # empty and singleton groups emit nothing
+    ai, bi = _group_pair_indices(np.array([1, 1]), small_full=4)
+    assert len(ai) == 0 and len(bi) == 0
+    # no pair ever crosses a group boundary (random sizes)
+    rng = np.random.default_rng(7)
+    sz = rng.integers(1, 9, 20)
+    ai, bi = _group_pair_indices(sz, small_full=4)
+    grp = np.repeat(np.arange(len(sz)), sz)
+    assert (grp[ai] == grp[bi]).all() and (ai < bi).all()
