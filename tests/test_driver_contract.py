@@ -218,8 +218,8 @@ def test_queries_survive_null_injected_input(tmp_path):
 
     qs = e.queries()
     results: dict[str, pd.DataFrame] = {}
-    for name in ("aac", "lag_family", "plot_data", "knn_exact", "dbscan",
-                 "fit_transform", "embedding_neardup", "zscore_aac",
+    for name in ("aac", "lag_family", "lag_quant", "plot_data", "knn_exact",
+                 "dbscan", "fit_transform", "neardup_dedup", "zscore_aac",
                  "latency", "sessions", "ivf_knn", "knn_partition",
                  "token_count", "conv_summary"):
         r = qs[name](str(tmp_path))
@@ -251,7 +251,8 @@ def test_queries_survive_null_injected_input(tmp_path):
             )
     oracles = e.oracle_sql()
     for name in ("aac", "knn_exact", "ivf_knn", "knn_partition", "dbscan",
-                 "sessions", "token_count", "conv_summary"):
+                 "sessions", "token_count", "conv_summary", "lag_quant",
+                 "fit_transform"):
         _assert_matches_oracle(
             results[name], con.execute(oracles[name]).df(), name
         )
@@ -280,6 +281,18 @@ def test_queries_survive_single_row_input(tmp_path):
         r = qs[name](str(tmp_path))
         df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
         if name == "fit_transform":
+            # catalog query = integer invariant gate; all bits must hold
             assert len(df) == 1
-            assert {"pc0", "pc1", "ld0", "ld1", "ts0", "ts1"} <= set(df.columns)
-            assert np.isfinite(df[["pc0", "pc1", "ld0", "ld1"]].to_numpy()).all()
+            inv_cols = [c for c in df.columns if c != "vec_id"]
+            assert (df[inv_cols].to_numpy() == 1).all(), df
+    # the FLOAT surface of the zoo on a 1-row corpus (rank-deficient
+    # PCA/LDA samples must still emit k projection columns, finite)
+    from protein_feature_engineering_ray.pipelines.queries import (
+        fit_transform_full,
+    )
+
+    r = fit_transform_full(str(tmp_path))
+    df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
+    assert len(df) == 1
+    assert {"pc0", "pc1", "ld0", "ld1", "ts0", "ts1"} <= set(df.columns)
+    assert np.isfinite(df[["pc0", "pc1", "ld0", "ld1"]].to_numpy()).all()
