@@ -51,29 +51,42 @@ def synth_media(n: int = 64, seed: int = 5, payload_bytes: int = 1024) -> "ray.d
 class MediaFeatureActor:
     """Actor-pool feature extractor for binary media.
 
-    ``fake=True`` (default in this container) computes a deterministic
-    payload digest vector; ``fake=False`` is the real-decoder path and raises
-    ``NotImplementedError`` until an imaging/audio lib is available.
+    The DECODE step is the plug-in point (this container has no
+    imaging/audio libs): pass ``decode_factory`` — a picklable zero-arg
+    callable, run ONCE per actor (the ESM ``model_factory`` pattern,
+    ESM_embed.ipynb cell 2), returning ``decode(payload: bytes, mime: str)
+    -> np.ndarray`` (any shape/dtype; pixels, samples, frames).  The
+    feature math downstream of decode (per-chunk moments over the decoded
+    array) is real and shared by both paths.  Without a factory,
+    ``fake=True`` decodes the raw payload bytes as the array — a
+    deterministic stand-in exercising the same plumbing — and
+    ``fake=False`` raises loudly.
     """
 
     DIM = 8
 
-    def __init__(self, fake: bool = True):
+    def __init__(self, fake: bool = True, decode_factory=None):
         self.fake = fake
-        # real path would load the decoder/model ONCE here (the ESM pattern,
-        # ESM_embed.ipynb cell 2)
+        # decoder/model loads ONCE per actor process, never per batch
+        self.decode = decode_factory() if decode_factory is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
+        if self.decode is None and not self.fake:
             raise NotImplementedError(
                 "real media decode requires an imaging/audio library; "
-                "run with fake=True in this environment"
+                "pass decode_factory=... or run with fake=True"
             )
         payloads = batch["payload"].to_numpy(zero_copy_only=False)
+        mimes = batch["mime"].to_numpy(zero_copy_only=False)
         feats = np.zeros((len(payloads), self.DIM), dtype=np.float64)
         for i, p in enumerate(payloads):
-            a = np.frombuffer(p or b"\x00", dtype=np.uint8).astype(np.float64)
-            # deterministic fake "embedding": moments of byte chunks
+            if self.decode is not None:
+                a = np.asarray(
+                    self.decode(p or b"", str(mimes[i]))
+                ).astype(np.float64).ravel()
+            else:
+                a = np.frombuffer(p or b"\x00", dtype=np.uint8).astype(np.float64)
+            # deterministic digest: moments of array chunks
             chunks = np.array_split(a, self.DIM)
             feats[i] = [c.mean() if len(c) else 0.0 for c in chunks]
         return pa.table(
@@ -91,6 +104,7 @@ def media_features(
     ds: "ray.data.Dataset",
     concurrency: int = 2,
     batch_size: int = 32,  # SMALL: payload bytes dominate block memory
+    decode_factory=None,
 ) -> "ray.data.Dataset":
     return ds.map_batches(
         MediaFeatureActor,
@@ -98,6 +112,7 @@ def media_features(
         concurrency=concurrency,
         batch_size=batch_size,
         num_cpus=1,
+        fn_constructor_kwargs={"decode_factory": decode_factory},
     )
 
 

@@ -631,3 +631,32 @@ def test_group_pair_indices_small_full():
     ai, bi = _group_pair_indices(sz, small_full=4)
     grp = np.repeat(np.arange(len(sz)), sz)
     assert (grp[ai] == grp[bi]).all() and (ai < bi).all()
+
+
+def test_media_decode_factory_plugin():
+    """The decode plug-in contract: a picklable zero-arg factory loads once
+    per actor and its decode(payload, mime) array feeds the shared feature
+    math — what a PIL/cv2 user supplies where those libs exist."""
+    import numpy as np
+
+    from protein_feature_engineering_ray.stages.multimodal import (
+        media_features,
+        synth_media,
+    )
+
+    def numpy_decode_factory():
+        # stand-in for e.g. PIL.Image.open(io.BytesIO(payload)) -> np.array
+        def decode(payload: bytes, mime: str) -> np.ndarray:
+            a = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+            return a.reshape(-1, 1).astype(np.float32) * 2.0
+        return decode
+
+    ds = synth_media(n=16)
+    out = media_features(ds, decode_factory=numpy_decode_factory).to_pandas()
+    base = media_features(synth_media(n=16)).to_pandas()
+    assert len(out) == 16 and len(base) == 16
+    m = out.merge(base, on="media_id", suffixes=("_dec", "_fake"))
+    a = np.stack(m["media_vec_dec"].to_numpy())
+    b = np.stack(m["media_vec_fake"].to_numpy())
+    # decode path = 2x the byte moments (the factory's transform is real)
+    np.testing.assert_allclose(a, 2.0 * b, rtol=1e-12)
