@@ -1058,46 +1058,49 @@ def q_lag_family(sf):
     )
 
 
-# --- quantized lag-family gate (NMBroto + AC) ------------------------------
-# Grid sizing is an ERROR-BUDGET choice, not a copy of the z-score gate's:
-# lag sums reach |x| ~ 2.5e5 on this data (value <= ~500, ~70 pairs/conv),
-# so cross-engine summation-order drift is ~n_terms * eps_mach * |x| ~ 1e-9
-# absolute -> ~1e-6 in 2^8-scaled units.  A 2^20 grid (the z-score choice,
-# right for O(1) z values) would put that drift at ~4e-3 grid units and
-# boundary-flip a handful of the ~900 checked values; 2^8 keeps ~8
-# significant digits under check with a ~1e-6 flip probability per value.
-LAGQ_SCALE = 1 << 8
-# absorbs structurally-integer grid points whose last-ulp residues differ in
-# sign between the two engines (see ZSCORE_EPS): 100x the worst-case drift,
-# 5000x smaller than a grid cell.
-LAGQ_EPS = 1e-4
+# --- quantized lag-family gate (NMBroto / AC / Moran / Geary) ---------------
+# Grid sizing is an ERROR-BUDGET choice per kernel, not a copy of the
+# z-score gate's: NMBroto/AC sums reach |x| ~ 2.5e5 on this data (value <=
+# ~500, ~70 pairs/conv), so cross-engine summation-order drift is
+# ~n_terms * eps_mach * |x| ~ 1e-9 absolute -> ~1e-6 in 2^8-scaled units;
+# a 2^20 grid (the z-score choice, right for O(1) z values) would put that
+# drift at ~4e-3 grid units and boundary-flip a handful of the checked
+# values.  Moran/Geary are RATIOS (O(1) values, ~1e-14 relative drift), so
+# they take the fine 2^20 grid.  The eps nudge absorbs structurally-integer
+# grid points whose last-ulp residues differ in sign between engines (see
+# ZSCORE_EPS); each is >=100x its kernel's worst-case drift and <=1/5000 of
+# a grid cell.
+LAGQ_SCALES = {"nmbroto": (1 << 8, 1e-4), "ac": (1 << 8, 1e-4),
+               "moran": (1 << 20, 1e-6), "geary": (1 << 20, 1e-6)}
 LAGQ_NLAG = 3
 
 
 def q_lag_quant(sf):
     """Hard-gated slice of the lag family: NMBroto (plain lag-product sums,
-    feature.py:1473-1475) and AC (mean-centered auto-covariance, 1658) at
-    nlag<=3 over the per-turn ``value`` series, emitted as
-    floor(x * 2^8) BIGINT — the same quantized-oracle discipline as
-    ``zscore_aac`` (float accumulation can differ in last ulps between
-    engines; the integer grid checks ~8 significant digits).  The full
+    feature.py:1473-1475), AC (mean-centered auto-covariance, 1658), Moran's
+    I (lag-covariance over variance, 1533-1538) and Geary's C (squared-
+    difference ratio, 1596-1600) at nlag<=3 over the per-turn ``value``
+    series, emitted as floor(x * scale) BIGINT with per-kernel error-budget
+    grids — the same quantized-oracle discipline as ``zscore_aac`` (float
+    accumulation can differ in last ulps between engines).  The full
     10-kernel family at raw float precision stays in ``lag_family``
     (rows-only + pandas-oracle pytest)."""
     import pyarrow as pa
 
     feats = _conv(sf, [("NMBroto", {"nlag": LAGQ_NLAG}),
-                       ("AC", {"nlag": LAGQ_NLAG})])
-    cols = [f"nmbroto_lag{n}" for n in range(1, LAGQ_NLAG + 1)] + \
-           [f"ac_lag{n}" for n in range(1, LAGQ_NLAG + 1)]
+                       ("AC", {"nlag": LAGQ_NLAG}),
+                       ("Moran", {"nlag": LAGQ_NLAG}),
+                       ("Geary", {"nlag": LAGQ_NLAG})])
 
     def quant(t: pa.Table) -> pa.Table:
         out = {"conv_id": t["conv_id"]}
-        for c in cols:
-            x = t[c].to_numpy(zero_copy_only=False)
-            out[f"lq_{c}"] = pa.array(
-                np.floor(x * LAGQ_SCALE + LAGQ_EPS).astype(np.int64),
-                pa.int64(),
-            )
+        for p, (scale, eps) in LAGQ_SCALES.items():
+            for n in range(1, LAGQ_NLAG + 1):
+                c = f"{p}_lag{n}"
+                x = t[c].to_numpy(zero_copy_only=False)
+                out[f"lq_{c}"] = pa.array(
+                    np.floor(x * scale + eps).astype(np.int64), pa.int64(),
+                )
         return pa.table(out)
 
     return feats.map_batches(quant, batch_format="pyarrow")
@@ -1106,40 +1109,59 @@ def q_lag_quant(sf):
 def _sql_lag_quant() -> str:
     """DuckDB analogue of q_lag_quant: the engine's NaN-compacted series is
     ``value IS NOT NULL`` rows re-ranked per conversation in (ts, event_id)
-    order; lag-n pairs are a rank self-join; NMBroto = sum(x_i*x_{i+n})/cnt,
+    order; lag-n pairs are a rank self-join.  NMBroto = sum(x_i*x_{i+n})/cnt;
     AC = sum((x_i-mu)(x_{i+n}-mu))/cnt with mu = sum(value)/count(*) (the
-    engine's add.at-then-divide mean) — identical IEEE expression trees, with
-    the floor(x*2^8) grid absorbing summation-order ulps."""
+    engine's add.at-then-divide mean); Moran = AC / (ss/nv) (its numerator
+    is the bit-identical AC expression); Geary = ((nv-1)/(2*cnt)) *
+    sum((x_i-x_{i+n})^2) / ss — identical IEEE expression trees, with the
+    per-kernel floor grids absorbing summation-order ulps."""
     lag_ctes = ",\n ".join(
         f"""lag{n} AS (
   SELECT a.conv_id,
          sum(a.value * b.value) / count(*) AS nmb,
-         sum((a.value - mu.m) * (b.value - mu.m)) / count(*) AS ac
+         sum((a.value - mu.m) * (b.value - mu.m)) / count(*) AS ac,
+         sum((a.value - b.value) * (a.value - b.value)) AS gs,
+         count(*) AS c
   FROM v a JOIN v b ON b.conv_id = a.conv_id AND b.rn = a.rn + {n}
   JOIN mu ON mu.conv_id = a.conv_id
   GROUP BY a.conv_id)"""
         for n in range(1, LAGQ_NLAG + 1)
     )
-    qcols = ",\n    ".join(
-        f"CAST(floor(coalesce(lag{n}.{k}, 0.0) * {LAGQ_SCALE}.0 + {LAGQ_EPS})"
-        f" AS BIGINT) AS lq_{p}_lag{n}"
-        for p, k in (("nmbroto", "nmb"), ("ac", "ac"))
-        for n in range(1, LAGQ_NLAG + 1)
-    )
+
+    def q(expr: str, prefix: str, n: int) -> str:
+        scale, eps = LAGQ_SCALES[prefix]
+        return (f"CAST(floor(coalesce({expr}, 0.0) * {scale}.0 + {eps})"
+                f" AS BIGINT) AS lq_{prefix}_lag{n}")
+
+    qcols = []
+    for n in range(1, LAGQ_NLAG + 1):
+        qcols.append(q(f"lag{n}.nmb", "nmbroto", n))
+        qcols.append(q(f"lag{n}.ac", "ac", n))
+        qcols.append(q(
+            f"CASE WHEN ss.ss / ss.nv > 0 THEN lag{n}.ac / (ss.ss / ss.nv) "
+            f"ELSE 0.0 END", "moran", n))
+        qcols.append(q(
+            f"CASE WHEN ss.ss > 0 THEN (ss.nv - 1) / (2.0 * lag{n}.c) "
+            f"* lag{n}.gs / ss.ss ELSE 0.0 END", "geary", n))
     joins = " ".join(
         f"LEFT JOIN lag{n} USING (conv_id)" for n in range(1, LAGQ_NLAG + 1)
     )
+    cols = ",\n    ".join(qcols)
     return f"""{TRANSCRIPTS_SQL_CTE},
  v AS (
   SELECT conv_id, value,
          row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
   FROM transcripts WHERE value IS NOT NULL),
  mu AS (SELECT conv_id, sum(value) / count(*) AS m FROM v GROUP BY conv_id),
+ ss AS (
+  SELECT v.conv_id,
+         sum((v.value - mu.m) * (v.value - mu.m)) AS ss, count(*) AS nv
+  FROM v JOIN mu ON mu.conv_id = v.conv_id GROUP BY v.conv_id),
  {lag_ctes},
  base AS (SELECT DISTINCT conv_id FROM transcripts)
 SELECT base.conv_id,
-    {qcols}
-FROM base {joins}"""
+    {cols}
+FROM base LEFT JOIN ss USING (conv_id) {joins}"""
 
 
 ZSCORE_SCALE = 1 << 20  # quantization for the z-score oracle (~1e-6 grid)
