@@ -703,10 +703,20 @@ SELECT doc_id,
 FROM s"""
 
 
-SQL_TOKEN_COUNT = """SELECT doc_id,
+def _sql_token_count() -> str:
+    from protein_feature_engineering_ray.stages.text import BPE_ISH_PATTERN
+
+    # the SAME RE2 pattern string Arrow counts with — identical engines,
+    # identical counts
+    return f"""SELECT doc_id,
     CAST(len(string_split_regex(coalesce(text, ''), '\\s+')) AS BIGINT)
-      AS n_tokens
+      AS n_tokens,
+    CAST(len(regexp_extract_all(coalesce(text, ''),
+        {_sql_str(BPE_ISH_PATTERN)})) AS BIGINT) AS n_bpe_tokens
 FROM documents"""
+
+
+SQL_TOKEN_COUNT = _sql_token_count()
 
 SQL_EXACT_DEDUP = """SELECT doc_id, n_chars FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)"""
@@ -875,7 +885,8 @@ def q_token_count(sf):
     from protein_feature_engineering_ray.stages.text import token_count
 
     docs = sized_read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-    return token_count(docs).select_columns(["doc_id", "n_tokens"])
+    return token_count(docs).select_columns(
+        ["doc_id", "n_tokens", "n_bpe_tokens"])
 
 
 def q_exact_dedup(sf):

@@ -121,14 +121,26 @@ def text_quality(ds: ray.data.Dataset, concurrency: int = 4,
     )
 
 
+# GPT-2-style pre-tokenizer pattern WITHOUT lookahead (RE2 has none — and
+# RE2 is exactly what both Arrow's count_substring_regex and DuckDB's
+# regexp_extract_all run, so one pattern string gives identical counts in
+# the engine and the SQL oracle): contraction suffixes, optional-space
+# letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def token_count(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
-    """Whitespace token count — exact, SQL-oracle-friendly (stateless arrow)."""
+    """Token counts — exact, SQL-oracle-friendly (stateless arrow):
+    ``n_tokens`` (whitespace tokens) and ``n_bpe_tokens`` (BPE-ish GPT-2
+    pre-tokenizer segments via ``BPE_ISH_PATTERN`` — the usual
+    budget/pricing proxy when the real tokenizer is not on the cluster)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        toks = pc.list_value_length(
-            pc.split_pattern_regex(pc.fill_null(t[text_col], ""), r"\s+")
-        )
-        return t.append_column("n_tokens", toks.cast(pa.int64()))
+        texts = pc.fill_null(t[text_col], "")
+        toks = pc.list_value_length(pc.split_pattern_regex(texts, r"\s+"))
+        bpe = pc.count_substring_regex(texts, BPE_ISH_PATTERN)
+        t = t.append_column("n_tokens", toks.cast(pa.int64()))
+        return t.append_column("n_bpe_tokens", bpe.cast(pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
