@@ -15,8 +15,11 @@ per-descriptor passes, explicit instead of accidental resume.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -67,6 +70,7 @@ def make_backfill_fn(
         names.extend(k.names())
 
     def bucket_fn(table: pa.Table) -> pa.Table:
+        t_start = time.perf_counter()
         bucket = None
         if "_bucket" in table.column_names:  # kept when committing partitions
             bucket = int(table["_bucket"][0].as_py())
@@ -101,11 +105,24 @@ def make_backfill_fn(
                              out_dtype=out_dtype)
         if out_dir is not None:
             convs = ctx.n_segs
+            # per-partition WATERMARK (max input ts covered by this commit,
+            # epoch µs) + metrics: a resuming/incremental run can read how
+            # far each partition has progressed and what it cost without
+            # opening the data file (north-rule lineage/metrics clause)
+            mm = pc.min_max(table["ts"])
+            to_us = (lambda v: None if v.as_py() is None
+                     else int(v.cast(pa.int64()).as_py()))
             meta = commit_bucket(
                 out_dir,
                 bucket,
                 out,
-                lineage={"convs": convs, "turns": ctx.n},
+                lineage={
+                    "convs": convs,
+                    "turns": ctx.n,
+                    "ts_watermark_us": to_us(mm["max"]),
+                    "ts_min_us": to_us(mm["min"]),
+                    "compute_sec": round(time.perf_counter() - t_start, 4),
+                },
             )
             return pa.table(
                 {

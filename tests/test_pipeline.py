@@ -13,6 +13,7 @@ from protein_feature_engineering_ray.pipelines.backfill import (
     backfill_to_dir,
     read_backfill,
 )
+from protein_feature_engineering_ray.core.bucket import bucket_hash
 from protein_feature_engineering_ray.schema import Alphabet
 from protein_feature_engineering_ray.sources import synth_transcripts
 from protein_feature_engineering_ray.state.manifest import (
@@ -82,6 +83,19 @@ def test_backfill_and_resume(tmp_path):
     got = _read_sorted(part)
     pd.testing.assert_frame_equal(got, want)
     assert len(read_manifest(part)) == len(completed_buckets(part))
+
+    # lineage/metrics: every committed partition carries a ts WATERMARK
+    # equal to the true max input ts it covers, plus convs/turns/compute_sec
+    src = synth_transcripts(n_convs=24, duplicates=False, as_pandas=True)
+    src_b = bucket_hash(src["conv_id"].to_numpy(), 8)
+    ts_us = src["ts"].astype("int64")
+    for m in read_manifest(part):
+        sel = src_b == m["bucket"]
+        assert m["turns"] == int(sel.sum())
+        assert m["convs"] == src.loc[sel, "conv_id"].nunique()
+        assert m["ts_watermark_us"] == int(ts_us[sel].max())
+        assert m["ts_min_us"] == int(ts_us[sel].min())
+        assert m["compute_sec"] >= 0
 
 
 def test_backfill_dedup_on_ingest(tmp_path):
