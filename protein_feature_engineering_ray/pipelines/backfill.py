@@ -35,6 +35,16 @@ from protein_feature_engineering_ray.state.manifest import (
     completed_buckets,
 )
 
+def _ts_bounds_us(col) -> tuple[int | None, int | None]:
+    """(min, max) of a ts column in epoch MICROSECONDS regardless of the
+    column's own unit (pandas-sourced datasets carry timestamp[ns]; parquet
+    carries [us] — a watermark must not depend on which one fed the run)."""
+    mm = pc.min_max(col.cast(pa.timestamp("us")))
+    to_us = (lambda v: None if v.as_py() is None
+             else int(v.cast(pa.int64()).as_py()))
+    return to_us(mm["min"]), to_us(mm["max"])
+
+
 # canonical transcript schema only (input_hint columns)
 DEFAULT_TURN_SPECS = [
     ("Latency", {}),
@@ -109,9 +119,7 @@ def make_backfill_fn(
             # epoch µs) + metrics: a resuming/incremental run can read how
             # far each partition has progressed and what it cost without
             # opening the data file (north-rule lineage/metrics clause)
-            mm = pc.min_max(table["ts"])
-            to_us = (lambda v: None if v.as_py() is None
-                     else int(v.cast(pa.int64()).as_py()))
+            lo, hi = _ts_bounds_us(table["ts"])
             meta = commit_bucket(
                 out_dir,
                 bucket,
@@ -119,8 +127,8 @@ def make_backfill_fn(
                 lineage={
                     "convs": convs,
                     "turns": ctx.n,
-                    "ts_watermark_us": to_us(mm["max"]),
-                    "ts_min_us": to_us(mm["min"]),
+                    "ts_watermark_us": hi,
+                    "ts_min_us": lo,
                     "compute_sec": round(time.perf_counter() - t_start, 4),
                 },
             )
@@ -212,6 +220,174 @@ def backfill_to_dir(
         withb = withb.map_batches(skip_done, batch_format="pyarrow")
     manifest = (
         withb.groupby("_bucket").map_groups(_fn, batch_format="pyarrow").to_pandas()
+    )
+    return manifest.to_dict("records")
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """ts column -> epoch microseconds int64 (normalizes ns-unit pandas
+    timestamps the same way ConvContext.ts_us does)."""
+    return col.cast(pa.timestamp("us")).cast(pa.int64())
+
+
+def incremental_backfill_to_dir(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    num_buckets: int = 32,
+    alphabet: Alphabet = EVENT_ALPHABET,
+    turn_specs=None,
+    gap_seconds: float = 1800.0,
+    order_cols: tuple[str, ...] = ("conv_id", "ts", "event_id"),
+    assign_turn_idx: bool = True,
+    project: tuple[str, ...] | None = None,
+    vector_col: str | None = None,
+    out_dtype: str = "float64",
+    max_touched_convs: int = 2_000_000,
+) -> list[dict]:
+    """Append-only INCREMENTAL backfill against a committed output dir.
+
+    Where ``backfill_to_dir`` resumes (skips whole committed buckets),
+    this ingests NEW DATA into them: it recomputes exactly the
+    conversations that own rows newer than their bucket's committed
+    ``ts_watermark_us``, splices their refreshed feature rows into the
+    partition (untouched conversations' rows are carried over unchanged),
+    and advances the watermark.  Output is identical to a cold full
+    backfill over the whole input.
+
+    Scale shape (the whole point at 100 TB):
+    - pass 1 is a column-pruned (conv_id, ts) scan; only rows PAST each
+      bucket's watermark survive the filter, so the driver-side touched-
+      conversation set is proportional to the NEW data, not the corpus —
+      and is loudly capped by ``max_touched_convs`` (a touched set near
+      corpus size means a full backfill is cheaper; run that instead).
+    - pass 2 ships only touched conversations' rows (full history — the
+      windowed/sessionized features need it) through the one co-location
+      exchange; buckets with no new data are never read, shuffled, or
+      rewritten.
+    - the splice reads one committed partition per touched bucket inside
+      the bucket task — bounded by partition size, never a driver fold.
+
+    WATERMARK CONTRACT (standard streaming semantics): every row added
+    since the committed run must carry ``ts`` strictly greater than its
+    bucket's ``ts_watermark_us``.  Late data at-or-before the watermark is
+    invisible to the pass-1 filter; backfill a fresh directory if ingest
+    cannot honor the contract.
+    """
+    import json
+    import os
+
+    from protein_feature_engineering_ray.core.bucket import add_bucket, sort_bucket
+    from protein_feature_engineering_ray.state.manifest import (
+        bucket_dir,
+        read_manifest,
+    )
+
+    done = completed_buckets(out_dir)
+    if not done:
+        return backfill_to_dir(
+            ds, out_dir, num_buckets=num_buckets, alphabet=alphabet,
+            turn_specs=turn_specs, gap_seconds=gap_seconds,
+            order_cols=order_cols, assign_turn_idx=assign_turn_idx,
+            project=project, vector_col=vector_col, out_dtype=out_dtype,
+        )
+
+    if project is not None:
+        ds = ds.select_columns(list(project))
+
+    # bucket -> committed watermark (µs); uncommitted buckets get -inf so
+    # ANY row they receive counts as new
+    wm = np.full(num_buckets, np.iinfo(np.int64).min, dtype=np.int64)
+    for m in read_manifest(out_dir):
+        if m.get("ts_watermark_us") is not None:
+            wm[m["bucket"]] = m["ts_watermark_us"]
+
+    # ---- pass 1: touched conversations (pruned scan, new rows only) ----
+    def new_convs(t: pa.Table) -> pa.Table:
+        from protein_feature_engineering_ray.core.bucket import bucket_hash
+
+        b = bucket_hash(t["conv_id"].to_numpy(zero_copy_only=False),
+                        num_buckets)
+        ts = _ts_us(t["ts"]).combine_chunks() if isinstance(
+            t["ts"], pa.ChunkedArray) else _ts_us(t["ts"])
+        is_new = np.asarray(ts) > wm[b]
+        conv = t["conv_id"].filter(pa.array(is_new))
+        return pa.table({"conv_id": conv.unique()})
+
+    touched = (
+        ds.select_columns(["conv_id", "ts"])
+        .map_batches(new_convs, batch_format="pyarrow")
+        .unique("conv_id")
+    ) or []  # Dataset.unique returns None on an all-empty dataset
+    if len(touched) == 0:
+        return []
+    if len(touched) > max_touched_convs:
+        raise RuntimeError(
+            f"incremental backfill touches {len(touched)} conversations > "
+            f"max_touched_convs={max_touched_convs}; at that volume a full "
+            f"backfill into a fresh directory is cheaper — run that instead"
+        )
+    touched_arr = pa.array(sorted(touched))
+
+    # ---- pass 2: full history of touched convs only, splice-committed ----
+    compute_fn = make_backfill_fn(
+        [make_kernel(n, alphabet, p)[1]
+         for n, p in (turn_specs or DEFAULT_TURN_SPECS)],
+        alphabet, gap_seconds=gap_seconds, assign_turn_idx=assign_turn_idx,
+        out_dir=None, vector_col=vector_col, out_dtype=out_dtype,
+    )
+
+    def keep_touched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["conv_id"], value_set=touched_arr))
+
+    def splice(table: pa.Table) -> pa.Table:
+        t_start = time.perf_counter()
+        bucket = int(table["_bucket"][0].as_py())
+        table = sort_bucket(table.drop_columns(["_bucket"]), order_cols)
+        fresh = compute_fn(table)
+        d = bucket_dir(out_dir, bucket)
+        old_meta: dict = {}
+        if os.path.exists(os.path.join(d, "_SUCCESS.json")):
+            import pyarrow.parquet as pq
+
+            with open(os.path.join(d, "_SUCCESS.json")) as f:
+                old_meta = json.load(f)
+            old = pq.read_table(os.path.join(d, "data.parquet"))
+            carry = old.filter(
+                pc.invert(pc.is_in(old["conv_id"], value_set=touched_arr))
+            )
+            out = pa.concat_tables([carry, fresh]).sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+        else:
+            out = fresh
+        old_wm = old_meta.get("ts_watermark_us")
+        old_min = old_meta.get("ts_min_us")
+        new_min, new_wm = _ts_bounds_us(table["ts"])
+        meta = commit_bucket(
+            out_dir, bucket, out,
+            lineage={
+                "convs": int(pc.count_distinct(out["conv_id"]).as_py()),
+                "turns": out.num_rows,
+                "ts_watermark_us": max(
+                    x for x in (old_wm, new_wm) if x is not None),
+                "ts_min_us": min(
+                    x for x in (old_min, new_min) if x is not None),
+                "compute_sec": round(time.perf_counter() - t_start, 4),
+                "incremental": True,
+            },
+        )
+        return pa.table({
+            "bucket": pa.array([meta["bucket"]], pa.int64()),
+            "rows": pa.array([meta["rows"]], pa.int64()),
+            "convs": pa.array([meta["convs"]], pa.int64()),
+        })
+
+    manifest = (
+        add_bucket(ds.map_batches(keep_touched, batch_format="pyarrow"),
+                   num_buckets)
+        .groupby("_bucket")
+        .map_groups(splice, batch_format="pyarrow")
+        .to_pandas()
     )
     return manifest.to_dict("records")
 

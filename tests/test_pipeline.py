@@ -11,6 +11,7 @@ import ray.data
 
 from protein_feature_engineering_ray.pipelines.backfill import (
     backfill_to_dir,
+    incremental_backfill_to_dir,
     read_backfill,
 )
 from protein_feature_engineering_ray.core.bucket import bucket_hash
@@ -88,7 +89,7 @@ def test_backfill_and_resume(tmp_path):
     # equal to the true max input ts it covers, plus convs/turns/compute_sec
     src = synth_transcripts(n_convs=24, duplicates=False, as_pandas=True)
     src_b = bucket_hash(src["conv_id"].to_numpy(), 8)
-    ts_us = src["ts"].astype("int64")
+    ts_us = src["ts"].astype("datetime64[us]").astype("int64")
     for m in read_manifest(part):
         sel = src_b == m["bucket"]
         assert m["turns"] == int(sel.sum())
@@ -96,6 +97,67 @@ def test_backfill_and_resume(tmp_path):
         assert m["ts_watermark_us"] == int(ts_us[sel].max())
         assert m["ts_min_us"] == int(ts_us[sel].min())
         assert m["compute_sec"] >= 0
+
+
+def test_incremental_backfill(tmp_path):
+    """Append-only incremental ingest: backfill an early snapshot, then
+    incrementally ingest the full corpus — output must equal a cold full
+    backfill; untouched partitions must not be rewritten; a second no-new-
+    data run must recompute nothing."""
+    full_df = synth_transcripts(n_convs=24, duplicates=False, as_pandas=True)
+    # cutoff = 6th-latest conversation end: 5 touched conversations, and the
+    # split exercises all three cases — truncated convs, convs fully in the
+    # early snapshot, and convs that are entirely new
+    g = full_df.groupby("conv_id")["ts"].agg(["min", "max"])
+    cutoff = g["max"].sort_values().iloc[-6]
+    early_df = full_df[full_df["ts"] <= cutoff].reset_index(drop=True)
+    touched_c = g[g["max"] > cutoff]
+    assert (touched_c["min"] > cutoff).any(), "need a fully-new conv"
+    assert (touched_c["min"] <= cutoff).any(), "need a truncated conv"
+
+    kw = dict(num_buckets=8, alphabet=ALPHA, order_cols=ORDER,
+              assign_turn_idx=False)
+    cold = str(tmp_path / "cold")
+    backfill_to_dir(ray.data.from_pandas(full_df), cold, **kw)
+    want = _read_sorted(cold)
+
+    inc = str(tmp_path / "inc")
+    backfill_to_dir(ray.data.from_pandas(early_df), inc, **kw)
+    early_b = set(bucket_hash(early_df["conv_id"].to_numpy(), 8))
+    touched_b = set(
+        bucket_hash(
+            full_df.loc[full_df["ts"] > cutoff, "conv_id"].unique(), 8)
+    )
+    untouched = early_b - touched_b
+    assert untouched, "fixture must leave at least one bucket untouched"
+    mtimes = {
+        b: os.path.getmtime(os.path.join(bucket_dir(inc, b), "data.parquet"))
+        for b in untouched
+    }
+    time.sleep(0.05)
+
+    # loud cap fires BEFORE any commit when the touched set is too large
+    with pytest.raises(RuntimeError, match="max_touched_convs"):
+        incremental_backfill_to_dir(
+            ray.data.from_pandas(full_df), inc, max_touched_convs=1, **kw)
+
+    manifest = incremental_backfill_to_dir(
+        ray.data.from_pandas(full_df), inc, **kw)
+    assert sorted(m["bucket"] for m in manifest) == sorted(touched_b)
+    pd.testing.assert_frame_equal(_read_sorted(inc), want)
+    for b, mt in mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(bucket_dir(inc, b), "data.parquet")
+        ) == mt, "incremental run rewrote a bucket with no new data"
+    # watermarks advanced to the full corpus's per-bucket max ts
+    full_b = bucket_hash(full_df["conv_id"].to_numpy(), 8)
+    ts_us = full_df["ts"].astype("datetime64[us]").astype("int64")
+    for m in read_manifest(inc):
+        assert m["ts_watermark_us"] == int(ts_us[full_b == m["bucket"]].max())
+
+    # no-op rerun: nothing new -> no bucket recomputed
+    assert incremental_backfill_to_dir(
+        ray.data.from_pandas(full_df), inc, **kw) == []
 
 
 def test_backfill_dedup_on_ingest(tmp_path):
