@@ -5,6 +5,15 @@ Both are written temp-then-rename, so a mid-backfill kill can never leave a
 partition that looks complete; resume = skip buckets whose ``_SUCCESS.json``
 exists (the reference's accidental per-sample ``.pt`` resume granularity,
 ESM_embed.ipynb cell 2, made explicit and atomic — SURVEY.md §4).
+
+Incremental ingest (LSM-style fragments): ``commit_delta`` appends
+``delta-<gen>.parquet`` fragments instead of rewriting the partition, so a
+1 % append writes ~1 % of the bytes.  ``_SUCCESS.json`` carries the ordered
+``fragments`` list; a fragment file not listed there (a crash between the
+two renames) is invisible and gets overwritten by the retry.  Readers
+resolve with last-generation-wins per conversation (``resolve_fragments``);
+``rows`` in the meta counts PHYSICAL rows on disk (>= resolved rows once a
+conversation has been superseded).
 """
 
 from __future__ import annotations
@@ -14,6 +23,7 @@ import os
 import time
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
@@ -33,10 +43,35 @@ def completed_buckets(out_dir: str) -> set[int]:
     return done
 
 
+def _write_meta(d: str, meta: dict) -> None:
+    tmp_m = os.path.join(d, ".tmp-success.json")
+    with open(tmp_m, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp_m, os.path.join(d, "_SUCCESS.json"))
+
+
+def read_bucket_meta(out_dir: str, bucket: int) -> dict | None:
+    p = os.path.join(bucket_dir(out_dir, bucket), "_SUCCESS.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def fragment_files(meta: dict) -> list[str]:
+    """Ordered (generation 0 first) fragment filenames of a partition.
+    Pre-fragment metas have no ``fragments`` key: one data.parquet."""
+    return [f["file"] for f in meta.get("fragments", [{"file": "data.parquet"}])]
+
+
 def commit_bucket(
     out_dir: str, bucket: int, table: pa.Table, lineage: dict | None = None
 ) -> dict:
-    """Atomically write one bucket partition + its watermark manifest."""
+    """Atomically write one bucket partition + its watermark manifest.
+
+    Rewrites the partition to a single ``data.parquet`` generation: any
+    delta fragments a previous meta listed are de-listed (and their files
+    removed) — this is also the compaction primitive."""
     d = bucket_dir(out_dir, bucket)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, ".tmp-data.parquet")
@@ -48,11 +83,76 @@ def commit_bucket(
         "committed_at": time.time(),
         **(lineage or {}),
     }
-    tmp_m = os.path.join(d, ".tmp-success.json")
-    with open(tmp_m, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp_m, os.path.join(d, "_SUCCESS.json"))
+    _write_meta(d, meta)
+    for name in os.listdir(d):  # stale fragments are now unreferenced
+        if name.startswith("delta-") and name.endswith(".parquet"):
+            os.unlink(os.path.join(d, name))
     return meta
+
+
+def commit_delta(
+    out_dir: str, bucket: int, table: pa.Table, lineage: dict | None = None
+) -> dict:
+    """Append one delta fragment to an already-committed partition.
+
+    Writes ONLY the fresh rows (the refreshed conversations' full history)
+    as ``delta-<gen>.parquet`` — the existing generations are never read or
+    rewritten — then atomically re-points ``_SUCCESS.json`` at the extended
+    fragment list.  ``lineage`` overwrites same-named meta keys (callers
+    pass the advanced ``ts_watermark_us``); ``rows`` becomes the physical
+    row total across fragments.  Falls back to ``commit_bucket`` when the
+    partition has no committed meta yet (first generation)."""
+    meta = read_bucket_meta(out_dir, bucket)
+    if meta is None:
+        return commit_bucket(out_dir, bucket, table, lineage)
+    d = bucket_dir(out_dir, bucket)
+    frags = meta.get("fragments")
+    if frags is None:
+        frags = [{"file": "data.parquet", "rows": meta["rows"]}]
+    gen = len(frags)
+    name = f"delta-{gen:05d}.parquet"
+    tmp = os.path.join(d, f".tmp-{name}")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(d, name))
+    frags = frags + [{"file": name, "rows": table.num_rows}]
+    meta = {
+        **meta,
+        "rows": sum(f["rows"] for f in frags),
+        "committed_at": time.time(),
+        **(lineage or {}),
+        "fragments": frags,
+    }
+    _write_meta(d, meta)
+    return meta
+
+
+def resolve_fragments(
+    d: str,
+    files: list[str],
+    key: str = "conv_id",
+    sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> pa.Table:
+    """Materialize one partition's logical table: a conversation's rows come
+    from the LAST fragment that contains it (an incremental splice rewrites
+    a touched conversation's whole history into its delta).  Bounded by the
+    partition's physical size — runs inside one read/compact task."""
+    tables = [pq.read_table(os.path.join(d, f)) for f in files]
+    if len(tables) == 1:
+        return tables[0]
+    parts: list[pa.Table] = []
+    seen: pa.Array | None = None
+    for t in reversed(tables):
+        if seen is not None and len(seen):
+            t = t.filter(pc.invert(pc.is_in(t[key], value_set=seen)))
+        parts.append(t)
+        ids = pc.unique(t[key])
+        seen = ids if seen is None else pc.unique(
+            pa.concat_arrays([seen.combine_chunks() if isinstance(
+                seen, pa.ChunkedArray) else seen,
+                ids.combine_chunks() if isinstance(
+                    ids, pa.ChunkedArray) else ids]))
+    out = pa.concat_tables(reversed(parts))
+    return out.sort_by([(c, "ascending") for c in sort_cols])
 
 
 def read_manifest(out_dir: str) -> list[dict]:

@@ -1,0 +1,256 @@
+"""Incremental-ingest proof at scaling scale (append-only watermark ingest;
+the small-scale equivalence lives in tests/test_pipeline.py::
+test_incremental_backfill).
+
+Question answered: once a corpus is backfilled into a committed partitioned
+directory, what does ingesting a ~1% append-only delta cost versus
+rebuilding from scratch — and is the spliced output value-identical to a
+cold full backfill over base+delta?
+
+Protocol (each phase a fresh process owning its own local Ray session):
+
+1. **base run**: full backfill of the base corpus (``--replicate`` copies of
+   the sf events table) into ``<base>/inc``.
+2. **incremental run** (delta mode — the LSM fragment path):
+   ``incremental_backfill_to_dir`` over base+delta into the SAME directory.
+   The delta is one extra replica (fresh conv_ids, ts shifted past the base
+   max — honoring the watermark contract), so with ``--replicate 100`` the
+   delta is ~1% of the corpus.  Timed; the run's manifest must cover
+   exactly the buckets owning delta conversations, and committed
+   ``data.parquet`` generations must not be rewritten (mtime-checked).
+3. **equality (pre-compact)**: DuckDB order-insensitive exact hash fold with
+   last-generation-wins fragment resolution (``QUALIFY g = max(g) OVER
+   (PARTITION BY conv_id)``) vs the cold directory's fold.
+4. **compaction**: ``compact_backfill`` collapses fragmented partitions back
+   to one generation; re-hash, must still equal.
+5. **cold run**: full backfill of base+delta into ``<base>/cold``.
+
+What the delta-mode timing means: delta conversations hash uniformly across
+all buckets, so the run still touches every PARTITION's meta — but it only
+shuffles, computes and WRITES the ~1% of rows that changed.  (Rewrite-mode
+splice — resolve + full-partition rewrite — was measured SLOWER than a cold
+rebuild at this kernel spec: 15.8 s vs 13.2 s at 10M turns / 1% delta; the
+backfill is byte-bound, which is why delta fragments are the default.)
+
+Usage::
+
+    python scripts/incremental_proof.py                  # 10M base + 1% delta
+    python scripts/incremental_proof.py --replicate 20   # quick 2M-turn check
+
+Prints ONE JSON line; record it in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _with_delta(ds, replicate: int, shift_us: int):
+    """base+delta corpus: replica index == replicate is the delta — shift its
+    ts past the base max so every appended row honors the watermark
+    contract (strictly newer than any committed watermark)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    suffix = f"#{replicate}"
+
+    def shift(t: pa.Table) -> pa.Table:
+        is_delta = pc.ends_with(t["conv_id"], pattern=suffix)
+        ts = t["ts"]
+        shifted = pc.add(ts, pa.scalar(shift_us, pa.duration("us")))
+        return t.set_column(
+            t.schema.get_field_index("ts"), "ts",
+            pc.if_else(is_delta, shifted, ts))
+
+    return ds.map_batches(shift, batch_format="pyarrow")
+
+
+def child_main(args) -> int:
+    import ray
+
+    ray.init(address="local", num_cpus=args.num_cpus,
+             include_dashboard=False, logging_level="ERROR")
+    from protein_feature_engineering_ray.config import tune_data_context
+
+    tune_data_context()
+    from protein_feature_engineering_ray.pipelines.backfill import (
+        EVENTS_TURN_SPECS,
+        backfill_to_dir,
+        incremental_backfill_to_dir,
+    )
+    from protein_feature_engineering_ray.schema import EVENT_ROLE_ALPHABET
+    from protein_feature_engineering_ray.sources.synthscale import (
+        replicated_events,
+        sized_num_buckets,
+    )
+    from protein_feature_engineering_ray.sources.transcripts import pre_encode
+
+    nb = sized_num_buckets(args.n_turns)  # base-corpus layout for all phases
+    kw = dict(
+        num_buckets=nb,
+        turn_specs=EVENTS_TURN_SPECS,
+        project=("conv_id", "event_id", "turn_idx", "role_code",
+                 "tool_flag", "ts", "value"),
+        vector_col="features", out_dtype="float32",
+    )
+    if args.mode == "base":
+        ds = replicated_events(args.sf_dir, args.replicate)
+        manifest = backfill_to_dir(pre_encode(ds, EVENT_ROLE_ALPHABET),
+                                   args.out, **kw)
+    elif args.mode == "compact":
+        from protein_feature_engineering_ray.pipelines.backfill import (
+            compact_backfill,
+        )
+
+        manifest = compact_backfill(args.out)
+    else:
+        ds = _with_delta(replicated_events(args.sf_dir, args.replicate + 1),
+                         args.replicate, args.shift_us)
+        ds = pre_encode(ds, EVENT_ROLE_ALPHABET)
+        if args.mode == "inc":
+            manifest = incremental_backfill_to_dir(ds, args.out, **kw)
+        else:  # cold
+            manifest = backfill_to_dir(ds, args.out, **kw)
+    print("MANIFEST " + json.dumps(sorted(int(m["bucket"]) for m in manifest)))
+    ray.shutdown()
+    return 0
+
+
+def _dir_hash(con, out_dir: str) -> tuple:
+    """Order-insensitive exact fold over the LOGICAL table: only fragments
+    the manifests list (orphans from a crashed commit stay invisible), a
+    conversation's rows taken from its last generation."""
+    from protein_feature_engineering_ray.state.manifest import (
+        bucket_dir,
+        fragment_files,
+        read_manifest,
+    )
+
+    files = []
+    for m in read_manifest(out_dir):
+        d = bucket_dir(out_dir, m["bucket"])
+        files += [os.path.join(d, f) for f in fragment_files(m)]
+    lst = ", ".join(f"'{f}'" for f in files)
+    row = con.execute(
+        f"""SELECT count(*),
+               sum(hash(conv_id)), sum(hash(turn_idx)), sum(hash(ts)),
+               sum(hash(session_idx)), sum(hash(features))
+        FROM (
+            SELECT *, coalesce(try_cast(regexp_extract(filename,
+                       'delta-(\\d+)', 1) AS BIGINT), 0) AS g
+            FROM read_parquet([{lst}], filename=true)
+            QUALIFY g = max(g) OVER (PARTITION BY conv_id)
+        )"""
+    ).fetchone()
+    return tuple(int(x) for x in row)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    p.add_argument("--replicate", type=int, default=100)  # 10M base turns
+    p.add_argument("--num-cpus", type=int, default=int(
+        os.environ.get("RAY_GRAFT_CPUS", "32")))
+    p.add_argument("--base", default="/dev/shm/incremental_proof")
+    p.add_argument("--n-turns", type=int, default=0, help="internal")
+    p.add_argument("--shift-us", type=int, default=0, help="internal")
+    p.add_argument("--out", default=None, help="internal: child mode")
+    p.add_argument("--mode", default=None,
+                   choices=["base", "inc", "cold", "compact"],
+                   help="internal: child mode")
+    args = p.parse_args()
+
+    import duckdb
+
+    base_turns, ts_lo, ts_hi = duckdb.sql(
+        f"""select count(*), min(ts), max(ts)
+            from read_parquet('{args.sf_dir}/events.parquet')"""
+    ).fetchone()
+    args.n_turns = base_turns * max(args.replicate, 1)
+    # delta ts shift: one full span + 1 day clears the base max everywhere
+    span_us = int((ts_hi - ts_lo).total_seconds() * 1e6)
+    args.shift_us = args.shift_us or span_us + 86_400_000_000
+
+    if args.out is not None:
+        return child_main(args)
+
+    inc_dir = os.path.join(args.base, "inc")
+    cold_dir = os.path.join(args.base, "cold")
+    shutil.rmtree(args.base, ignore_errors=True)
+    os.makedirs(args.base)
+
+    def run(mode: str, out_dir: str) -> tuple[float, list[int]]:
+        t0 = time.perf_counter()
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--sf-dir", args.sf_dir, "--replicate", str(args.replicate),
+             "--num-cpus", str(args.num_cpus),
+             "--shift-us", str(args.shift_us),
+             "--out", out_dir, "--mode", mode],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        out, _ = proc.communicate()
+        sec = round(time.perf_counter() - t0, 3)
+        assert proc.returncode == 0, f"{mode} run failed"
+        buckets = json.loads(
+            [ln for ln in out.splitlines()
+             if ln.startswith("MANIFEST ")][-1][9:])
+        return sec, buckets
+
+    import glob
+
+    t_base, base_buckets = run("base", inc_dir)
+    data_mtimes = {p: os.path.getmtime(p) for p in glob.glob(
+        os.path.join(inc_dir, "bucket=*", "data.parquet"))}
+    t_inc, inc_buckets = run("inc", inc_dir)
+    rewrote = [p for p, mt in data_mtimes.items()
+               if os.path.getmtime(p) != mt]
+    delta_bytes = sum(os.path.getsize(p) for p in glob.glob(
+        os.path.join(inc_dir, "bucket=*", "delta-*.parquet")))
+    base_bytes = sum(os.path.getsize(p) for p in data_mtimes)
+    t_cold, cold_buckets = run("cold", cold_dir)
+
+    con = duckdb.connect()
+    h_inc = _dir_hash(con, inc_dir)
+    h_cold = _dir_hash(con, cold_dir)
+    equal = h_inc == h_cold
+
+    t_compact, _ = run("compact", inc_dir)
+    equal_compacted = _dir_hash(con, inc_dir) == h_cold
+
+    result = {
+        "metric": "incremental append-only ingest proof (1-replica delta "
+                  "into a committed backfill, LSM delta fragments, vs cold "
+                  "rebuild; then compaction)",
+        "n_turns_base": args.n_turns,
+        "n_turns_delta": base_turns,
+        "num_buckets": len(base_buckets),
+        "num_cpus": args.num_cpus,
+        "sec_base_backfill": t_base,
+        "sec_incremental": t_inc,
+        "sec_compact": t_compact,
+        "sec_cold_full": t_cold,
+        "buckets_spliced": len(inc_buckets),
+        "base_generations_rewritten": len(rewrote),
+        "bytes_base": base_bytes,
+        "bytes_delta_written": delta_bytes,
+        "outputs_equal": equal,
+        "outputs_equal_after_compact": equal_compacted,
+        "rows": h_inc[0],
+    }
+    print(json.dumps(result))
+    shutil.rmtree(args.base, ignore_errors=True)
+    return 0 if (equal and equal_compacted and not rewrote) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -160,6 +160,95 @@ def test_incremental_backfill(tmp_path):
         ray.data.from_pandas(full_df), inc, **kw) == []
 
 
+def test_incremental_delta_fragments(tmp_path):
+    """LSM-style delta ingest: each incremental run appends ONE fragment per
+    touched bucket (data.parquet bytes untouched), a conversation refreshed
+    twice resolves to its latest generation, rewrite mode is fragment-aware,
+    and compaction collapses back to one value-identical generation."""
+    from protein_feature_engineering_ray.pipelines.backfill import (
+        compact_backfill,
+    )
+    from protein_feature_engineering_ray.state.manifest import (
+        fragment_files,
+        read_bucket_meta,
+    )
+
+    full_df = synth_transcripts(n_convs=24, duplicates=False, as_pandas=True)
+    g = full_df.groupby("conv_id")["ts"].agg(["min", "max"])
+    cuts = g["max"].sort_values()
+    cut1, cut2 = cuts.iloc[-10], cuts.iloc[-4]  # two append waves
+    df1 = full_df[full_df["ts"] <= cut1].reset_index(drop=True)
+    df2 = full_df[full_df["ts"] <= cut2].reset_index(drop=True)
+    # a conversation with rows in BOTH waves is refreshed twice
+    twice = g[(g["max"] > cut1) & (g["min"] <= cut2)]
+    assert (g.loc[twice.index, "max"] > cut2).any()
+
+    kw = dict(num_buckets=8, alphabet=ALPHA, order_cols=ORDER,
+              assign_turn_idx=False)
+    cold = str(tmp_path / "cold")
+    backfill_to_dir(ray.data.from_pandas(full_df), cold, **kw)
+    want = _read_sorted(cold)
+
+    inc = str(tmp_path / "inc")
+    backfill_to_dir(ray.data.from_pandas(df1), inc, **kw)
+    data_mtimes = {
+        b: os.path.getmtime(os.path.join(bucket_dir(inc, b), "data.parquet"))
+        for b in completed_buckets(inc)
+    }
+    time.sleep(0.05)
+
+    m1 = incremental_backfill_to_dir(ray.data.from_pandas(df2), inc, **kw)
+    m2 = incremental_backfill_to_dir(ray.data.from_pandas(full_df), inc, **kw)
+    assert m1 and m2
+    # delta mode never rewrote a committed generation
+    for b, mt in data_mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(bucket_dir(inc, b), "data.parquet")) == mt
+    # fragment accounting: one delta per touched run, physical rows = sum
+    twice_touched = False
+    for b in completed_buckets(inc):
+        meta = read_bucket_meta(inc, b)
+        frags = fragment_files(meta)
+        assert 1 <= len(frags) <= 3 and frags[0] == "data.parquet"
+        assert meta["rows"] == sum(
+            f["rows"] for f in meta.get(
+                "fragments", [{"rows": meta["rows"]}]))
+        twice_touched |= len(frags) == 3
+    assert twice_touched, "fixture must refresh some bucket in both waves"
+    # resolved read equals the cold full backfill (last generation wins)
+    pd.testing.assert_frame_equal(_read_sorted(inc), want)
+
+    # compaction: back to single-generation partitions, value-identical
+    compacted = compact_backfill(inc)
+    assert compacted and compact_backfill(inc) == []
+    for b in completed_buckets(inc):
+        meta = read_bucket_meta(inc, b)
+        assert fragment_files(meta) == ["data.parquet"]
+        d = bucket_dir(inc, b)
+        assert not [n for n in os.listdir(d) if n.startswith("delta-")]
+    pd.testing.assert_frame_equal(_read_sorted(inc), want)
+
+    # rewrite mode resolves fragments before splicing (no delta rows lost)
+    rw = str(tmp_path / "rw")
+    backfill_to_dir(ray.data.from_pandas(df1), rw, **kw)
+    incremental_backfill_to_dir(ray.data.from_pandas(df2), rw, **kw)
+    m_rw = incremental_backfill_to_dir(
+        ray.data.from_pandas(full_df), rw, mode="rewrite", **kw)
+    for m in m_rw:  # every bucket THIS run touched is single-generation again
+        assert fragment_files(
+            read_bucket_meta(rw, m["bucket"])) == ["data.parquet"]
+    pd.testing.assert_frame_equal(_read_sorted(rw), want)
+
+    # fragment cap: max_fragments=1 forces in-splice compaction
+    capped = str(tmp_path / "capped")
+    backfill_to_dir(ray.data.from_pandas(df1), capped, **kw)
+    incremental_backfill_to_dir(
+        ray.data.from_pandas(full_df), capped, max_fragments=1, **kw)
+    for b in completed_buckets(capped):
+        assert fragment_files(read_bucket_meta(capped, b)) == ["data.parquet"]
+    pd.testing.assert_frame_equal(_read_sorted(capped), want)
+
+
 def test_backfill_dedup_on_ingest(tmp_path):
     """Duplicated (conv_id, turn_idx) rows are dropped inside the bucket
     pass (idempotent re-ingest) — output equals the clean corpus's."""
