@@ -29,3 +29,41 @@ def test_max_bucket_rows_guard():
             ds, lambda t: t, num_buckets=2, max_bucket_rows=10
         ).count()
     assert "max_bucket_rows" in str(ei.value)
+
+
+def test_sort_bucket_dictrank_byte_identical():
+    """The dictionary-rank fast path must be byte-identical to a direct
+    multi-key string sort, and null string keys must fall back safely."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from protein_feature_engineering_ray.core.bucket import sort_bucket
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    conv = np.array([f"c{rng.integers(0, 300):04d}" for _ in range(n)], object)
+    tab = pa.table({
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(rng.integers(0, 1000, n), pa.int64()),
+        "payload": pa.array(rng.normal(size=n)),
+    })
+    # multi-chunk input (the shuffle delivers chunked tables)
+    tab = pa.concat_tables([tab.slice(0, 1700), tab.slice(1700, 1800),
+                            tab.slice(3500)])
+    want = tab.take(pc.sort_indices(
+        tab, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    assert sort_bucket(tab, ("conv_id", "turn_idx")).equals(want)
+
+    # nulls in the string key: fall back to the direct path, same order
+    mask = rng.random(n) < 0.05
+    conv_null = pa.array(
+        [None if m else v for m, v in zip(mask, conv)], pa.string())
+    tab_null = tab.set_column(0, "conv_id", conv_null)
+    want_null = tab_null.take(pc.sort_indices(
+        tab_null,
+        sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    assert sort_bucket(tab_null, ("conv_id", "turn_idx")).equals(want_null)
+
+    # empty table round-trips
+    assert sort_bucket(tab.slice(0, 0), ("conv_id", "turn_idx")).num_rows == 0
