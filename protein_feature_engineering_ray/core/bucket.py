@@ -48,10 +48,23 @@ def add_bucket(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     key: str = "conv_id",
 ) -> ray.data.Dataset:
-    """Append the ``_bucket`` column (vectorized, stateless map_batches)."""
+    """Append the ``_bucket`` column (vectorized, stateless map_batches).
+
+    Dictionary-encoded keys (``pre_encode(dict_conv=True)``) hash their
+    small dictionary once and gather by index — same bucket assignment as
+    hashing the decoded strings, without materializing them."""
 
     def _add(batch: pa.Table) -> pa.Table:
-        b = bucket_hash(batch[key].to_numpy(zero_copy_only=False), num_buckets)
+        col = batch[key]
+        if pa.types.is_dictionary(col.type):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            dic_b = bucket_hash(
+                col.dictionary.to_numpy(zero_copy_only=False), num_buckets
+            )
+            b = dic_b[col.indices.to_numpy(zero_copy_only=False)]
+        else:
+            b = bucket_hash(col.to_numpy(zero_copy_only=False), num_buckets)
         return batch.append_column("_bucket", pa.array(b, pa.uint32()))
 
     return ds.map_batches(_add, batch_format="pyarrow")
@@ -76,17 +89,22 @@ def sort_bucket(
     cols: dict[str, pa.ChunkedArray | pa.Array] = {}
     for i, c in enumerate(order_cols):
         col = table[c]
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        is_dict = pa.types.is_dictionary(col.type)
+        if is_dict or pa.types.is_string(col.type) or pa.types.is_large_string(
+            col.type
+        ):
             if col.null_count == 0:
                 if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
-                de = col.dictionary_encode()
+                    col = col.combine_chunks()  # unifies dictionaries
+                de = col if is_dict else col.dictionary_encode()
                 order = pa.compute.sort_indices(de.dictionary).to_numpy()
                 rank = np.empty(len(order), dtype=np.int64)
                 rank[order] = np.arange(len(order), dtype=np.int64)
                 col = pa.array(
                     rank[de.indices.to_numpy(zero_copy_only=False)], pa.int64()
                 )
+            elif is_dict:
+                col = col.cast(pa.string())  # rare null path: decode + direct
         name = f"_k{i}"
         cols[name] = col
         keys.append((name, "ascending"))

@@ -31,14 +31,34 @@ class ConvContext:
         return self.table[name].to_numpy(zero_copy_only=False)
 
     @cached_property
+    def _seg_dict(self):
+        """Combined (dictionary-unified) seg column when dictionary-encoded
+        (``pre_encode(dict_conv=True)``), else None."""
+        col = self.table[self.seg_col]
+        if not pa.types.is_dictionary(col.type):
+            return None
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    @cached_property
     def conv_ids_rows(self) -> np.ndarray:
         """Segmentation key per row (``conv_id``, or the salted chunk key in
-        chunked mode — see executor.turn_features_chunked)."""
+        chunked mode — see executor.turn_features_chunked), as strings."""
+        if self._seg_dict is not None:
+            return np.asarray(
+                self._seg_dict.cast(pa.string()).to_numpy(zero_copy_only=False),
+                dtype=object,
+            )
         return np.asarray(self.col_np(self.seg_col), dtype=object)
 
     @cached_property
     def starts(self) -> np.ndarray:
         """Segment offsets, length n_segments + 1."""
+        if self._seg_dict is not None:
+            # equal unified-dictionary index <=> equal conversation: segment
+            # on int32 codes, never materializing the strings
+            return segment_starts(
+                self._seg_dict.indices.to_numpy(zero_copy_only=False)
+            )
         return segment_starts(self.conv_ids_rows)
 
     @cached_property
@@ -55,7 +75,14 @@ class ConvContext:
 
     @cached_property
     def conv_ids(self) -> np.ndarray:
-        """One conv_id per segment."""
+        """One conv_id per segment (strings; the dictionary path decodes only
+        the segment heads, not every row)."""
+        if self._seg_dict is not None:
+            heads = self._seg_dict.take(pa.array(self.starts[:-1]))
+            return np.asarray(
+                heads.cast(pa.string()).to_numpy(zero_copy_only=False),
+                dtype=object,
+            )
         return self.conv_ids_rows[self.starts[:-1]]
 
     @cached_property

@@ -97,8 +97,11 @@ def _make_bucket_fn(
             ctx.table = table
         mats = [np.atleast_2d(k.apply(ctx).T).T for k in kernels]
         if per_turn:
+            conv = table["conv_id"]
+            if pa.types.is_dictionary(conv.type):
+                conv = conv.cast(pa.string())  # stable output schema
             keys = {
-                "conv_id": table["conv_id"],
+                "conv_id": conv,
                 "turn_idx": table["turn_idx"],
                 "ts": table["ts"],
             }

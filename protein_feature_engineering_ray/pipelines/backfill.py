@@ -90,9 +90,15 @@ def make_backfill_fn(
             # idempotent re-ingest: duplicated (conv_id, turn_idx) rows are
             # adjacent after the in-bucket sort — keep the first; free here
             # (no extra shuffle, SURVEY §2.8)
-            conv = np.asarray(
-                table["conv_id"].to_numpy(zero_copy_only=False), dtype=object
-            )
+            ccol = table["conv_id"]
+            if pa.types.is_dictionary(ccol.type):
+                if isinstance(ccol, pa.ChunkedArray):
+                    ccol = ccol.combine_chunks()  # unified: index <=> value
+                conv = ccol.indices.to_numpy(zero_copy_only=False)
+            else:
+                conv = np.asarray(
+                    ccol.to_numpy(zero_copy_only=False), dtype=object
+                )
             ti = table["turn_idx"].to_numpy(zero_copy_only=False)
             keep = np.ones(table.num_rows, dtype=bool)
             keep[1:] = (conv[1:] != conv[:-1]) | (ti[1:] != ti[:-1])
@@ -106,8 +112,11 @@ def make_backfill_fn(
             ctx.table = table
         sid = _session_ids(ctx, int(gap_seconds * 1e6))
         mats = [np.atleast_2d(k.apply(ctx).T).T for k in kernels]
+        conv = table["conv_id"]
+        if pa.types.is_dictionary(conv.type):
+            conv = conv.cast(pa.string())  # stable output schema
         keys = {
-            "conv_id": table["conv_id"],
+            "conv_id": conv,
             "turn_idx": table["turn_idx"],
             "ts": table["ts"],
             "session_idx": pa.array(sid, pa.int64()),
@@ -326,13 +335,23 @@ def incremental_backfill_to_dir(
     def new_convs(t: pa.Table) -> pa.Table:
         from protein_feature_engineering_ray.core.bucket import bucket_hash
 
-        b = bucket_hash(t["conv_id"].to_numpy(zero_copy_only=False),
-                        num_buckets)
+        col = t["conv_id"]
+        if pa.types.is_dictionary(col.type):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            dic_b = bucket_hash(
+                col.dictionary.to_numpy(zero_copy_only=False), num_buckets)
+            b = dic_b[col.indices.to_numpy(zero_copy_only=False)]
+        else:
+            b = bucket_hash(col.to_numpy(zero_copy_only=False), num_buckets)
         ts = _ts_us(t["ts"]).combine_chunks() if isinstance(
             t["ts"], pa.ChunkedArray) else _ts_us(t["ts"])
         is_new = np.asarray(ts) > wm[b]
         conv = t["conv_id"].filter(pa.array(is_new))
-        return pa.table({"conv_id": conv.unique()})
+        uniq = conv.unique()
+        if pa.types.is_dictionary(uniq.type):
+            uniq = uniq.cast(pa.string())  # plain strings into Dataset.unique
+        return pa.table({"conv_id": uniq})
 
     touched = (
         ds.select_columns(["conv_id", "ts"])

@@ -147,12 +147,27 @@ def from_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Datas
     return ds.map_batches(to_transcript, batch_format="pyarrow")
 
 
-def pre_encode(ds: ray.data.Dataset, letters: tuple[str, ...]) -> ray.data.Dataset:
+def pre_encode(
+    ds: ray.data.Dataset, letters: tuple[str, ...], dict_conv: bool = False
+) -> ray.data.Dataset:
     """Producer-side role/tool encoding: ``role`` -> ``role_code`` int8
     (unknown -> -1, the reference's ``-`` pad) and ``tool`` -> ``tool_flag``
     int8, dropping the string columns.  Shrinks the bytes shipped through the
     co-location exchange and removes the per-bucket string encode
-    (ConvContext.codes fast path)."""
+    (ConvContext.codes fast path).
+
+    ``dict_conv=True`` additionally dictionary-encodes ``conv_id``: each
+    conversation's id travels the shuffle ONCE per block (int32 index per
+    row) instead of once per turn — ~25 % fewer exchange bytes at avg conv
+    length ~150 — and every consumer is dictionary-aware (add_bucket hashes
+    the dictionary, sort_bucket ranks it, ConvContext segments on indices);
+    outputs cast back to plain string, so results and schemas are identical
+    either way (A/B-asserted).  DEFAULT OFF after measurement: on the
+    one-socket sandbox the 40M-turn sweep ran 10.7 s dict vs 7.3 s plain
+    (interleaved min-of-3) — Ray's sort shuffle re-unifies the per-block
+    dictionaries at every merge, and that CPU cost exceeds the DRAM saving.
+    On a real multi-node cluster, where the exchange crosses a NETWORK,
+    the byte saving may win; measure there before flipping."""
 
     letter_arr = pa.array(list(letters), pa.string())
 
@@ -163,6 +178,10 @@ def pre_encode(ds: ray.data.Dataset, letters: tuple[str, ...]) -> ray.data.Datas
         )
         t = t.append_column("role_code", code)
         t = t.append_column("tool_flag", tool_flag)
+        if dict_conv and not pa.types.is_dictionary(t["conv_id"].type):
+            i = t.column_names.index("conv_id")
+            t = t.set_column(
+                i, "conv_id", pc.dictionary_encode(t["conv_id"]))
         return t.drop_columns([c for c in ("role", "tool", "text")
                                if c in t.column_names])
 

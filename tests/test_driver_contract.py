@@ -129,6 +129,16 @@ def test_pre_encode_equivalence():
         order_cols=("conv_id", "ts", "event_id"), assign_turn_idx=True,
     ).to_pandas().sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(plain, enc)
+    # dictionary-encoded conv_id (non-default dict_conv=True): every consumer
+    # — add_bucket dictionary hash, sort_bucket dictionary rank, ConvContext
+    # index segmentation, string cast at output — must yield the identical
+    # result and schema
+    dicted = conv_features(
+        pre_encode(from_events(SF), EVENT_ALPHABET.letters, dict_conv=True),
+        ks(), alphabet=EVENT_ALPHABET, num_buckets=8,
+        order_cols=("conv_id", "ts", "event_id"), assign_turn_idx=True,
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, dicted)
 
 
 def test_catalog_invariants():
