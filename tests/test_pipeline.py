@@ -249,6 +249,38 @@ def test_incremental_delta_fragments(tmp_path):
     pd.testing.assert_frame_equal(_read_sorted(capped), want)
 
 
+def test_incremental_delta_ds_pass1(tmp_path):
+    """Arrival-partitioned ingest: pass 1 over ``delta_ds`` (just the new
+    rows) finds the same touched set as scanning the whole mixed corpus,
+    and the spliced result equals a cold full backfill."""
+    full_df = synth_transcripts(n_convs=24, duplicates=False, as_pandas=True)
+    g = full_df.groupby("conv_id")["ts"].agg(["min", "max"])
+    cutoff = g["max"].sort_values().iloc[-6]
+    base_df = full_df[full_df["ts"] <= cutoff].reset_index(drop=True)
+    new_df = full_df[full_df["ts"] > cutoff].reset_index(drop=True)
+    assert len(new_df)
+
+    kw = dict(num_buckets=8, alphabet=ALPHA, order_cols=ORDER,
+              assign_turn_idx=False)
+    cold = str(tmp_path / "cold")
+    backfill_to_dir(ray.data.from_pandas(full_df), cold, **kw)
+    want = _read_sorted(cold)
+
+    inc = str(tmp_path / "inc")
+    backfill_to_dir(ray.data.from_pandas(base_df), inc, **kw)
+    manifest = incremental_backfill_to_dir(
+        ray.data.from_pandas(full_df), inc,
+        delta_ds=ray.data.from_pandas(new_df), **kw)
+    touched_b = set(bucket_hash(new_df["conv_id"].unique(), 8))
+    assert sorted(m["bucket"] for m in manifest) == sorted(touched_b)
+    pd.testing.assert_frame_equal(_read_sorted(inc), want)
+
+    # empty delta -> no-op without scanning the corpus's touched set
+    assert incremental_backfill_to_dir(
+        ray.data.from_pandas(full_df), inc,
+        delta_ds=ray.data.from_pandas(new_df.iloc[:0]), **kw) == []
+
+
 def test_backfill_dedup_on_ingest(tmp_path):
     """Duplicated (conv_id, turn_idx) rows are dropped inside the bucket
     pass (idempotent re-ingest) — output equals the clean corpus's."""
