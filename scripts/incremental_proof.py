@@ -9,15 +9,29 @@ cold full backfill over base+delta?
 
 Protocol (each phase a fresh process owning its own local Ray session):
 
-1. **base run**: full backfill of the base corpus (``--replicate`` copies of
-   the sf events table) into ``<base>/inc``.
+0. **materialize**: the base corpus (``--replicate`` copies of the sf
+   events table, pre-encoded) is WRITTEN to parquet under
+   ``<base>/corpus/base/``, and the delta (one extra replica — fresh
+   conv_ids, ts shifted past the base max, honoring the watermark
+   contract) under ``<base>/corpus/delta/`` — the ARRIVAL-PARTITIONED
+   layout a real ingest produces.  All timed phases run over the real
+   parquet reader, not the synthetic producer (an earlier revision fed
+   the producer directly, and its fixed re-synthesis cost masked exactly
+   the scan term this proof is about).
+1. **base run**: full backfill of the base parquet into ``<base>/inc``.
 2. **incremental run** (delta mode — the LSM fragment path):
-   ``incremental_backfill_to_dir`` over base+delta into the SAME directory.
-   The delta is one extra replica (fresh conv_ids, ts shifted past the base
-   max — honoring the watermark contract), so with ``--replicate 100`` the
-   delta is ~1% of the corpus.  Timed; the run's manifest must cover
-   exactly the buckets owning delta conversations, and committed
-   ``data.parquet`` generations must not be rewritten (mtime-checked).
+   ``incremental_backfill_to_dir`` over base+delta into the SAME
+   directory.  With ``--replicate 100`` the delta is ~1% of the corpus.
+   Timed; the run's manifest must cover exactly the buckets owning delta
+   conversations, and committed ``data.parquet`` generations must not be
+   rewritten (mtime-checked).  Run once with pass 1 scanning the whole
+   mixed corpus, and once (into a second committed base) with
+   ``delta_ds=`` pointing pass 1 at just the delta files.  NOTE on the
+   two walls: at these sizes both fresh-process runs are dominated by
+   session boot + fixed pipeline floors, so their difference is noise;
+   the pass-1 term itself, isolated warm, is corpus-proportional without
+   ``delta_ds`` (0.80 s at 2M -> 2.2 s at 10M turns) and flat ~0.65 s
+   with it (BASELINE.md "Arrival-partitioned pass 1").
 3. **equality (pre-compact)**: DuckDB order-insensitive exact hash fold with
    last-generation-wins fragment resolution (``QUALIFY g = max(g) OVER
    (PARTITION BY conv_id)``) vs the cold directory's fold.
@@ -102,10 +116,32 @@ def child_main(args) -> int:
                  "tool_flag", "ts", "value"),
         vector_col="features", out_dtype="float32",
     )
-    if args.mode == "base":
-        ds = replicated_events(args.sf_dir, args.replicate)
-        manifest = backfill_to_dir(pre_encode(ds, EVENT_ROLE_ALPHABET),
-                                   args.out, **kw)
+    corpus = os.path.join(args.base, "corpus")
+    base_pq, delta_pq = os.path.join(corpus, "base"), os.path.join(
+        corpus, "delta")
+
+    def read_corpus(paths):
+        import glob as g
+
+        if isinstance(paths, list):  # a LIST of dirs needs explicit files
+            paths = sorted(sum((g.glob(os.path.join(p, "*.parquet"))
+                                for p in paths), []))
+        return ray.data.read_parquet(paths)
+
+    if args.mode == "materialize":
+        # the arrival-partitioned ingest layout: base and delta in their
+        # own parquet files, pre-encoded once at ingest time
+        pre_encode(replicated_events(args.sf_dir, args.replicate),
+                   EVENT_ROLE_ALPHABET).write_parquet(base_pq)
+        pre_encode(
+            _with_delta(
+                replicated_events(args.sf_dir, args.replicate + 1,
+                                  ids=[args.replicate]),
+                args.replicate, args.shift_us),
+            EVENT_ROLE_ALPHABET).write_parquet(delta_pq)
+        manifest = []
+    elif args.mode == "base":
+        manifest = backfill_to_dir(read_corpus(base_pq), args.out, **kw)
     elif args.mode == "compact":
         from protein_feature_engineering_ray.pipelines.backfill import (
             compact_backfill,
@@ -113,17 +149,14 @@ def child_main(args) -> int:
 
         manifest = compact_backfill(args.out)
     else:
-        ds = _with_delta(replicated_events(args.sf_dir, args.replicate + 1),
-                         args.replicate, args.shift_us)
-        ds = pre_encode(ds, EVENT_ROLE_ALPHABET)
+        ds = read_corpus([base_pq, delta_pq])
         if args.mode == "inc":
             manifest = incremental_backfill_to_dir(ds, args.out, **kw)
         elif args.mode == "inc_delta":
-            # arrival-partitioned ingest: pass 1 scans ONLY the delta files
-            delta = _with_delta(
-                replicated_events(args.sf_dir, args.replicate + 1,
-                                  ids=[args.replicate]),
-                args.replicate, args.shift_us)
+            # arrival-partitioned ingest: pass 1 scans ONLY the delta
+            # files, column-pruned at the parquet decode
+            delta = ray.data.read_parquet(delta_pq,
+                                          columns=["conv_id", "ts"])
             manifest = incremental_backfill_to_dir(
                 ds, args.out, delta_ds=delta, **kw)
         else:  # cold
@@ -174,7 +207,8 @@ def main() -> int:
     p.add_argument("--shift-us", type=int, default=0, help="internal")
     p.add_argument("--out", default=None, help="internal: child mode")
     p.add_argument("--mode", default=None,
-                   choices=["base", "inc", "inc_delta", "cold", "compact"],
+                   choices=["materialize", "base", "inc", "inc_delta", "cold",
+                            "compact"],
                    help="internal: child mode")
     args = p.parse_args()
 
@@ -217,6 +251,7 @@ def main() -> int:
 
     import glob
 
+    t_mat, _ = run("materialize", os.path.join(args.base, "corpus"))
     t_base, base_buckets = run("base", inc_dir)
     run("base", incd_dir)  # second committed base for the delta_ds phase
     data_mtimes = {p: os.path.getmtime(p) for p in glob.glob(
@@ -249,6 +284,7 @@ def main() -> int:
         "n_turns_delta": base_turns,
         "num_buckets": len(base_buckets),
         "num_cpus": args.num_cpus,
+        "sec_materialize_corpus": t_mat,
         "sec_base_backfill": t_base,
         "sec_incremental": t_inc,
         "sec_incremental_delta_ds": t_incd,
