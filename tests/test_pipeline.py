@@ -842,3 +842,35 @@ def test_from_events_column_pruning_contract():
         assert pruned[c].equals(full[c]), c
     with pytest.raises(ValueError):
         from_events(sf, columns=["no_such_col"])
+
+
+def test_incremental_random_waves(tmp_path):
+    """Randomized armor: N random append cut-points, incremental after each
+    wave, final logical output equals a cold full backfill regardless of
+    which conversations were refreshed in which wave (delta fragments +
+    in-splice compaction both exercised by mixed max_fragments)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    full_df = synth_transcripts(n_convs=30, duplicates=False, as_pandas=True)
+    kw = dict(num_buckets=8, alphabet=ALPHA, order_cols=ORDER,
+              assign_turn_idx=False)
+    cold = str(tmp_path / "cold")
+    backfill_to_dir(ray.data.from_pandas(full_df), cold, **kw)
+    want = _read_sorted(cold)
+
+    for trial in range(2):
+        ts_sorted = np.sort(full_df["ts"].unique())
+        cuts = np.sort(rng.choice(
+            ts_sorted[len(ts_sorted) // 4:-1], size=3, replace=False))
+        inc = str(tmp_path / f"inc{trial}")
+        first = full_df[full_df["ts"] <= cuts[0]].reset_index(drop=True)
+        backfill_to_dir(ray.data.from_pandas(first), inc, **kw)
+        for i, c in enumerate(list(cuts[1:]) + [None]):
+            snap = full_df if c is None else (
+                full_df[full_df["ts"] <= c].reset_index(drop=True))
+            # trial 1 forces in-splice compaction on every wave
+            incremental_backfill_to_dir(
+                ray.data.from_pandas(snap), inc,
+                max_fragments=16 if trial == 0 else 1, **kw)
+        pd.testing.assert_frame_equal(_read_sorted(inc), want)

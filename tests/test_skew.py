@@ -67,3 +67,20 @@ def test_sort_bucket_dictrank_byte_identical():
 
     # empty table round-trips
     assert sort_bucket(tab.slice(0, 0), ("conv_id", "turn_idx")).num_rows == 0
+
+
+def test_replicated_events_ids_subset():
+    """replicated_events(ids=[k]) emits exactly copy k of the full build."""
+    import pandas as pd
+
+    from protein_feature_engineering_ray.sources.synthscale import (
+        replicated_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = replicated_events(sf, 3).to_pandas()
+    one = replicated_events(sf, 3, ids=[2]).to_pandas()
+    want = full[full["conv_id"].str.endswith("#2")].reset_index(drop=True)
+    got = one.sort_values(["conv_id", "event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        want.sort_values(["conv_id", "event_id"]).reset_index(drop=True), got)
