@@ -34,16 +34,12 @@ from protein_feature_engineering_ray.stages.sessionize import _session_ids
 from protein_feature_engineering_ray.state.manifest import (
     commit_bucket,
     completed_buckets,
+    read_run_meta,
+    ts_bounds_us as _ts_bounds_us,
+    validate_run_layout,
+    write_run_meta,
 )
 
-def _ts_bounds_us(col) -> tuple[int | None, int | None]:
-    """(min, max) of a ts column in epoch MICROSECONDS regardless of the
-    column's own unit (pandas-sourced datasets carry timestamp[ns]; parquet
-    carries [us] — a watermark must not depend on which one fed the run)."""
-    mm = pc.min_max(col.cast(pa.timestamp("us")))
-    to_us = (lambda v: None if v.as_py() is None
-             else int(v.cast(pa.int64()).as_py()))
-    return to_us(mm["min"]), to_us(mm["max"])
 
 
 # canonical transcript schema only (input_hint columns)
@@ -203,6 +199,12 @@ def backfill_to_dir(
     single node (BASELINE.md)."""
     if project is not None:
         ds = ds.select_columns(list(project))
+    # layout guard: resuming under a different num_buckets would hash
+    # conversations into fresh buckets while stale rows linger in the old
+    # partitions — duplicates on read.  The root _RUN.json records the
+    # committed layout; ``complete`` flips true only when a run drains.
+    validate_run_layout(out_dir, num_buckets, what="backfill_to_dir")
+    write_run_meta(out_dir, num_buckets, complete=False)
     done = completed_buckets(out_dir)
     specs = turn_specs or DEFAULT_TURN_SPECS
     kernels = [make_kernel(n, alphabet, p)[1] for n, p in specs]
@@ -231,6 +233,7 @@ def backfill_to_dir(
     manifest = (
         withb.groupby("_bucket").map_groups(_fn, batch_format="pyarrow").to_pandas()
     )
+    write_run_meta(out_dir, num_buckets, complete=True)
     return manifest.to_dict("records")
 
 
@@ -241,7 +244,7 @@ def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
 
 
 def incremental_backfill_to_dir(
-    ds: ray.data.Dataset,
+    ds: ray.data.Dataset | None,
     out_dir: str,
     num_buckets: int = 32,
     alphabet: Alphabet = EVENT_ALPHABET,
@@ -250,12 +253,14 @@ def incremental_backfill_to_dir(
     order_cols: tuple[str, ...] = ("conv_id", "ts", "event_id"),
     assign_turn_idx: bool = True,
     project: tuple[str, ...] | None = None,
+    dedup: bool = False,
     vector_col: str | None = None,
     out_dtype: str = "float64",
     max_touched_convs: int = 2_000_000,
     mode: str = "delta",
     max_fragments: int = 16,
     delta_ds: ray.data.Dataset | None = None,
+    corpus_dir: str | None = None,
 ) -> list[dict]:
     """Append-only INCREMENTAL backfill against a committed output dir.
 
@@ -307,6 +312,18 @@ def incremental_backfill_to_dir(
     bucket's ``ts_watermark_us``.  Late data at-or-before the watermark is
     invisible to the pass-1 filter; backfill a fresh directory if ingest
     cannot honor the contract.
+
+    ``corpus_dir`` (the 100 TB pass-2 shape): when the committed INPUT lives
+    in a bucket-partitioned corpus store (state/corpus.py — same
+    ``bucket_hash(conv_id)`` modulus as this output), pass 2 no longer scans
+    the whole corpus to collect touched conversations' history: it reads
+    ONLY the touched buckets' files, row-group-pruned to the touched
+    conversations (the store writes partitions sorted by conv_id with
+    bounded parquet row groups).  A 1 TB delta against a 100 TB corpus then
+    reads ~delta-proportional bytes in BOTH passes instead of one full scan
+    (scripts/incremental_proof.py measures the pruning).  ``ds`` may be
+    None in that case; with arrival-partitioned ingest pass ``delta_ds``
+    pointing at the fragments ``append_corpus`` just wrote.
     """
     from protein_feature_engineering_ray.core.bucket import add_bucket, sort_bucket
     from protein_feature_engineering_ray.state.manifest import (
@@ -320,6 +337,27 @@ def incremental_backfill_to_dir(
 
     if mode not in ("delta", "rewrite"):
         raise ValueError(f"mode must be 'delta' or 'rewrite', got {mode!r}")
+    if ds is None and corpus_dir is None:
+        raise ValueError("pass ds, or corpus_dir to read the corpus store")
+
+    validate_run_layout(out_dir, num_buckets,
+                        what="incremental_backfill_to_dir")
+    if corpus_dir is not None:
+        from protein_feature_engineering_ray.state.corpus import (
+            corpus_meta,
+            read_corpus,
+        )
+
+        cmeta = corpus_meta(corpus_dir)
+        if cmeta["num_buckets"] != num_buckets:
+            raise RuntimeError(
+                f"corpus store {corpus_dir!r} is partitioned with "
+                f"num_buckets={cmeta['num_buckets']} but this backfill uses "
+                f"{num_buckets} — touched-bucket pruning requires the same "
+                "hash modulus on both layouts"
+            )
+        if ds is None:
+            ds = read_corpus(corpus_dir, columns=project)
 
     done = completed_buckets(out_dir)
     if not done:
@@ -327,8 +365,26 @@ def incremental_backfill_to_dir(
             ds, out_dir, num_buckets=num_buckets, alphabet=alphabet,
             turn_specs=turn_specs, gap_seconds=gap_seconds,
             order_cols=order_cols, assign_turn_idx=assign_turn_idx,
-            project=project, vector_col=vector_col, out_dtype=out_dtype,
+            project=project, dedup=dedup, vector_col=vector_col,
+            out_dtype=out_dtype,
         )
+    if delta_ds is not None:
+        root = read_run_meta(out_dir)
+        if not (root and root.get("complete")):
+            # with delta-only pass 1, a bucket that crashed mid-backfill
+            # (no _SUCCESS) would splice-commit holding ONLY the delta's
+            # conversations — its pre-crash conversations silently dropped.
+            # Full-corpus pass 1 is safe (the -inf watermark touches every
+            # conversation of an uncommitted bucket); require it, or a
+            # finished resume, before trusting a delta-sized scan.
+            raise RuntimeError(
+                f"{out_dir!r} holds a partially-committed backfill (root "
+                "manifest not complete): finish it first — rerun "
+                "backfill_to_dir (resume) or run incremental_backfill_to_dir "
+                "without delta_ds (full-corpus pass 1) — before using "
+                "delta_ds, or its crashed buckets would commit without "
+                "their pre-crash conversations"
+            )
 
     if project is not None:
         ds = ds.select_columns(list(project))
@@ -376,18 +432,23 @@ def incremental_backfill_to_dir(
             f"max_touched_convs={max_touched_convs}; at that volume a full "
             f"backfill into a fresh directory is cheaper — run that instead"
         )
-    touched_arr = pa.array(sorted(touched))
+    touched_sorted = sorted(touched)
+    # broadcast the touched set ONCE via the object store — at the
+    # max_touched_convs cap this is ~10^8 bytes of conv_id strings, which a
+    # task-closure capture would re-pickle into every pass-2 task
+    touched_ref = ray.put(pa.array(touched_sorted))
 
     # ---- pass 2: full history of touched convs only, splice-committed ----
     compute_fn = make_backfill_fn(
         [make_kernel(n, alphabet, p)[1]
          for n, p in (turn_specs or DEFAULT_TURN_SPECS)],
         alphabet, gap_seconds=gap_seconds, assign_turn_idx=assign_turn_idx,
-        out_dir=None, vector_col=vector_col, out_dtype=out_dtype,
+        out_dir=None, dedup=dedup, vector_col=vector_col, out_dtype=out_dtype,
     )
 
     def keep_touched(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["conv_id"], value_set=touched_arr))
+        return t.filter(
+            pc.is_in(t["conv_id"], value_set=ray.get(touched_ref)))
 
     def splice(table: pa.Table) -> pa.Table:
         t_start = time.perf_counter()
@@ -421,7 +482,7 @@ def incremental_backfill_to_dir(
             if old_meta:
                 old = resolve_fragments(d, frags)
                 carry = old.filter(pc.invert(
-                    pc.is_in(old["conv_id"], value_set=touched_arr)))
+                    pc.is_in(old["conv_id"], value_set=ray.get(touched_ref))))
                 out = pa.concat_tables([carry, fresh]).sort_by(
                     [("conv_id", "ascending"), ("turn_idx", "ascending")]
                 )
@@ -440,13 +501,30 @@ def incremental_backfill_to_dir(
                 [meta.get("convs", meta.get("delta_convs", 0))], pa.int64()),
         })
 
+    if corpus_dir is not None:
+        # touched-bucket + row-group pruned read: only the touched buckets'
+        # files are opened, and inside each file only the row groups whose
+        # conv_id [min, max] range intersects the touched set are decoded —
+        # pass 2's read cost is delta-proportional, not corpus-proportional
+        from protein_feature_engineering_ray.core.bucket import bucket_hash
+
+        tb = np.unique(bucket_hash(
+            np.asarray(touched_sorted, dtype=object), num_buckets))
+        src = read_corpus(
+            corpus_dir, buckets=[int(b) for b in tb], columns=project,
+            conv_filter=touched_ref,
+        )
+    else:
+        src = ds.map_batches(keep_touched, batch_format="pyarrow")
     manifest = (
-        add_bucket(ds.map_batches(keep_touched, batch_format="pyarrow"),
-                   num_buckets)
+        add_bucket(src, num_buckets)
         .groupby("_bucket")
         .map_groups(splice, batch_format="pyarrow")
         .to_pandas()
     )
+    # a full-pass-1 incremental over a partially-committed dir completes it
+    # (uncommitted buckets' conversations were all touched and spliced in)
+    write_run_meta(out_dir, num_buckets, complete=True)
     return manifest.to_dict("records")
 
 

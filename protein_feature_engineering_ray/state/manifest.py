@@ -27,8 +27,73 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
+def ts_bounds_us(col) -> tuple[int | None, int | None]:
+    """(min, max) of a ts column in epoch MICROSECONDS regardless of the
+    column's own unit (pandas-sourced datasets carry timestamp[ns]; parquet
+    carries [us] — a watermark must not depend on which one fed the run)."""
+    mm = pc.min_max(col.cast(pa.timestamp("us")))
+    to_us = (lambda v: None if v.as_py() is None
+             else int(v.cast(pa.int64()).as_py()))
+    return to_us(mm["min"]), to_us(mm["max"])
+
+
 def bucket_dir(out_dir: str, bucket: int) -> str:
     return os.path.join(out_dir, f"bucket={bucket:05d}")
+
+
+RUN_META = "_RUN.json"
+
+
+def read_run_meta(out_dir: str) -> dict | None:
+    p = os.path.join(out_dir, RUN_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_run_meta(out_dir: str, num_buckets: int, complete: bool,
+                   extra: dict | None = None) -> dict:
+    """Root-level run manifest: records the PARTITION LAYOUT (``num_buckets``
+    — the hash modulus every bucket dir was committed under) and whether the
+    last full backfill DRAINED (``complete``).  Both guard silent corruption:
+    a resume/incremental run under a different ``num_buckets`` would hash
+    conversations into fresh buckets while their stale rows linger in the old
+    ones (duplicates on read), and an incremental ``delta_ds`` pass over a
+    partially-committed directory would splice-commit a crashed bucket with
+    only the delta's conversations, silently dropping its pre-crash ones."""
+    os.makedirs(out_dir, exist_ok=True)
+    meta = {"num_buckets": int(num_buckets), "complete": bool(complete),
+            "committed_at": time.time(), **(extra or {})}
+    tmp = os.path.join(out_dir, ".tmp-run.json")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, RUN_META))
+    return meta
+
+
+def validate_run_layout(out_dir: str, num_buckets: int,
+                        what: str = "run") -> dict | None:
+    """Raise if ``out_dir`` was committed under a different ``num_buckets``
+    than this call is about to use.  Returns the root meta (None if the
+    directory predates root manifests or is fresh)."""
+    meta = read_run_meta(out_dir)
+    if meta is not None and meta.get("num_buckets") != int(num_buckets):
+        raise RuntimeError(
+            f"{what} over {out_dir!r} uses num_buckets={num_buckets} but the "
+            f"directory was committed with num_buckets={meta['num_buckets']}"
+            " — conversations would hash into different buckets, leaving "
+            "stale rows behind (duplicates on read). Pass the original "
+            "num_buckets, or backfill a fresh directory."
+        )
+    if meta is None and completed_buckets(out_dir):
+        raise RuntimeError(
+            f"{what} over {out_dir!r}: committed buckets exist but no "
+            f"{RUN_META} records their num_buckets — this directory predates "
+            "layout manifests; rebuild it (or write _RUN.json by hand if the "
+            "layout is known) before resuming into it."
+        )
+    return meta
 
 
 def completed_buckets(out_dir: str) -> set[int]:
@@ -65,17 +130,19 @@ def fragment_files(meta: dict) -> list[str]:
 
 
 def commit_bucket(
-    out_dir: str, bucket: int, table: pa.Table, lineage: dict | None = None
+    out_dir: str, bucket: int, table: pa.Table, lineage: dict | None = None,
+    row_group_size: int | None = None,
 ) -> dict:
     """Atomically write one bucket partition + its watermark manifest.
 
     Rewrites the partition to a single ``data.parquet`` generation: any
     delta fragments a previous meta listed are de-listed (and their files
-    removed) — this is also the compaction primitive."""
+    removed) — this is also the compaction primitive.  ``row_group_size``
+    bounds parquet row groups (the corpus store's pruning granularity)."""
     d = bucket_dir(out_dir, bucket)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, ".tmp-data.parquet")
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, row_group_size=row_group_size)
     os.replace(tmp, os.path.join(d, "data.parquet"))
     meta = {
         "bucket": bucket,
@@ -91,7 +158,8 @@ def commit_bucket(
 
 
 def commit_delta(
-    out_dir: str, bucket: int, table: pa.Table, lineage: dict | None = None
+    out_dir: str, bucket: int, table: pa.Table, lineage: dict | None = None,
+    row_group_size: int | None = None,
 ) -> dict:
     """Append one delta fragment to an already-committed partition.
 
@@ -104,17 +172,27 @@ def commit_delta(
     partition has no committed meta yet (first generation)."""
     meta = read_bucket_meta(out_dir, bucket)
     if meta is None:
-        return commit_bucket(out_dir, bucket, table, lineage)
+        return commit_bucket(out_dir, bucket, table, lineage,
+                             row_group_size=row_group_size)
     d = bucket_dir(out_dir, bucket)
     frags = meta.get("fragments")
     if frags is None:
         frags = [{"file": "data.parquet", "rows": meta["rows"]}]
+        # logical counts from the full-rewrite era would silently go stale
+        # as fragments accumulate: rename them base_* (per-fragment counts
+        # live in the fragments list; ``rows`` is PHYSICAL across fragments)
+        for k in ("convs", "turns"):
+            if k in meta:
+                meta[f"base_{k}"] = meta.pop(k)
     gen = len(frags)
     name = f"delta-{gen:05d}.parquet"
     tmp = os.path.join(d, f".tmp-{name}")
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, row_group_size=row_group_size)
     os.replace(tmp, os.path.join(d, name))
-    frags = frags + [{"file": name, "rows": table.num_rows}]
+    frag_entry = {"file": name, "rows": table.num_rows}
+    if lineage and "delta_convs" in lineage:
+        frag_entry["convs"] = lineage["delta_convs"]
+    frags = frags + [frag_entry]
     meta = {
         **meta,
         "rows": sum(f["rows"] for f in frags),

@@ -120,7 +120,7 @@ def child_main(args) -> int:
     base_pq, delta_pq = os.path.join(corpus, "base"), os.path.join(
         corpus, "delta")
 
-    def read_corpus(paths):
+    def read_corpus_files(paths):
         import glob as g
 
         if isinstance(paths, list):  # a LIST of dirs needs explicit files
@@ -128,7 +128,29 @@ def child_main(args) -> int:
                                 for p in paths), []))
         return ray.data.read_parquet(paths)
 
-    if args.mode == "materialize":
+    store = os.path.join(args.base, "store")
+    if args.mode == "ingest":
+        from protein_feature_engineering_ray.state.corpus import ingest_corpus
+
+        manifest = ingest_corpus(read_corpus_files(base_pq), store,
+                                 num_buckets=nb)
+    elif args.mode == "base_corpus":
+        from protein_feature_engineering_ray.state.corpus import read_corpus
+
+        manifest = backfill_to_dir(read_corpus(store), args.out, **kw)
+    elif args.mode == "append_inc":
+        # the 100 TB shape end-to-end: append the arrival wave to the
+        # corpus store, then run the incremental with BOTH delta-sized
+        # pass 1 (delta_ds = the fragments just written) and touched-bucket
+        # + row-group pruned pass 2 (corpus_dir)
+        from protein_feature_engineering_ray.state.corpus import append_corpus
+
+        new_files = append_corpus(read_corpus_files(delta_pq), store)
+        assert new_files, "append wrote no fragments"
+        delta = ray.data.read_parquet(new_files, columns=["conv_id", "ts"])
+        manifest = incremental_backfill_to_dir(
+            None, args.out, corpus_dir=store, delta_ds=delta, **kw)
+    elif args.mode == "materialize":
         # the arrival-partitioned ingest layout: base and delta in their
         # own parquet files, pre-encoded once at ingest time
         pre_encode(replicated_events(args.sf_dir, args.replicate),
@@ -141,7 +163,7 @@ def child_main(args) -> int:
             EVENT_ROLE_ALPHABET).write_parquet(delta_pq)
         manifest = []
     elif args.mode == "base":
-        manifest = backfill_to_dir(read_corpus(base_pq), args.out, **kw)
+        manifest = backfill_to_dir(read_corpus_files(base_pq), args.out, **kw)
     elif args.mode == "compact":
         from protein_feature_engineering_ray.pipelines.backfill import (
             compact_backfill,
@@ -149,7 +171,7 @@ def child_main(args) -> int:
 
         manifest = compact_backfill(args.out)
     else:
-        ds = read_corpus([base_pq, delta_pq])
+        ds = read_corpus_files([base_pq, delta_pq])
         if args.mode == "inc":
             manifest = incremental_backfill_to_dir(ds, args.out, **kw)
         elif args.mode == "inc_delta":
@@ -208,7 +230,7 @@ def main() -> int:
     p.add_argument("--out", default=None, help="internal: child mode")
     p.add_argument("--mode", default=None,
                    choices=["materialize", "base", "inc", "inc_delta", "cold",
-                            "compact"],
+                            "compact", "ingest", "base_corpus", "append_inc"],
                    help="internal: child mode")
     args = p.parse_args()
 
@@ -267,11 +289,40 @@ def main() -> int:
     base_bytes = sum(os.path.getsize(p) for p in data_mtimes)
     t_cold, cold_buckets = run("cold", cold_dir)
 
+    # ---- corpus-store path: ingest base into the bucket-partitioned store,
+    # base backfill from it, append the delta wave, incremental with
+    # touched-bucket + row-group pruned pass 2 ----
+    store = os.path.join(args.base, "store")
+    incc_dir = os.path.join(args.base, "inc_corpus")
+    t_ingest, _ = run("ingest", store)
+    t_basec, _ = run("base_corpus", incc_dir)
+    t_incc, incc_buckets = run("append_inc", incc_dir)
+    assert sorted(incc_buckets) == sorted(inc_buckets), (
+        "corpus-store pass found a different touched-bucket set")
+
     con = duckdb.connect()
     h_inc = _dir_hash(con, inc_dir)
     h_cold = _dir_hash(con, cold_dir)
     equal = h_inc == h_cold
     equal_delta_ds = _dir_hash(con, incd_dir) == h_cold
+    equal_corpus = _dir_hash(con, incc_dir) == h_cold
+
+    # pass-2 read accounting: which bytes would the pruned corpus read
+    # decode for the touched conversations vs a full-corpus scan
+    from protein_feature_engineering_ray.state.corpus import pruned_read_stats
+
+    touched = [r[0] for r in con.execute(
+        f"select distinct conv_id from read_parquet("
+        f"'{os.path.join(args.base, 'corpus', 'delta')}/*.parquet')"
+    ).fetchall()]
+    prune = pruned_read_stats(
+        store, touched,
+        columns=["conv_id", "event_id", "turn_idx", "role_code",
+                 "tool_flag", "ts", "value"])
+    delta_rows = base_turns
+    total_rows = args.n_turns + base_turns
+    prune["delta_row_share"] = round(delta_rows / total_rows, 5)
+    prune["kept_fraction"] = round(prune["kept_fraction"], 5)
 
     t_compact, _ = run("compact", inc_dir)
     equal_compacted = _dir_hash(con, inc_dir) == h_cold
@@ -288,6 +339,9 @@ def main() -> int:
         "sec_base_backfill": t_base,
         "sec_incremental": t_inc,
         "sec_incremental_delta_ds": t_incd,
+        "sec_ingest_corpus_store": t_ingest,
+        "sec_base_from_corpus_store": t_basec,
+        "sec_incremental_corpus_store": t_incc,
         "sec_compact": t_compact,
         "sec_cold_full": t_cold,
         "buckets_spliced": len(inc_buckets),
@@ -296,13 +350,19 @@ def main() -> int:
         "bytes_delta_written": delta_bytes,
         "outputs_equal": equal,
         "outputs_equal_delta_ds": equal_delta_ds,
+        "outputs_equal_corpus_store": equal_corpus,
         "outputs_equal_after_compact": equal_compacted,
+        "pass2_read": prune,
         "rows": h_inc[0],
     }
     print(json.dumps(result))
     shutil.rmtree(args.base, ignore_errors=True)
-    return 0 if (equal and equal_delta_ds and equal_compacted
-                 and not rewrote) else 1
+    # delta-proportionality gate: the pruned pass-2 read must cost a small
+    # multiple of the delta's row share, not a full-corpus scan
+    proportional = prune["kept_fraction"] <= max(
+        8 * prune["delta_row_share"], 0.10)
+    return 0 if (equal and equal_delta_ds and equal_corpus
+                 and equal_compacted and not rewrote and proportional) else 1
 
 
 if __name__ == "__main__":
