@@ -93,7 +93,7 @@ def ingest_corpus(
             corpus_dir, bucket, table,
             lineage={"ts_watermark_us": hi, "ts_min_us": lo,
                      "resolve": "concat"},
-            row_group_size=ROW_GROUP_ROWS,
+            row_group_size=ROW_GROUP_ROWS, index_col="conv_id",
         )
         return pa.table({
             "bucket": pa.array([meta["bucket"]], pa.int64()),
@@ -158,7 +158,8 @@ def append_corpus(
             lineage["ts_min_us"] = min(
                 x for x in (old.get("ts_min_us"), lo) if x is not None)
         new_meta = commit_delta(corpus_dir, bucket, table, lineage,
-                                row_group_size=ROW_GROUP_ROWS)
+                                row_group_size=ROW_GROUP_ROWS,
+                                index_col="conv_id")
         return pa.table({
             "bucket": pa.array([new_meta["bucket"]], pa.int64()),
             "file": pa.array([new_meta["fragments"][-1]["file"]
@@ -194,29 +195,53 @@ def corpus_files(corpus_dir: str, buckets=None) -> list[str]:
 
 
 def _kept_row_groups(path: str, touched_np: np.ndarray) -> list[int]:
-    """Row groups whose conv_id [min, max] statistics range can contain a
-    touched conversation (``touched_np`` sorted).  Files are written sorted
-    by conv_id, so ranges are tight; groups without stats are kept (the
-    exact is_in filter after decode guarantees correctness either way)."""
+    """Row groups that can contain a touched conversation (``touched_np``
+    sorted).
+
+    Preferred path — EXACT membership via the ``<path>.idx`` sidecar
+    (manifest.write_conv_index: one row per distinct conv_id with its
+    [rg_first, rg_last] span; partitions are written sorted by conv_id so
+    spans are contiguous).  Exactness matters: a daily delta's touched
+    conv_ids scatter uniformly through the key order, so min/max RANGE
+    pruning keeps nearly every row group even when zero touched rows are
+    actually present (measured kept_fraction 1.0 on the 2M-turn proof);
+    the index keeps only row groups holding real matches — in particular
+    ZERO base row groups for brand-new conversations.
+
+    Fallback (no sidecar — legacy stores): [min, max] statistics range
+    intersection; groups without stats are kept.  The exact ``is_in``
+    filter after decode guarantees correctness on every path."""
+    idx_path = path + ".idx"
+    if os.path.exists(idx_path):
+        t = pq.read_table(idx_path)
+        vs = pa.array(touched_np, pa.string())
+        if t["conv_id"].type != vs.type:
+            vs = vs.cast(t["conv_id"].type)
+        sel = t.filter(pc.is_in(t["conv_id"], value_set=vs))
+        keep: set[int] = set()
+        for a, b in zip(sel["rg_first"].to_numpy(),
+                        sel["rg_last"].to_numpy()):
+            keep.update(range(int(a), int(b) + 1))
+        return sorted(keep)
     pf = pq.ParquetFile(path)
     if pf.metadata.num_row_groups == 0:
         return []
     rg0 = pf.metadata.row_group(0)
     ci = next(c for c in range(rg0.num_columns)
               if rg0.column(c).path_in_schema.split(".")[0] == "conv_id")
-    keep = []
+    keep_l = []
     for rg in range(pf.metadata.num_row_groups):
         st = pf.metadata.row_group(rg).column(ci).statistics
         if st is None or not st.has_min_max:
-            keep.append(rg)
+            keep_l.append(rg)
             continue
         lo, hi = st.min, st.max
         if isinstance(lo, bytes):
             lo, hi = lo.decode(), hi.decode()
         i = int(np.searchsorted(touched_np, lo, side="left"))
         if i < len(touched_np) and touched_np[i] <= hi:
-            keep.append(rg)
-    return keep
+            keep_l.append(rg)
+    return keep_l
 
 
 def read_corpus(
@@ -239,16 +264,14 @@ def read_corpus(
     if not files:
         return ray.data.from_items([])
     if conv_filter is None:
-        out = ray.data.read_parquet(files, columns=cols)
         if cols is None:
-            # the reader infers a hive "bucket" column from the dir names;
-            # the store's logical schema is exactly what was ingested
-            def _strip(t: pa.Table) -> pa.Table:
-                return (t.drop_columns(["bucket"])
-                        if "bucket" in t.column_names else t)
-
-            out = out.map_batches(_strip, batch_format="pyarrow")
-        return out
+            # the reader would infer a hive "bucket" column from the dir
+            # names; pin the column list to the FILE schema instead (the
+            # store's logical schema is exactly what was ingested) — an
+            # explicit list keeps this a pure pushed-down projection read,
+            # where a post-read strip map_batches would decode every column
+            cols = pq.read_schema(files[0]).names
+        return ray.data.read_parquet(files, columns=cols)
 
     ref = conv_filter if isinstance(conv_filter, ray.ObjectRef) \
         else ray.put(conv_filter)
@@ -308,7 +331,7 @@ def pruned_read_stats(
         return tot
 
     want = set(columns) if columns is not None else None
-    stats = {"bytes_total": 0, "bytes_kept": 0,
+    stats = {"bytes_total": 0, "bytes_kept": 0, "bytes_index": 0,
              "row_groups_total": 0, "row_groups_kept": 0,
              "files_total": 0, "files_opened": 0}
     for m in read_manifest(corpus_dir):
@@ -321,6 +344,9 @@ def pruned_read_stats(
             if opened:
                 stats["files_opened"] += 1
                 kept = set(_kept_row_groups(path, touched_np))
+                if os.path.exists(path + ".idx"):
+                    # the sidecar read is part of the pruned path's cost
+                    stats["bytes_index"] += os.path.getsize(path + ".idx")
             for rg in range(pf.metadata.num_row_groups):
                 b = col_bytes(pf.metadata.row_group(rg), want)
                 stats["bytes_total"] += b

@@ -129,21 +129,72 @@ def fragment_files(meta: dict) -> list[str]:
     return [f["file"] for f in meta.get("fragments", [{"file": "data.parquet"}])]
 
 
+IDX_SUFFIX = ".idx"
+
+
+def write_conv_index(path: str, table: pa.Table, index_col: str) -> str:
+    """Write the exact key→row-group membership sidecar ``<path>.idx``.
+
+    ``table`` is the data file's content, SORTED by ``index_col`` (each key's
+    rows are one contiguous run).  One sidecar row per distinct key:
+    (key, rg_first, rg_last), with row-group boundaries read back from the
+    just-written file's footer — robust to whatever splitting the writer
+    applied.  Parquet min/max range pruning over-selects badly when the
+    queried keys scatter through the key order (every range "intersects" a
+    key that is not actually present); exact membership is what makes the
+    corpus store's pass-2 read delta-proportional (state/corpus.py)."""
+    import numpy as np
+
+    md = pq.ParquetFile(path).metadata
+    bounds = np.cumsum(
+        [md.row_group(i).num_rows for i in range(md.num_row_groups)])
+    col = table[index_col]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    vals = arr.to_numpy(zero_copy_only=False)
+    n = len(vals)
+    if n:
+        change = np.flatnonzero(vals[1:] != vals[:-1]) + 1
+        starts = np.concatenate(([0], change)).astype(np.int64)
+        ends = np.concatenate((change, [n])).astype(np.int64) - 1
+        idx = pa.table({
+            index_col: pa.array(vals[starts]),
+            "rg_first": pa.array(
+                np.searchsorted(bounds, starts, side="right"), pa.int32()),
+            "rg_last": pa.array(
+                np.searchsorted(bounds, ends, side="right"), pa.int32()),
+        })
+    else:
+        idx = pa.table({index_col: pa.array([], pa.string()),
+                        "rg_first": pa.array([], pa.int32()),
+                        "rg_last": pa.array([], pa.int32())})
+    tmp = path + ".tmp-idx"
+    pq.write_table(idx, tmp)
+    os.replace(tmp, path + IDX_SUFFIX)
+    return path + IDX_SUFFIX
+
+
 def commit_bucket(
     out_dir: str, bucket: int, table: pa.Table, lineage: dict | None = None,
-    row_group_size: int | None = None,
+    row_group_size: int | None = None, index_col: str | None = None,
 ) -> dict:
     """Atomically write one bucket partition + its watermark manifest.
 
     Rewrites the partition to a single ``data.parquet`` generation: any
     delta fragments a previous meta listed are de-listed (and their files
     removed) — this is also the compaction primitive.  ``row_group_size``
-    bounds parquet row groups (the corpus store's pruning granularity)."""
+    bounds parquet row groups and ``index_col`` adds the exact key→row-group
+    sidecar (the corpus store's pruning granularity; the table must arrive
+    sorted by ``index_col``)."""
     d = bucket_dir(out_dir, bucket)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, ".tmp-data.parquet")
     pq.write_table(table, tmp, row_group_size=row_group_size)
-    os.replace(tmp, os.path.join(d, "data.parquet"))
+    data = os.path.join(d, "data.parquet")
+    os.replace(tmp, data)
+    if index_col is not None:
+        write_conv_index(data, table, index_col)
+    elif os.path.exists(data + IDX_SUFFIX):
+        os.unlink(data + IDX_SUFFIX)  # stale index over the fresh rewrite
     meta = {
         "bucket": bucket,
         "rows": table.num_rows,
@@ -152,14 +203,16 @@ def commit_bucket(
     }
     _write_meta(d, meta)
     for name in os.listdir(d):  # stale fragments are now unreferenced
-        if name.startswith("delta-") and name.endswith(".parquet"):
+        if name.startswith("delta-") and (
+            name.endswith(".parquet") or name.endswith(IDX_SUFFIX)
+        ):
             os.unlink(os.path.join(d, name))
     return meta
 
 
 def commit_delta(
     out_dir: str, bucket: int, table: pa.Table, lineage: dict | None = None,
-    row_group_size: int | None = None,
+    row_group_size: int | None = None, index_col: str | None = None,
 ) -> dict:
     """Append one delta fragment to an already-committed partition.
 
@@ -173,7 +226,8 @@ def commit_delta(
     meta = read_bucket_meta(out_dir, bucket)
     if meta is None:
         return commit_bucket(out_dir, bucket, table, lineage,
-                             row_group_size=row_group_size)
+                             row_group_size=row_group_size,
+                             index_col=index_col)
     d = bucket_dir(out_dir, bucket)
     frags = meta.get("fragments")
     if frags is None:
@@ -188,7 +242,10 @@ def commit_delta(
     name = f"delta-{gen:05d}.parquet"
     tmp = os.path.join(d, f".tmp-{name}")
     pq.write_table(table, tmp, row_group_size=row_group_size)
-    os.replace(tmp, os.path.join(d, name))
+    frag_path = os.path.join(d, name)
+    os.replace(tmp, frag_path)
+    if index_col is not None:
+        write_conv_index(frag_path, table, index_col)
     frag_entry = {"file": name, "rows": table.num_rows}
     if lineage and "delta_convs" in lineage:
         frag_entry["convs"] = lineage["delta_convs"]

@@ -137,7 +137,8 @@ def child_main(args) -> int:
     elif args.mode == "base_corpus":
         from protein_feature_engineering_ray.state.corpus import read_corpus
 
-        manifest = backfill_to_dir(read_corpus(store), args.out, **kw)
+        manifest = backfill_to_dir(
+            read_corpus(store, columns=kw["project"]), args.out, **kw)
     elif args.mode == "append_inc":
         # the 100 TB shape end-to-end: append the arrival wave to the
         # corpus store, then run the incremental with BOTH delta-sized
