@@ -921,7 +921,29 @@ def q_dde(sf):
 
 
 def q_ctdd(sf):
-    return _conv(sf, [("CTDD", {})])
+    """CTDD (feature.py: _CTDD) AND its two-pass chunked skew path in ONE
+    entry (catalog cap discipline — the freed slot holds simhash_dedup):
+    identical feature columns tagged by ``path`` ('exec' = whole-conversation
+    executor, 'chunked' = rank statistics routed to tiny chunks so sf-scale
+    conversations genuinely span many chunks), both bit-exact against the
+    SAME SQL, UNION ALL'd under both tags."""
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.functions.ctdd_chunked import ctdd_chunked
+
+    def tag(name):
+        def f(t: "pa.Table") -> "pa.Table":
+            return t.append_column("path", pa.array([name] * len(t)))
+
+        return f
+
+    whole = _conv(sf, [("CTDD", {})]).map_batches(
+        tag("exec"), batch_format="pyarrow")
+    chunked = ctdd_chunked(
+        _canonical(sf), make_kernel("CTDD", EVENT_ALPHABET)[1],
+        alphabet=EVENT_ALPHABET, chunk_size=16, num_buckets=NB,
+    ).map_batches(tag("chunked"), batch_format="pyarrow")
+    return whole.union(chunked)
 
 
 def _canonical(sf):
@@ -940,18 +962,6 @@ def _canonical(sf):
 
     return grouped_buckets(
         _events(sf), assign, num_buckets=NB, order_cols=ORDER
-    )
-
-
-def q_ctdd_chunked(sf):
-    """Skew path: the two-pass chunked CTDD (rank statistics routed to
-    chunks) against the SAME bit-exact oracle as q_ctdd.  chunk_size is tiny
-    here so sf-scale conversations genuinely span many chunks."""
-    from protein_feature_engineering_ray.functions.ctdd_chunked import ctdd_chunked
-
-    return ctdd_chunked(
-        _canonical(sf), make_kernel("CTDD", EVENT_ALPHABET)[1],
-        alphabet=EVENT_ALPHABET, chunk_size=16, num_buckets=NB,
     )
 
 
@@ -1572,9 +1582,46 @@ def q_ivf_knn(sf):
 
 
 def q_embed_docs(sf):
-    """Closed-loop embedding stage: deterministic hash-projection model in
-    an actor pool with ESM-style token-budget micro-batching (rows-only —
-    the embedding column has no SQL analogue)."""
+    """HARD-GATED embedding stage (round-5; was rows-only — the
+    fit_transform pattern): the float vectors are model-defined, but the
+    stage's integer surface is a theorem — every doc embedded exactly ONCE
+    (id set + multiplicity via doc_id), the token budget (n_model_tokens,
+    same expression model_tokens gates), the FixedSizeList width per row
+    (emb_dim) and well-formedness (emb_finite = count of finite float32s,
+    = dim when no NaN/Inf leaks out of the actor).  The float surface stays
+    pytest-gated (q_embed_docs_full; determinism/packing properties in
+    test_embed_actor_packing_and_determinism)."""
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.stages.embed import embed_docs
+
+    docs = sized_read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = embed_docs(docs, dim=32, concurrency=2)
+
+    def proj(t: "pa.Table") -> "pa.Table":
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        width = emb.type.list_size
+        vals = np.asarray(emb.flatten()).reshape(len(t), width)
+        finite = np.isfinite(vals).sum(axis=1).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_model_tokens": t["n_model_tokens"].cast(pa.int64()),
+            "emb_dim": pa.array(np.full(len(t), width, np.int64)),
+            "emb_finite": pa.array(finite),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def q_embed_docs_full(sf):
+    """Closed-loop embedding stage, full float surface: deterministic
+    hash-projection model in an actor pool with ESM-style token-budget
+    micro-batching (pytest-gated — the catalog entry ``embed_docs`` is the
+    integer-invariant projection above)."""
     from protein_feature_engineering_ray.stages.embed import embed_docs
 
     docs = sized_read_parquet(
@@ -1603,6 +1650,55 @@ SQL_MODEL_TOKENS = """SELECT doc_id,
                                x -> x <> '')), 512) AS BIGINT)
       AS n_model_tokens
 FROM documents"""
+
+
+SQL_EMBED_DOCS = """SELECT doc_id,
+    CAST(least(len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                               x -> x <> '')), 512) AS BIGINT)
+      AS n_model_tokens,
+    CAST(32 AS BIGINT) AS emb_dim,
+    CAST(32 AS BIGINT) AS emb_finite
+FROM documents"""
+
+
+# exact word-trigram Jaccard graph (the ngram_jaccard gram encoding) ->
+# recursive-CTE connected components -> min-id survivors; plus the exact
+# cosine>=0.4 pair set.  See q_neardup_dedup for why this equals the engine.
+SQL_NEARDUP = """WITH RECURSIVE w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+ g AS (SELECT doc_id, list_distinct(
+         CASE WHEN len(ws) = 0 THEN []
+              WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+              ELSE list_transform(generate_series(1, len(ws) - 2),
+                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         END) AS gs
+       FROM w),
+ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              len(a.gs) AS na, len(b.gs) AS nb,
+              len(list_intersect(a.gs, b.gs)) AS i
+       FROM g a JOIN g b ON a.doc_id < b.doc_id),
+ e0 AS (SELECT id_a, id_b FROM p
+        WHERE CASE WHEN na + nb - i = 0 THEN 1.0
+                   ELSE CAST(i AS DOUBLE) / (na + nb - i) END >= 0.8),
+ e AS (SELECT id_a AS src, id_b AS dst FROM e0
+       UNION ALL SELECT id_b, id_a FROM e0),
+ reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node),
+ comp AS (SELECT node, min(lab) AS lab FROM reach GROUP BY node)
+SELECT 'minhash' AS method, CAST(node AS BIGINT) AS doc_id, '' AS fp
+FROM comp WHERE node = lab
+UNION ALL
+SELECT 'embedding' AS method, CAST(a.vec_id AS BIGINT) AS doc_id,
+       CAST(CAST(b.vec_id AS BIGINT) AS VARCHAR) AS fp
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
+ AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+ AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4"""
 
 
 def q_knn_exact(sf):
@@ -1854,13 +1950,69 @@ UNION ALL
 
 
 def q_neardup_dedup(sf):
-    """MinHash-LSH and SimHash near-dup removal PLUS embedding
-    cosine near-dup pairs in one rows-only entry (catalog cap discipline):
-    each method's rows tagged by a ``method`` column; simhash survivors
-    carry their hex fingerprint, embedding rows carry doc_id = id_a and
-    fp = "id_b:cosine(4dp)" for each near-dup pair (one query covers
-    simhash64, both text dedup pipelines AND the ANN near-dup operator;
-    minhash rows carry '').  Individual-operator mapping: COVERAGE.md."""
+    """HARD-GATED near-dup removal (round-5; was rows-only):
+
+    - ``method='minhash'``: survivors of the full MinHash pipeline run with
+      ``verify="ngram"`` — banded LSH candidates verified by EXACT
+      word-trigram Jaccard >= 0.8, connected components, min-id survivor
+      per component.  The DuckDB oracle computes the SAME thing from first
+      principles: the exact all-pairs Jaccard graph (the ngram_jaccard
+      gram encoding, already bit-exact) + a recursive-CTE component fold.
+      Engine == oracle iff banding recall is complete on this corpus
+      (verified: every Jaccard>=0.8 pair collides in >=1 of 16 bands at
+      sf0.001 AND sf0.01) — so this row hard-gates shingling, minhash
+      banding recall, candidate generation, the exact verifier, connected
+      components and survivor selection.  The signature-Jaccard verify
+      modes ("joins"/"inband") stay property-gated in pytest
+      (test_minhash_verify_modes_agree etc.).
+    - ``method='embedding'``: ALL cosine>=0.4 near-dup pairs from the exact
+      broadcast-matmul edge baseline (doc_id = id_a, fp = id_b) vs the SQL
+      cross join — gates the ANN operator's ground truth; the banded
+      hyperplane LSH scale path stays recall-tested in pytest.
+
+    SimHash moved to its own rows-only entry (``simhash_dedup``) — its
+    fingerprint hash has no SQL analogue and this corpus contains genuine
+    near-dups, so its survivor set is not SQL-predictable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from protein_feature_engineering_ray.stages.dedup import minhash_dedup
+    from protein_feature_engineering_ray.stages.reduce import exact_threshold_edges
+
+    docs = sized_read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    surv = minhash_dedup(
+        docs, threshold=0.8, num_buckets=16, verify="ngram")
+
+    def tag_mh(t: "pa.Table") -> "pa.Table":
+        n = len(t)
+        return pa.table({
+            "method": pa.array(["minhash"] * n),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "fp": pa.array([""] * n),
+        })
+
+    vecs = _read_vectors(sf, columns=["vec_id", "embedding"])
+    edges = exact_threshold_edges(vecs, threshold=0.4)
+
+    def tag_emb(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "method": pa.array(["embedding"] * len(t)),
+            "doc_id": t["id_a"].cast(pa.int64()),
+            "fp": pc.cast(t["id_b"].cast(pa.int64()), pa.string()),
+        })
+
+    return surv.map_batches(tag_mh, batch_format="pyarrow").union(
+        edges.map_batches(tag_emb, batch_format="pyarrow"))
+
+
+def q_neardup_full(sf):
+    """MinHash-LSH (sig-Jaccard verify) and SimHash near-dup removal PLUS
+    embedding LSH near-dup pairs — the full-fidelity float/hash surface of
+    the near-dup slate (pytest-gated; the catalog entry ``neardup_dedup``
+    is the hard-gated projection above): each method's rows tagged by a
+    ``method`` column; simhash survivors carry their hex fingerprint,
+    embedding rows carry doc_id = id_a and fp = "id_b:cosine(4dp)"."""
     import pyarrow as pa
 
     mh = q_minhash_dedup(sf)
@@ -1918,7 +2070,6 @@ QUERIES: dict[str, Callable] = {
     "dde": q_dde,
     "ctdt": q_ctdt,
     "ctdd": q_ctdd,
-    "ctdd_chunked": q_ctdd_chunked,
     "comp_chunked": q_comp_chunked,
     "triads": q_triads,
     "asdc": q_asdc,
@@ -1953,10 +2104,11 @@ QUERIES: dict[str, Callable] = {
     "plot_data": q_plot_data,
     "lag_quant": q_lag_quant,
     "fit_transform": q_fit_transform,
-    # --- rows-only (no SQL analogue; allclose-gated in pytest) ---
-    "lag_family": q_lag_family,
     "neardup_dedup": q_neardup_dedup,
     "embed_docs": q_embed_docs,
+    # --- rows-only (no SQL analogue; allclose-gated in pytest) ---
+    "lag_family": q_lag_family,
+    "simhash_dedup": q_simhash_dedup,
     "media_features": q_media,
 }
 
@@ -1973,8 +2125,10 @@ ORACLES: dict[str, str] = {
     "cksaap": _sql_cksaap(2),
     "cksaagp": _sql_cksaap(2, grouped=True),
     "dde": _sql_dde(),
-    "ctdd": _sql_ctdd(),
-    "ctdd_chunked": _sql_ctdd(),
+    "ctdd": (
+        f"SELECT 'exec' AS path, * FROM ({_sql_ctdd()}) "
+        f"UNION ALL SELECT 'chunked' AS path, * FROM ({_sql_ctdd()})"
+    ),
     "comp_chunked": (
         f"SELECT * FROM ({_sql_aac()}) a JOIN ({_sql_ngram(2, 'dpc', True)}) d"
         f" USING (conv_id) JOIN ({_sql_stride(2, 1)}) s USING (conv_id)"
@@ -2011,6 +2165,8 @@ ORACLES: dict[str, str] = {
     "plot_data": _sql_plot_data(),
     "lag_quant": _sql_lag_quant(),
     "fit_transform": _sql_fit_invariants(),
+    "neardup_dedup": SQL_NEARDUP,
+    "embed_docs": SQL_EMBED_DOCS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "exact_dedup": SQL_EXACT_DEDUP,
     "multihot": _sql_multihot(),

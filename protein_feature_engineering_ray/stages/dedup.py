@@ -665,10 +665,16 @@ def minhash_dedup(
     propagation + anti-join beyond that (a dup-heavy 100 TB corpus).
 
     ``verify``: "joins" (default — signatures shuffled once, candidate
-    pairs verified via two bucket joins; lowest total bytes) or "inband"
+    pairs verified via two bucket joins; lowest total bytes), "inband"
     (signatures ride into the band groups and verify in place — ×bands
     shuffle bytes but 2 fewer barriers; faster when latency floors dominate,
-    e.g. modest corpora on many cores)."""
+    e.g. modest corpora on many cores), or "ngram" (candidates verified
+    with EXACT word-``shingle_k``-gram Jaccard against the original texts —
+    the Gopher/RefinedWeb-style exact-verify variant: sig-Jaccard estimation
+    error cannot flip an edge, only banding recall remains probabilistic;
+    costs two text joins instead of two signature joins)."""
+    if verify not in ("joins", "inband", "ngram"):
+        raise ValueError(f"unknown verify mode {verify!r}")
     rows_per_band = num_perm // bands
     packed = pack_signatures(
         minhash_signatures(ds, id_col, text_col, num_perm, shingle_k), id_col
@@ -677,6 +683,14 @@ def minhash_dedup(
         edges = verified_edges_inband(
             packed, id_col, bands, rows_per_band, threshold,
             coarse_buckets=num_buckets, small_full=small_full,
+        ).materialize()
+    elif verify == "ngram":
+        pairs = minhash_candidate_pairs(
+            packed, id_col, bands, rows_per_band, coarse_buckets=num_buckets,
+            small_full=small_full,
+        )
+        edges = ngram_verify_pairs(
+            pairs, ds, id_col, text_col, shingle_k, threshold, num_buckets
         ).materialize()
     else:
         packed = packed.materialize()  # reused by candidates AND both joins
@@ -925,6 +939,91 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(ga & gb) / len(ga | gb)
 
 
+def _gram_hashes(texts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row_id, gram_hash) pairs, distinct per row.  Rows with >= k words
+    hash shifted word-hash k-tuples; shorter non-empty rows hash the
+    joined string (a j<k-word gram can never string-equal a k-word gram,
+    so the mixed encodings cannot create false matches)."""
+    arr = pc.split_pattern_regex(
+        pc.fill_null(pa.array(texts, pa.string()), ""), r"\s+"
+    )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten()
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    keep = tok_len > 0
+    rid_all = np.repeat(np.arange(len(texts)), np.diff(offsets))
+    words = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+    wh = pd.util.hash_array(words[keep]).astype(np.uint64)
+    rid = rid_all[keep]
+    nw = np.bincount(rid, minlength=len(texts))
+    # contiguous per-row layout (already sorted by rid)
+    rids_out, hashes_out = [], []
+    longm = nw[rid] >= k
+    if longm.any():
+        lh, lr = wh[longm], rid[longm]
+        cols = {f"h{s}": lh[s:len(lh) - (k - 1 - s)] for s in range(k)}
+        same = lr[: len(lr) - (k - 1)] == lr[k - 1:]
+        gh = pd.util.hash_pandas_object(
+            pd.DataFrame(cols), index=False
+        ).to_numpy().astype(np.uint64)
+        rids_out.append(lr[: len(lr) - (k - 1)][same])
+        hashes_out.append(gh[same])
+    shortm = (nw > 0) & (nw < k)
+    if shortm.any():
+        srows = np.flatnonzero(shortm)
+        # tokens are contiguous per row in the rid-sorted flat array:
+        # slice by cumulative counts, no per-row rescans
+        row_start = np.concatenate([[0], np.cumsum(nw)])
+        wk = words[keep]
+        joined = np.array(
+            [" ".join(wk[row_start[r]:row_start[r + 1]]) for r in srows],
+            dtype=object,
+        )
+        rids_out.append(srows)
+        hashes_out.append(pd.util.hash_array(joined).astype(np.uint64))
+    if not rids_out:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    rr = np.concatenate(rids_out)
+    hh = np.concatenate(hashes_out)
+    # distinct per row
+    order = np.lexsort((hh, rr))
+    rr, hh = rr[order], hh[order]
+    first = np.empty(len(rr), dtype=bool)
+    if len(rr):
+        first[0] = True
+        first[1:] = (rr[1:] != rr[:-1]) | (hh[1:] != hh[:-1])
+    return rr[first], hh[first]
+
+
+def _rowwise_jaccard(ta: np.ndarray, tb: np.ndarray, k: int) -> np.ndarray:
+    """Exact word-k-gram Jaccard of aligned text pairs (ta[i] vs tb[i]),
+    fully vectorized: per-(row, side) distinct gram hashes, then a single
+    joint sort counting two-side matches."""
+    n = len(ta)
+    ra, ha = _gram_hashes(ta, k)
+    rb, hb = _gram_hashes(tb, k)
+    na = np.bincount(ra, minlength=n)
+    nb = np.bincount(rb, minlength=n)
+    # intersection: distinct per side, so a (row, hash) match appears as
+    # one adjacent A/B pair after the joint sort
+    rr = np.concatenate([ra, rb])
+    hh = np.concatenate([ha, hb])
+    side = np.concatenate(
+        [np.zeros(len(ra), np.int8), np.ones(len(rb), np.int8)]
+    )
+    order = np.lexsort((side, hh, rr))
+    rr, hh = rr[order], hh[order]
+    if len(rr) > 1:
+        dup = (rr[1:] == rr[:-1]) & (hh[1:] == hh[:-1])
+        inter = np.bincount(rr[1:][dup], minlength=n)
+    else:
+        inter = np.zeros(n, dtype=np.int64)
+    union = na + nb - inter
+    return np.where(union == 0, 1.0, inter / np.where(union == 0, 1, union))
+
+
 def pairwise_ngram_jaccard(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -935,11 +1034,8 @@ def pairwise_ngram_jaccard(
 ) -> ray.data.Dataset:
     """EXACT word-k-gram Jaccard for every ``(id, id+offset)`` pair — the
     distributed form of the ``ngram_jaccard`` verifier: pairs co-located by
-    one bucket_join, similarity computed fully vectorized per batch (flat
-    token arrays -> k-gram tuple-hashes -> per-(row, side) distinct -> a
-    single sort counting two-side hash matches).  Output: (id_a, id_b,
-    jaccard)."""
-    import pyarrow.compute as pc
+    one bucket_join, similarity computed fully vectorized per batch
+    (``_rowwise_jaccard``).  Output: (id_a, id_b, jaccard)."""
 
     def addp(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -954,62 +1050,59 @@ def pairwise_ngram_jaccard(
         right_cols=[id_col, text_col], right_suffix="_b",
     )
 
-    def _gram_hashes(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(row_id, gram_hash) pairs, distinct per row.  Rows with >= k words
-        hash shifted word-hash k-tuples; shorter non-empty rows hash the
-        joined string (a j<k-word gram can never string-equal a k-word gram,
-        so the mixed encodings cannot create false matches)."""
-        arr = pc.split_pattern_regex(
-            pc.fill_null(pa.array(texts, pa.string()), ""), r"\s+"
-        )
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        flat = arr.flatten()
-        offsets = arr.offsets.to_numpy(zero_copy_only=False)
-        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-        keep = tok_len > 0
-        rid_all = np.repeat(np.arange(len(texts)), np.diff(offsets))
-        words = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
-        wh = pd.util.hash_array(words[keep]).astype(np.uint64)
-        rid = rid_all[keep]
-        nw = np.bincount(rid, minlength=len(texts))
-        # contiguous per-row layout (already sorted by rid)
-        rids_out, hashes_out = [], []
-        longm = nw[rid] >= k
-        if longm.any():
-            lh, lr = wh[longm], rid[longm]
-            cols = {f"h{s}": lh[s:len(lh) - (k - 1 - s)] for s in range(k)}
-            same = lr[: len(lr) - (k - 1)] == lr[k - 1:]
-            gh = pd.util.hash_pandas_object(
-                pd.DataFrame(cols), index=False
-            ).to_numpy().astype(np.uint64)
-            rids_out.append(lr[: len(lr) - (k - 1)][same])
-            hashes_out.append(gh[same])
-        shortm = (nw > 0) & (nw < k)
-        if shortm.any():
-            srows = np.flatnonzero(shortm)
-            # tokens are contiguous per row in the rid-sorted flat array:
-            # slice by cumulative counts, no per-row rescans
-            row_start = np.concatenate([[0], np.cumsum(nw)])
-            wk = words[keep]
-            joined = np.array(
-                [" ".join(wk[row_start[r]:row_start[r + 1]]) for r in srows],
-                dtype=object,
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
             )
-            rids_out.append(srows)
-            hashes_out.append(pd.util.hash_array(joined).astype(np.uint64))
-        if not rids_out:
-            return np.empty(0, np.int64), np.empty(0, np.uint64)
-        rr = np.concatenate(rids_out)
-        hh = np.concatenate(hashes_out)
-        # distinct per row
-        order = np.lexsort((hh, rr))
-        rr, hh = rr[order], hh[order]
-        first = np.empty(len(rr), dtype=bool)
-        if len(rr):
-            first[0] = True
-            first[1:] = (rr[1:] != rr[:-1]) | (hh[1:] != hh[:-1])
-        return rr[first], hh[first]
+        ta = np.asarray(t[text_col].to_numpy(zero_copy_only=False), dtype=object)
+        tb = np.asarray(
+            t[text_col + "_b"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        jac = _rowwise_jaccard(ta, tb, k)
+        return pa.table(
+            {
+                "id_a": t[id_col],
+                "id_b": t["_partner"],
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
+def ngram_verify_pairs(
+    pairs: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Verify candidate pairs with EXACT word-k-gram Jaccard (instead of the
+    signature-Jaccard estimate): join both endpoints' texts onto the pair
+    list (two bucket joins — same shape as ``verify_pairs``), score
+    ``_rowwise_jaccard`` per batch, keep >= threshold.
+
+    This is the Gopher/RefinedWeb-style "verify candidates exactly" dedup
+    variant: the kept edge set is exactly {candidate pairs with true
+    Jaccard >= threshold} — independent of the MinHash permutations, which
+    only affect recall through candidate generation.  Output: (id_a, id_b,
+    jaccard)."""
+    j = bucket_join(
+        pairs, ds, on=["id_a"], right_on=[id_col], how="inner",
+        num_buckets=num_buckets, left_cols=["id_a", "id_b"],
+        right_cols=[id_col, text_col],
+    )
+    j = bucket_join(
+        j, ds, on=["id_b"], right_on=[id_col], how="inner",
+        num_buckets=num_buckets, right_suffix="_b",
+        left_cols=["id_a", "id_b", text_col],
+        right_cols=[id_col, text_col],
+    )
 
     def score(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
@@ -1018,36 +1111,18 @@ def pairwise_ngram_jaccard(
                  "id_b": pa.array([], pa.int64()),
                  "jaccard": pa.array([], pa.float64())}
             )
-        n = len(t)
         ta = np.asarray(t[text_col].to_numpy(zero_copy_only=False), dtype=object)
         tb = np.asarray(
             t[text_col + "_b"].to_numpy(zero_copy_only=False), dtype=object
         )
-        ra, ha = _gram_hashes(ta)
-        rb, hb = _gram_hashes(tb)
-        na = np.bincount(ra, minlength=n)
-        nb = np.bincount(rb, minlength=n)
-        # intersection: distinct per side, so a (row, hash) match appears as
-        # one adjacent A/B pair after the joint sort
-        rr = np.concatenate([ra, rb])
-        hh = np.concatenate([ha, hb])
-        side = np.concatenate(
-            [np.zeros(len(ra), np.int8), np.ones(len(rb), np.int8)]
-        )
-        order = np.lexsort((side, hh, rr))
-        rr, hh = rr[order], hh[order]
-        if len(rr) > 1:
-            dup = (rr[1:] == rr[:-1]) & (hh[1:] == hh[:-1])
-            inter = np.bincount(rr[1:][dup], minlength=n)
-        else:
-            inter = np.zeros(n, dtype=np.int64)
-        union = na + nb - inter
-        jac = np.where(union == 0, 1.0, inter / np.where(union == 0, 1, union))
+        jac = _rowwise_jaccard(ta, tb, k)
+        keep = jac >= threshold
+        m = pa.array(keep)
         return pa.table(
             {
-                "id_a": t[id_col],
-                "id_b": t["_partner"],
-                "jaccard": pa.array(jac, pa.float64()),
+                "id_a": t["id_a"].filter(m),
+                "id_b": t["id_b"].filter(m),
+                "jaccard": pa.array(jac[keep], pa.float64()),
             }
         )
 

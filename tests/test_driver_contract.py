@@ -306,3 +306,25 @@ def test_queries_survive_single_row_input(tmp_path):
     assert len(df) == 1
     assert {"pc0", "pc1", "ld0", "ld1", "ts0", "ts1"} <= set(df.columns)
     assert np.isfinite(df[["pc0", "pc1", "ld0", "ld1"]].to_numpy()).all()
+
+
+def test_full_fidelity_neardup_and_embed_variants():
+    """The hard-gated catalog rows (neardup_dedup, embed_docs) are integer/
+    survivor projections; their full float/hash surfaces live in the _full
+    variants — keep them running and structurally sane at sf0.001."""
+    from protein_feature_engineering_ray.pipelines.queries import (
+        q_embed_docs_full,
+        q_neardup_full,
+    )
+
+    nd = q_neardup_full(SF).to_pandas()
+    assert set(nd["method"]) <= {"minhash", "simhash", "embedding"}
+    assert {"minhash", "simhash"} <= set(nd["method"])
+    sh = nd[nd["method"] == "simhash"]
+    assert (sh["fp"].str.len() == 16).all()  # hex fingerprints ride along
+
+    ed = q_embed_docs_full(SF).to_pandas()
+    assert list(ed.columns) == ["doc_id", "n_model_tokens", "embedding"]
+    assert len(ed) == ed["doc_id"].nunique()
+    V = np.stack(ed["embedding"].to_numpy())
+    assert V.shape[1] == 32 and np.isfinite(V).all()

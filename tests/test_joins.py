@@ -354,6 +354,55 @@ def test_minhash_verify_modes_agree():
     assert len(a) == 50
 
 
+def test_minhash_verify_ngram_matches_exact_ground_truth():
+    """verify='ngram' survivors == a brute-force pandas oracle (all-pairs
+    exact trigram Jaccard -> union-find -> min-id per component), given
+    complete banding recall — the invariant the hard-gated neardup_dedup
+    catalog row rides on.  Unknown verify mode refuses."""
+    import pytest
+
+    from protein_feature_engineering_ray.stages.dedup import (
+        minhash_dedup,
+        ngram_jaccard,
+    )
+
+    rng = np.random.default_rng(83)
+    words = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(words, size=40)) for _ in range(40)]
+    for i in range(10):  # near-dups at several distances + exact copies
+        src = texts[i].split()
+        for j in range(i % 3):
+            src[5 + j] = f"ALT{j}"
+        texts.append(" ".join(src))
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+
+    thr = 0.7
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if ngram_jaccard(texts[i], texts[j]) >= thr:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    want = {i for i in range(len(texts)) if find(i) == i}
+
+    got = set(
+        minhash_dedup(ray.data.from_pandas(df), threshold=thr,
+                      num_buckets=8, verify="ngram").to_pandas()["doc_id"]
+    )
+    assert got == want
+
+    with pytest.raises(ValueError, match="verify"):
+        minhash_dedup(ray.data.from_pandas(df), verify="nope")
+
+
 def test_pairwise_ngram_jaccard_matches_reference_fn():
     """Vectorized hash-based trigram Jaccard == the per-pair exact helper,
     including short (<k words), empty and whitespace-only docs."""
