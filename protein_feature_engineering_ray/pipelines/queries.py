@@ -1096,32 +1096,53 @@ LAGQ_SCALES = {"nmbroto": (1 << 8, 1e-4), "ac": (1 << 8, 1e-4),
 LAGQ_NLAG = 3
 
 
+def _lagq_columns() -> dict[str, tuple[int, float]]:
+    """quantized column -> (scale, eps).  The round-5 extension adds
+    SOCNumber taus and the full QSOrder surface — O(1) ratio values like
+    Moran/Geary, so they take the fine 2^20 grid."""
+    cols: dict[str, tuple[int, float]] = {}
+    for p, (scale, eps) in LAGQ_SCALES.items():
+        for n in range(1, LAGQ_NLAG + 1):
+            cols[f"{p}_lag{n}"] = (scale, eps)
+    fine = (1 << 20, 1e-6)
+    for n in range(1, LAGQ_NLAG + 1):
+        cols[f"soc_tau{n}"] = fine
+        cols[f"qso_tau{n}"] = fine
+    for s in LETTERS:
+        cols[f"qso_f_{s}"] = fine
+    return cols
+
+
 def q_lag_quant(sf):
     """Hard-gated slice of the lag family: NMBroto (plain lag-product sums,
     feature.py:1473-1475), AC (mean-centered auto-covariance, 1658), Moran's
-    I (lag-covariance over variance, 1533-1538) and Geary's C (squared-
+    I (lag-covariance over variance, 1533-1538), Geary's C (squared-
     difference ratio, 1596-1600) at nlag<=3 over the per-turn ``value``
-    series, emitted as floor(x * scale) BIGINT with per-kernel error-budget
-    grids — the same quantized-oracle discipline as ``zscore_aac`` (float
-    accumulation can differ in last ulps between engines).  The full
-    10-kernel family at raw float precision stays in ``lag_family``
-    (rows-only + pandas-oracle pytest)."""
+    series, PLUS — round 5 — SOCNumber (squared letter-distance lag sums
+    over the role sequence, feature.py:2186-2189) and QSOrder (damped
+    letter frequencies + order terms, 2252-2262), emitted as
+    floor(x * scale) BIGINT with per-kernel error-budget grids — the same
+    quantized-oracle discipline as ``zscore_aac`` (float accumulation can
+    differ in last ulps between engines).  The full 10-kernel family at raw
+    float precision stays in ``lag_family`` (rows-only + pandas-oracle
+    pytest)."""
     import pyarrow as pa
 
     feats = _conv(sf, [("NMBroto", {"nlag": LAGQ_NLAG}),
                        ("AC", {"nlag": LAGQ_NLAG}),
                        ("Moran", {"nlag": LAGQ_NLAG}),
-                       ("Geary", {"nlag": LAGQ_NLAG})])
+                       ("Geary", {"nlag": LAGQ_NLAG}),
+                       ("SOCNumber", {"nlag": LAGQ_NLAG}),
+                       ("QSOrder", {"nlag": LAGQ_NLAG})])
+    cols = _lagq_columns()
 
     def quant(t: pa.Table) -> pa.Table:
         out = {"conv_id": t["conv_id"]}
-        for p, (scale, eps) in LAGQ_SCALES.items():
-            for n in range(1, LAGQ_NLAG + 1):
-                c = f"{p}_lag{n}"
-                x = t[c].to_numpy(zero_copy_only=False)
-                out[f"lq_{c}"] = pa.array(
-                    np.floor(x * scale + eps).astype(np.int64), pa.int64(),
-                )
+        for c, (scale, eps) in cols.items():
+            x = t[c].to_numpy(zero_copy_only=False)
+            out[f"lq_{c}"] = pa.array(
+                np.floor(x * scale + eps).astype(np.int64), pa.int64(),
+            )
         return pa.table(out)
 
     return feats.map_batches(quant, batch_format="pyarrow")
@@ -1154,6 +1175,44 @@ def _sql_lag_quant() -> str:
         return (f"CAST(floor(coalesce({expr}, 0.0) * {scale}.0 + {eps})"
                 f" AS BIGINT) AS lq_{prefix}_lag{n}")
 
+    # --- SOCNumber / QSOrder (round 5): squared letter-distance lag sums
+    # over the RAW role-position sequence (pairs at raw distance n with
+    # both letters valid; denominator = raw conv length - n), and the
+    # QSOrder damped-frequency surface built from the same taus.
+    from protein_feature_engineering_ray.functions.autocorr import EVENT_DISTANCE
+
+    d2 = EVENT_DISTANCE * EVENT_DISTANCE  # the engine's dist*dist, exactly
+    lut_rows = ", ".join(
+        f"('{sa}', '{sb}', {d2[i, j]!r})"
+        for i, sa in enumerate(LETTERS) for j, sb in enumerate(LETTERS)
+    )
+    soc_ctes = ",\n ".join(
+        f"""soc{n} AS (
+  SELECT a.conv_id, sum(l.d2) AS s
+  FROM transcripts a JOIN transcripts b
+    ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + {n}
+  JOIN soc_lut l ON l.sa = a.role AND l.sb = b.role
+  GROUP BY a.conv_id)"""
+        for n in range(1, LAGQ_NLAG + 1)
+    )
+
+    def tau(n: int) -> str:
+        # engine: sums / (len - n) when len - n > 0 else 0.0 (missing pairs
+        # sum to 0.0, the denominator is the RAW length term)
+        return (f"CASE WHEN clen.len - {n} > 0 THEN coalesce(soc{n}.s, 0.0)"
+                f" / CAST(clen.len - {n} AS DOUBLE) ELSE 0.0 END")
+
+    uni_cols = ", ".join(
+        f"CAST(count(*) FILTER (role = '{s}') AS DOUBLE) AS u_{s}"
+        for s in LETTERS
+    )
+    in_list = ", ".join(f"'{s}'" for s in LETTERS)
+    # engine finalize: denom = n_valid + 0.1*((tau1+tau2)+tau3); 0 -> 1.0;
+    # f_s = u_s/denom, order term = (0.1*tau_n)/denom — same IEEE trees
+    tau_sum = " + ".join(tau(n) for n in range(1, LAGQ_NLAG + 1))
+    denom = (f"CASE WHEN uni.nv + 0.1 * ({tau_sum}) = 0 THEN 1.0 "
+             f"ELSE uni.nv + 0.1 * ({tau_sum}) END")
+
     qcols = []
     for n in range(1, LAGQ_NLAG + 1):
         qcols.append(q(f"lag{n}.nmb", "nmbroto", n))
@@ -1164,11 +1223,28 @@ def _sql_lag_quant() -> str:
         qcols.append(q(
             f"CASE WHEN ss.ss > 0 THEN (ss.nv - 1) / (2.0 * lag{n}.c) "
             f"* lag{n}.gs / ss.ss ELSE 0.0 END", "geary", n))
+
+    def qf(expr: str, name: str) -> str:
+        scale, eps = 1 << 20, 1e-6
+        return (f"CAST(floor(coalesce({expr}, 0.0) * {scale}.0 + {eps})"
+                f" AS BIGINT) AS lq_{name}")
+
+    for n in range(1, LAGQ_NLAG + 1):
+        qcols.append(qf(tau(n), f"soc_tau{n}"))
+    for s in LETTERS:
+        qcols.append(qf(f"uni.u_{s} / ({denom})", f"qso_f_{s}"))
+    for n in range(1, LAGQ_NLAG + 1):
+        qcols.append(qf(f"(0.1 * {tau(n)}) / ({denom})", f"qso_tau{n}"))
+
     joins = " ".join(
         f"LEFT JOIN lag{n} USING (conv_id)" for n in range(1, LAGQ_NLAG + 1)
     )
+    soc_joins = " ".join(
+        f"LEFT JOIN soc{n} USING (conv_id)" for n in range(1, LAGQ_NLAG + 1)
+    )
     cols = ",\n    ".join(qcols)
     return f"""{TRANSCRIPTS_SQL_CTE},
+ soc_lut(sa, sb, d2) AS (VALUES {lut_rows}),
  v AS (
   SELECT conv_id, value,
          row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
@@ -1178,11 +1254,18 @@ def _sql_lag_quant() -> str:
   SELECT v.conv_id,
          sum((v.value - mu.m) * (v.value - mu.m)) AS ss, count(*) AS nv
   FROM v JOIN mu ON mu.conv_id = v.conv_id GROUP BY v.conv_id),
+ clen AS (SELECT conv_id, count(*) AS len FROM transcripts GROUP BY conv_id),
+ uni AS (
+  SELECT conv_id, {uni_cols},
+         CAST(count(*) FILTER (role IN ({in_list})) AS DOUBLE) AS nv
+  FROM transcripts GROUP BY conv_id),
  {lag_ctes},
+ {soc_ctes},
  base AS (SELECT DISTINCT conv_id FROM transcripts)
 SELECT base.conv_id,
     {cols}
-FROM base LEFT JOIN ss USING (conv_id) {joins}"""
+FROM base LEFT JOIN ss USING (conv_id) LEFT JOIN clen USING (conv_id)
+LEFT JOIN uni USING (conv_id) {joins} {soc_joins}"""
 
 
 ZSCORE_SCALE = 1 << 20  # quantization for the z-score oracle (~1e-6 grid)
