@@ -166,6 +166,60 @@ def run_bench() -> dict:
     timed("doc_pipeline", lambda: (
         Q.q_token_count(sf_dir).count(), Q.q_lang_quality(sf_dir).count(),
         Q.q_minhash_dedup(sf_dir).count()))
+
+    # winnowing over a BOILERPLATE-HEAVY corpus (x8 exact replicas make
+    # every shared template shingle a hot fingerprint): the max_group cap
+    # must be loud — the run records exactly what it dropped (the repo's
+    # no-silent-caps rule), not just a per-bucket warning.  Separate line
+    # so doc_pipeline stays comparable across rounds.
+    winnow_drops = {}
+
+    def one_winnow():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from protein_feature_engineering_ray.sources.io import sized_read_parquet
+        from protein_feature_engineering_ray.stages.text import (
+            WinnowDropStats,
+            winnow_matches,
+        )
+
+        from protein_feature_engineering_ray.stages.text import (
+            winnow_fingerprints,
+        )
+
+        # 2k docs keep the line light; x8 copies make base shingles shared
+        # by >=3 docs exceed max_group=16, so the cap genuinely fires
+        # (filter, not limit: limit is a sequential barrier in Ray Data)
+        def head2k(t: pa.Table) -> pa.Table:
+            return t.filter(pc.less(t["doc_id"], 2000))
+
+        docs = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(head2k, batch_format="pyarrow")
+
+        # exact copies share ALL fingerprints: replicating the (doc, fp)
+        # table is semantically identical to replicating the texts and
+        # skips 8x the tokenize+hash work
+        def replicate8(t: pa.Table) -> pa.Table:
+            return pa.concat_tables([
+                pa.table({"doc_id": pc.add(t["doc_id"], r * 10_000_000),
+                          "fingerprint": t["fingerprint"]})
+                for r in range(8)
+            ])
+
+        fps8 = winnow_fingerprints(docs).map_batches(
+            replicate8, batch_format="pyarrow").materialize()
+        stats = WinnowDropStats()
+        winnow_matches(
+            docs, max_group=16, num_buckets=16, drop_stats=stats,
+            fingerprints=fps8,
+        ).count()
+        winnow_drops.update(stats.value())
+
+    # single run: the stress corpus is synthetic and the drop STAT is the
+    # point of this line, not a min-of-N latency record
+    times["winnow_boilerplate"] = min_of(1, one_winnow)
     # same shape as rounds 1-2 (limit(4) query pull + brute top-5 over the
     # corpus) so the per-round bench lines stay comparable
     def one_knn():
@@ -189,6 +243,7 @@ def run_bench() -> dict:
         "turns_per_sec": round(n_turns / backfill_sec, 1),
         "n_turns": n_turns,
         "queries": times,
+        "winnow_drops": winnow_drops,
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }

@@ -371,6 +371,7 @@ def winnow_matches(
     k: int = 5, window: int = 4, min_shared: int = 2,
     num_buckets: int = 64, max_group: int = 256,
     drop_stats: WinnowDropStats | None = None,
+    fingerprints: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Cross-document substring matches via winnowing fingerprints:
     (id_a, id_b, n_shared) for unordered doc pairs sharing at least
@@ -391,9 +392,14 @@ def winnow_matches(
     orients id_a < id_b); the id dtype is preserved from the input,
     including on a corpus with ZERO matching pairs (the empty result is
     rebuilt with the probed id type).
+
+    ``fingerprints``: a precomputed ``winnow_fingerprints``-shaped dataset
+    ((id, fingerprint) rows) to match on instead of re-tokenizing ``ds`` —
+    reuse one fingerprint table across several match configurations, or
+    feed synthetically replicated fingerprints (bench).
     """
-    fps = winnow_fingerprints(ds, text_col=text_col, id_col=id_col,
-                              k=k, window=window)
+    fps = fingerprints if fingerprints is not None else winnow_fingerprints(
+        ds, text_col=text_col, id_col=id_col, k=k, window=window)
     # probe the id dtype ONCE from the fingerprint stage's Arrow schema (a
     # limit-1 sample execution, ~0.1 s) so empty results — Ray's empty
     # aggregate otherwise types id columns int64 — mirror the real schema
