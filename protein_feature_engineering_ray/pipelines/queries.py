@@ -1097,34 +1097,48 @@ LAGQ_NLAG = 3
 
 
 def _lagq_columns() -> dict[str, tuple[int, float]]:
-    """quantized column -> (scale, eps).  The round-5 extension adds
-    SOCNumber taus and the full QSOrder surface — O(1) ratio values like
-    Moran/Geary, so they take the fine 2^20 grid."""
+    """quantized column -> (scale, eps).  The round-5 extension gates the
+    WHOLE 10-kernel lag family: SOCNumber taus, the full QSOrder / PAAC /
+    APAAC surfaces (O(1) ratios -> the fine 2^20 grid) and CC / ACC
+    (covariance-magnitude values -> the coarse 2^8 grid, same error budget
+    as NMBroto/AC)."""
     cols: dict[str, tuple[int, float]] = {}
     for p, (scale, eps) in LAGQ_SCALES.items():
         for n in range(1, LAGQ_NLAG + 1):
             cols[f"{p}_lag{n}"] = (scale, eps)
     fine = (1 << 20, 1e-6)
+    coarse = (1 << 8, 1e-4)
     for n in range(1, LAGQ_NLAG + 1):
         cols[f"soc_tau{n}"] = fine
         cols[f"qso_tau{n}"] = fine
+        cols[f"cc_lag{n}"] = coarse
+        cols[f"acc_ac_lag{n}"] = coarse
+        cols[f"acc_cc_lag{n}"] = coarse
+        cols[f"paac_theta{n}"] = fine
+        for j in range(3):
+            cols[f"apaac_tau{n}p{j}"] = fine
     for s in LETTERS:
         cols[f"qso_f_{s}"] = fine
+        cols[f"paac_f_{s}"] = fine
+        cols[f"apaac_f_{s}"] = fine
     return cols
 
 
 def q_lag_quant(sf):
-    """Hard-gated slice of the lag family: NMBroto (plain lag-product sums,
-    feature.py:1473-1475), AC (mean-centered auto-covariance, 1658), Moran's
-    I (lag-covariance over variance, 1533-1538), Geary's C (squared-
-    difference ratio, 1596-1600) at nlag<=3 over the per-turn ``value``
-    series, PLUS — round 5 — SOCNumber (squared letter-distance lag sums
-    over the role sequence, feature.py:2186-2189) and QSOrder (damped
-    letter frequencies + order terms, 2252-2262), emitted as
-    floor(x * scale) BIGINT with per-kernel error-budget grids — the same
-    quantized-oracle discipline as ``zscore_aac`` (float accumulation can
-    differ in last ulps between engines).  The full 10-kernel family at raw
-    float precision stays in ``lag_family`` (rows-only + pandas-oracle
+    """Hard-gated — since round 5, the ENTIRE 10-kernel lag family:
+    NMBroto (plain lag-product sums, feature.py:1473-1475), AC (mean-
+    centered auto-covariance, 1658), Moran's I (lag-covariance over
+    variance, 1533-1538), Geary's C (squared-difference ratio, 1596-1600)
+    over the per-turn ``value`` series; SOCNumber (squared letter-distance
+    lag sums over the raw role sequence, 2186-2189); QSOrder / PAAC /
+    APAAC (damped letter frequencies + order/theta/tau terms, 2252-2262 /
+    2309-2319 / 2364-2369 — the pair kernels ride ONE literal lookup of
+    d2 / R / z_j(a)z_j(b) values); CC and ACC (lagged cross-covariance on
+    the jointly-valid compacted sequence, 1670-1789).  All at nlag<=3,
+    emitted as floor(x * scale) BIGINT with per-kernel error-budget grids
+    — the same quantized-oracle discipline as ``zscore_aac`` (float
+    accumulation can differ in last ulps between engines).  The family at
+    raw float precision stays in ``lag_family`` (rows-only + pandas-oracle
     pytest)."""
     import pyarrow as pa
 
@@ -1133,7 +1147,11 @@ def q_lag_quant(sf):
                        ("Moran", {"nlag": LAGQ_NLAG}),
                        ("Geary", {"nlag": LAGQ_NLAG}),
                        ("SOCNumber", {"nlag": LAGQ_NLAG}),
-                       ("QSOrder", {"nlag": LAGQ_NLAG})])
+                       ("QSOrder", {"nlag": LAGQ_NLAG}),
+                       ("CC", {"nlag": LAGQ_NLAG}),
+                       ("ACC", {"nlag": LAGQ_NLAG}),
+                       ("PAAC", {"lam": LAGQ_NLAG}),
+                       ("APAAC", {"lam": LAGQ_NLAG})])
     cols = _lagq_columns()
 
     def quant(t: pa.Table) -> pa.Table:
@@ -1175,43 +1193,92 @@ def _sql_lag_quant() -> str:
         return (f"CAST(floor(coalesce({expr}, 0.0) * {scale}.0 + {eps})"
                 f" AS BIGINT) AS lq_{prefix}_lag{n}")
 
-    # --- SOCNumber / QSOrder (round 5): squared letter-distance lag sums
-    # over the RAW role-position sequence (pairs at raw distance n with
-    # both letters valid; denominator = raw conv length - n), and the
-    # QSOrder damped-frequency surface built from the same taus.
-    from protein_feature_engineering_ray.functions.autocorr import EVENT_DISTANCE
+    # --- SOCNumber / QSOrder / PAAC / APAAC (round 5): letter-pair lag
+    # sums over the RAW role-position sequence (pairs at raw distance n
+    # with both letters valid; denominator = raw conv length - n) through
+    # ONE literal (sa, sb) lookup carrying every pair kernel's value:
+    # d2 (SOCNumber/QSOrder), r = mean squared z-scored property
+    # difference (PAAC), m_j = z_j(a)*z_j(b) per property (APAAC) — all
+    # computed HERE with the engine's own numpy expressions, so the
+    # embedded repr literals are bit-identical float64.
+    from protein_feature_engineering_ray.functions.autocorr import (
+        EVENT_DISTANCE,
+        znorm_table,
+    )
+    from protein_feature_engineering_ray.functions.positional import EVENT_ZSCALE
 
     d2 = EVENT_DISTANCE * EVENT_DISTANCE  # the engine's dist*dist, exactly
+    zn = znorm_table(EVENT_ZSCALE)
+    _diff = zn[:, None, :] - zn[None, :, :]
+    rmat = (_diff * _diff).mean(axis=2)  # PAAC.counts' R, exactly
+    k_props = zn.shape[1]
     lut_rows = ", ".join(
-        f"('{sa}', '{sb}', {d2[i, j]!r})"
+        "('{}', '{}', {!r}, {!r}, {})".format(
+            sa, sb, d2[i, j], rmat[i, j],
+            ", ".join(repr(zn[i, j2] * zn[j, j2]) for j2 in range(k_props)))
         for i, sa in enumerate(LETTERS) for j, sb in enumerate(LETTERS)
     )
+    m_cols = ", ".join(f"m{j}" for j in range(k_props))
     soc_ctes = ",\n ".join(
         f"""soc{n} AS (
-  SELECT a.conv_id, sum(l.d2) AS s
+  SELECT a.conv_id, sum(l.d2) AS s_d2, sum(l.r) AS s_r,
+         {', '.join(f'sum(l.m{j}) AS s_m{j}' for j in range(k_props))}
   FROM transcripts a JOIN transcripts b
     ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + {n}
-  JOIN soc_lut l ON l.sa = a.role AND l.sb = b.role
+  JOIN lag_lut l ON l.sa = a.role AND l.sb = b.role
   GROUP BY a.conv_id)"""
         for n in range(1, LAGQ_NLAG + 1)
     )
 
+    def rawlag(n: int, col: str) -> str:
+        # engine: sums / (raw_len - n) when raw_len - n > 0 else 0.0
+        # (missing pairs sum to 0.0, the denominator is the RAW length)
+        return (f"CASE WHEN clen.len - {n} > 0 THEN coalesce(soc{n}.{col},"
+                f" 0.0) / CAST(clen.len - {n} AS DOUBLE) ELSE 0.0 END")
+
     def tau(n: int) -> str:
-        # engine: sums / (len - n) when len - n > 0 else 0.0 (missing pairs
-        # sum to 0.0, the denominator is the RAW length term)
-        return (f"CASE WHEN clen.len - {n} > 0 THEN coalesce(soc{n}.s, 0.0)"
-                f" / CAST(clen.len - {n} AS DOUBLE) ELSE 0.0 END")
+        return rawlag(n, "s_d2")
 
     uni_cols = ", ".join(
         f"CAST(count(*) FILTER (role = '{s}') AS DOUBLE) AS u_{s}"
         for s in LETTERS
     )
     in_list = ", ".join(f"'{s}'" for s in LETTERS)
-    # engine finalize: denom = n_valid + 0.1*((tau1+tau2)+tau3); 0 -> 1.0;
-    # f_s = u_s/denom, order term = (0.1*tau_n)/denom — same IEEE trees
-    tau_sum = " + ".join(tau(n) for n in range(1, LAGQ_NLAG + 1))
-    denom = (f"CASE WHEN uni.nv + 0.1 * ({tau_sum}) = 0 THEN 1.0 "
-             f"ELSE uni.nv + 0.1 * ({tau_sum}) END")
+
+    def damped_denom(weight: str, terms: list[str]) -> str:
+        """engine finalize: denom = n_valid + w*sum(terms) (np.sum over a
+        handful of columns = sequential left-assoc adds); 0 -> 1.0."""
+        tsum = " + ".join(terms)
+        return (f"CASE WHEN uni.nv + {weight} * ({tsum}) = 0 THEN 1.0 "
+                f"ELSE uni.nv + {weight} * ({tsum}) END")
+
+    denom = damped_denom("0.1", [tau(n) for n in range(1, LAGQ_NLAG + 1)])
+    denom_paac = damped_denom(
+        "0.05", [rawlag(n, "s_r") for n in range(1, LAGQ_NLAG + 1)])
+    denom_apaac = damped_denom(
+        "0.05", [rawlag(n, f"s_m{j}")
+                 for n in range(1, LAGQ_NLAG + 1) for j in range(k_props)])
+
+    # --- CC (round 5): lagged cross-covariance between the value series
+    # and the first z-scale property mapped over roles, on the JOINTLY
+    # valid compacted sequence (value non-null AND role valid), pairs at
+    # COMPACTED distance n, denominator = compacted length - n.  ACC is
+    # the concatenation of the AC block and this CC block.
+    prop0 = ", ".join(
+        f"('{s}', {EVENT_ZSCALE[i, 0]!r})" for i, s in enumerate(LETTERS))
+    ccl_ctes = ",\n ".join(
+        f"""ccl{n} AS (
+  SELECT a.conv_id,
+         sum((a.value - mj.ma) * (b.bp - mj.mb)) AS s, count(*) AS c
+  FROM vj a JOIN vj b ON b.conv_id = a.conv_id AND b.rn = a.rn + {n}
+  JOIN muj mj ON mj.conv_id = a.conv_id
+  GROUP BY a.conv_id)"""
+        for n in range(1, LAGQ_NLAG + 1)
+    )
+
+    def cc(n: int) -> str:
+        return (f"CASE WHEN lenj.c - {n} > 0 THEN coalesce(ccl{n}.s, 0.0)"
+                f" / CAST(lenj.c - {n} AS DOUBLE) ELSE 0.0 END")
 
     qcols = []
     for n in range(1, LAGQ_NLAG + 1):
@@ -1229,12 +1296,35 @@ def _sql_lag_quant() -> str:
         return (f"CAST(floor(coalesce({expr}, 0.0) * {scale}.0 + {eps})"
                 f" AS BIGINT) AS lq_{name}")
 
+    def qc(expr: str, name: str) -> str:
+        scale, eps = 1 << 8, 1e-4  # the NMBroto/AC covariance-scale grid
+        return (f"CAST(floor(coalesce({expr}, 0.0) * {scale}.0 + {eps})"
+                f" AS BIGINT) AS lq_{name}")
+
     for n in range(1, LAGQ_NLAG + 1):
         qcols.append(qf(tau(n), f"soc_tau{n}"))
     for s in LETTERS:
         qcols.append(qf(f"uni.u_{s} / ({denom})", f"qso_f_{s}"))
     for n in range(1, LAGQ_NLAG + 1):
         qcols.append(qf(f"(0.1 * {tau(n)}) / ({denom})", f"qso_tau{n}"))
+    for n in range(1, LAGQ_NLAG + 1):
+        qcols.append(qc(cc(n), f"cc_lag{n}"))
+        # ACC = the AC block + the CC block, verbatim (autocorr.ACC)
+        qcols.append(qc(f"lag{n}.ac", f"acc_ac_lag{n}"))
+        qcols.append(qc(cc(n), f"acc_cc_lag{n}"))
+    for s in LETTERS:
+        qcols.append(qf(f"uni.u_{s} / ({denom_paac})", f"paac_f_{s}"))
+    for n in range(1, LAGQ_NLAG + 1):
+        qcols.append(qf(
+            f"(0.05 * {rawlag(n, 's_r')}) / ({denom_paac})",
+            f"paac_theta{n}"))
+    for s in LETTERS:
+        qcols.append(qf(f"uni.u_{s} / ({denom_apaac})", f"apaac_f_{s}"))
+    for n in range(1, LAGQ_NLAG + 1):
+        for j in range(k_props):
+            qcols.append(qf(
+                f"(0.05 * {rawlag(n, f's_m{j}')}) / ({denom_apaac})",
+                f"apaac_tau{n}p{j}"))
 
     joins = " ".join(
         f"LEFT JOIN lag{n} USING (conv_id)" for n in range(1, LAGQ_NLAG + 1)
@@ -1242,9 +1332,13 @@ def _sql_lag_quant() -> str:
     soc_joins = " ".join(
         f"LEFT JOIN soc{n} USING (conv_id)" for n in range(1, LAGQ_NLAG + 1)
     )
+    cc_joins = " ".join(
+        f"LEFT JOIN ccl{n} USING (conv_id)" for n in range(1, LAGQ_NLAG + 1)
+    )
     cols = ",\n    ".join(qcols)
     return f"""{TRANSCRIPTS_SQL_CTE},
- soc_lut(sa, sb, d2) AS (VALUES {lut_rows}),
+ lag_lut(sa, sb, d2, r, {m_cols}) AS (VALUES {lut_rows}),
+ prop0(sp, bp) AS (VALUES {prop0}),
  v AS (
   SELECT conv_id, value,
          row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
@@ -1259,13 +1353,25 @@ def _sql_lag_quant() -> str:
   SELECT conv_id, {uni_cols},
          CAST(count(*) FILTER (role IN ({in_list})) AS DOUBLE) AS nv
   FROM transcripts GROUP BY conv_id),
+ vj AS (
+  SELECT t.conv_id, t.value, p.bp,
+         row_number() OVER (PARTITION BY t.conv_id ORDER BY t.turn_idx)
+           AS rn
+  FROM transcripts t JOIN prop0 p ON p.sp = t.role
+  WHERE t.value IS NOT NULL),
+ muj AS (SELECT conv_id, sum(value) / count(*) AS ma,
+                sum(bp) / count(*) AS mb
+         FROM vj GROUP BY conv_id),
+ lenj AS (SELECT conv_id, count(*) AS c FROM vj GROUP BY conv_id),
  {lag_ctes},
  {soc_ctes},
+ {ccl_ctes},
  base AS (SELECT DISTINCT conv_id FROM transcripts)
 SELECT base.conv_id,
     {cols}
 FROM base LEFT JOIN ss USING (conv_id) LEFT JOIN clen USING (conv_id)
-LEFT JOIN uni USING (conv_id) {joins} {soc_joins}"""
+LEFT JOIN uni USING (conv_id) LEFT JOIN lenj USING (conv_id)
+{joins} {soc_joins} {cc_joins}"""
 
 
 ZSCORE_SCALE = 1 << 20  # quantization for the z-score oracle (~1e-6 grid)
