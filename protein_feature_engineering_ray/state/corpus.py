@@ -181,6 +181,64 @@ def append_corpus(
     ]
 
 
+def compact_corpus(corpus_dir: str) -> list[dict]:
+    """Rewrite every multi-fragment partition to one sorted, conv-indexed
+    ``data.parquet`` generation (CONCAT resolution — corpus fragments are
+    arrival waves of new rows, nothing supersedes).  Run on the append
+    cadence's amortization schedule: appends stay cheap, the reader's
+    fragment count and the row-group index stay tight.  Watermarks are
+    preserved, so append idempotency is unaffected.  One Ray task per
+    fragmented bucket; returns their manifest rows."""
+    meta = corpus_meta(corpus_dir)
+    multi = [m for m in read_manifest(corpus_dir)
+             if len(fragment_files(m)) > 1]
+    if not multi:
+        return []
+    items = [
+        {"bucket": m["bucket"],
+         "files": ";".join(fragment_files(m)),
+         "ts_watermark_us": m.get("ts_watermark_us"),
+         "ts_min_us": m.get("ts_min_us")}
+        for m in multi
+    ]
+
+    def _compact(t: pa.Table) -> pa.Table:
+        out_rows = []
+        for i in range(t.num_rows):
+            b = int(t["bucket"][i].as_py())
+            d = bucket_dir(corpus_dir, b)
+            table = pa.concat_tables(
+                [pq.read_table(os.path.join(d, f))
+                 for f in t["files"][i].as_py().split(";")],
+                promote_options="default",
+            )
+            table = sort_bucket(table, ORDER_COLS)
+            new_meta = commit_bucket(
+                corpus_dir, b, table,
+                lineage={
+                    "ts_watermark_us": t["ts_watermark_us"][i].as_py(),
+                    "ts_min_us": t["ts_min_us"][i].as_py(),
+                    "resolve": "concat",
+                    "compacted": True,
+                },
+                row_group_size=ROW_GROUP_ROWS, index_col="conv_id",
+            )
+            out_rows.append((new_meta["bucket"], new_meta["rows"]))
+        return pa.table({
+            "bucket": pa.array([r[0] for r in out_rows], pa.int64()),
+            "rows": pa.array([r[1] for r in out_rows], pa.int64()),
+        })
+
+    rows = (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(_compact, batch_format="pyarrow")
+        .to_pandas()
+    )
+    write_run_meta(corpus_dir, meta["num_buckets"], complete=True,
+                   extra={"kind": "corpus", "resolve": "concat"})
+    return rows.to_dict("records")
+
+
 def corpus_files(corpus_dir: str, buckets=None) -> list[str]:
     """Manifest-listed fragment paths (orphans from crashed commits stay
     invisible), optionally restricted to ``buckets``."""

@@ -95,13 +95,18 @@ def child_main(args) -> int:
 
     baseline = total_pss_bytes()
     shm_baseline = shm_used_bytes()
-    peak = {"pss": 0, "shm": 0}
+    peak = {"pss": 0, "shm": 0, "heap": 0}
     stop = threading.Event()
 
     def sample():
         while not stop.is_set():
-            peak["pss"] = max(peak["pss"], total_pss_bytes())
-            peak["shm"] = max(peak["shm"], shm_used_bytes())
+            pss = total_pss_bytes()
+            shm = shm_used_bytes()
+            peak["pss"] = max(peak["pss"], pss)
+            peak["shm"] = max(peak["shm"], shm)
+            # heap = CO-SAMPLED non-plasma memory (subtracting two peaks
+            # taken at different instants overstates it)
+            peak["heap"] = max(peak["heap"], pss - shm)
             stop.wait(0.5)
 
     t = threading.Thread(target=sample, daemon=True)
@@ -142,7 +147,8 @@ def child_main(args) -> int:
         "baseline_pss_gb": round(baseline / 2**30, 3),
         "peak_total_pss_gb": round(peak["pss"] / 2**30, 3),
         "peak_pss_over_baseline_gb": round(peak_pss_over / 2**30, 3),
-        "peak_heap_gb": round(max(peak_pss_over - peak_shm, 0) / 2**30, 3),
+        "peak_heap_gb": round(
+            max(peak["heap"] - (baseline - shm_baseline), 0) / 2**30, 3),
         "peak_shm_used_gb": round(peak_shm / 2**30, 3),
         "object_store_cap_gb": round(cap_gb, 3),
         "spilled_gb": round(spilled / 2**30, 3),

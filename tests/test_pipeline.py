@@ -1072,3 +1072,60 @@ def test_incremental_random_waves(tmp_path):
                 ray.data.from_pandas(snap), inc,
                 max_fragments=16 if trial == 0 else 1, **kw)
         pd.testing.assert_frame_equal(_read_sorted(inc), want)
+
+
+def test_corpus_store_compaction(tmp_path):
+    """compact_corpus collapses append fragments to one sorted indexed
+    generation: logical content identical, pruned reads still exact,
+    watermarks preserved (a replayed append wave stays a no-op)."""
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.state.corpus import (
+        append_corpus,
+        compact_corpus,
+        corpus_files,
+        ingest_corpus,
+        read_corpus,
+    )
+
+    full_df = synth_transcripts(n_convs=24, duplicates=False, as_pandas=True)
+    g = full_df.groupby("conv_id")["ts"].agg(["min", "max"])
+    cuts = g["max"].sort_values()
+    c1, c2 = cuts.iloc[-10], cuts.iloc[-4]
+    base = full_df[full_df["ts"] <= c1]
+    w1 = full_df[(full_df["ts"] > c1) & (full_df["ts"] <= c2)]
+    w2 = full_df[full_df["ts"] > c2]
+
+    store = str(tmp_path / "store")
+    ingest_corpus(ray.data.from_pandas(base.reset_index(drop=True)),
+                  store, num_buckets=8)
+    append_corpus(ray.data.from_pandas(w1.reset_index(drop=True)), store)
+    append_corpus(ray.data.from_pandas(w2.reset_index(drop=True)), store)
+    n_buckets = len(completed_buckets(store))  # a bucket may own 0 convs
+    n_files_before = len(corpus_files(store))
+    assert n_files_before > n_buckets  # fragments actually accumulated
+
+    want = read_corpus(store).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    rows = compact_corpus(store)
+    assert rows and len(corpus_files(store)) == n_buckets  # one per bucket
+    got = read_corpus(store).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)])
+
+    # pruned read stays exact over the rewritten index
+    touched = sorted(w2["conv_id"].unique())
+    pruned = read_corpus(
+        store, conv_filter=pa.array(touched)).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    want_t = full_df[full_df["conv_id"].isin(touched)].sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        pruned[sorted(pruned.columns)], want_t[sorted(want_t.columns)])
+
+    # watermark preserved: replaying the last wave is still a no-op
+    assert append_corpus(
+        ray.data.from_pandas(w2.reset_index(drop=True)), store) == []
+    # compacting an already-compact store is a no-op
+    assert compact_corpus(store) == []
