@@ -1129,3 +1129,30 @@ def test_corpus_store_compaction(tmp_path):
         ray.data.from_pandas(w2.reset_index(drop=True)), store) == []
     # compacting an already-compact store is a no-op
     assert compact_corpus(store) == []
+
+
+def test_corpus_pruned_read_without_index_sidecars(tmp_path):
+    """Legacy stores (no .idx sidecars) fall back to min/max range pruning;
+    the post-decode is_in filter keeps the result exact either way."""
+    import glob as _glob
+
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.state.corpus import (
+        ingest_corpus,
+        read_corpus,
+    )
+
+    df = synth_transcripts(n_convs=16, duplicates=False, as_pandas=True)
+    store = str(tmp_path / "store")
+    ingest_corpus(ray.data.from_pandas(df), store, num_buckets=4)
+    for p in _glob.glob(os.path.join(store, "bucket=*", "*.idx")):
+        os.remove(p)
+    touched = sorted(df["conv_id"].unique())[:3]
+    got = read_corpus(
+        store, conv_filter=pa.array(touched)).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = df[df["conv_id"].isin(touched)].sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)])
