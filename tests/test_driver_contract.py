@@ -18,7 +18,10 @@ pytestmark = pytest.mark.skipif(
 # cheap, representative subset (the full set runs via tools/check_oracle.py)
 SUBSET = ["aac", "dpc", "eaac_egaac", "latency", "sessions", "frames",
           "asof_orders", "multihot", "distance_pair", "token_count",
-          "dde", "triads", "asdc", "atom_shells", "dbscan", "lang_quality"]
+          "dde", "triads", "asdc", "atom_shells", "dbscan", "lang_quality",
+          # round-5 gates: merged ctdd paths, full lag family, ngram-verify
+          # minhash + exact embedding pairs, embed integer invariants
+          "ctdd", "lag_quant", "neardup_dedup", "embed_docs"]
 
 
 @pytest.fixture(scope="module")
