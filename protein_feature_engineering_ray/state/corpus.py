@@ -334,6 +334,14 @@ def read_corpus(
     ref = conv_filter if isinstance(conv_filter, ray.ObjectRef) \
         else ray.put(conv_filter)
 
+    # the exact filter needs conv_id even when the caller's projection
+    # drops it — read it alongside, strip after filtering
+    read_cols = cols
+    strip_key = False
+    if cols is not None and "conv_id" not in cols:
+        read_cols = ["conv_id"] + cols
+        strip_key = True
+
     def load(t: pa.Table) -> pa.Table:
         touched = ray.get(ref)  # pa.Array, sorted
         touched_np = np.asarray(
@@ -345,9 +353,13 @@ def read_corpus(
             keep = _kept_row_groups(path, touched_np)
             if not keep:
                 continue
-            tab = pq.ParquetFile(path).read_row_groups(keep, columns=cols)
+            tab = pq.ParquetFile(path).read_row_groups(
+                keep, columns=read_cols)
             mask = pc.is_in(tab["conv_id"], value_set=touched)
-            out.append(tab.filter(mask))
+            tab = tab.filter(mask)
+            if strip_key:
+                tab = tab.drop_columns(["conv_id"])
+            out.append(tab)
         if not out:
             # typed empty table so downstream schemas stay concrete
             schema = pq.read_schema(t["path"][0].as_py())

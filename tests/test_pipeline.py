@@ -1156,3 +1156,26 @@ def test_corpus_pruned_read_without_index_sidecars(tmp_path):
         ["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)])
+
+
+def test_corpus_pruned_read_projection_without_key(tmp_path):
+    """A conv-filtered corpus read whose projection drops conv_id still
+    filters exactly (the key is read alongside and stripped after)."""
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.state.corpus import (
+        ingest_corpus,
+        read_corpus,
+    )
+
+    df = synth_transcripts(n_convs=12, duplicates=False, as_pandas=True)
+    store = str(tmp_path / "store")
+    ingest_corpus(ray.data.from_pandas(df), store, num_buckets=4)
+    touched = sorted(df["conv_id"].unique())[:2]
+    got = read_corpus(
+        store, columns=["turn_idx", "text"],
+        conv_filter=pa.array(touched)).to_pandas()
+    want = df[df["conv_id"].isin(touched)]
+    assert list(got.columns) == ["turn_idx", "text"]
+    assert len(got) == len(want)
+    assert sorted(got["turn_idx"]) == sorted(want["turn_idx"])
