@@ -287,7 +287,13 @@ def resolve_fragments(
                 ids.combine_chunks() if isinstance(
                     ids, pa.ChunkedArray) else ids]))
     out = pa.concat_tables(reversed(parts))
-    return out.sort_by([(c, "ascending") for c in sort_cols])
+    # dict-rank multi-key sort (core.bucket.sort_bucket): byte-identical
+    # order, ~1.6x faster than sort_by on string conv_id keys — this sort
+    # is the dominant term of the fragmented-read resolve (BASELINE.md
+    # fragment sweep)
+    from protein_feature_engineering_ray.core.bucket import sort_bucket
+
+    return sort_bucket(out, tuple(sort_cols))
 
 
 def read_manifest(out_dir: str) -> list[dict]:
