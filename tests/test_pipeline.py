@@ -1179,3 +1179,51 @@ def test_corpus_pruned_read_projection_without_key(tmp_path):
     assert list(got.columns) == ["turn_idx", "text"]
     assert len(got) == len(want)
     assert sorted(got["turn_idx"]) == sorted(want["turn_idx"])
+
+
+def test_corpus_store_random_waves(tmp_path):
+    """Randomized armor for the 100 TB shape end-to-end: random append
+    cut-points flow through the corpus store (append_corpus wave files ->
+    delta-sized pass 1 -> touched-bucket + index-pruned pass 2), with a
+    mid-sequence corpus compaction; final logical output equals a cold
+    full backfill."""
+    import numpy as np
+
+    from protein_feature_engineering_ray.state.corpus import (
+        append_corpus,
+        compact_corpus,
+        ingest_corpus,
+        read_corpus,
+    )
+
+    rng = np.random.default_rng(13)
+    full_df = synth_transcripts(n_convs=30, duplicates=False, as_pandas=True)
+    kw = dict(num_buckets=8, alphabet=ALPHA, order_cols=ORDER,
+              assign_turn_idx=False)
+    cold = str(tmp_path / "cold")
+    backfill_to_dir(ray.data.from_pandas(full_df), cold, **kw)
+    want = _read_sorted(cold)
+
+    ts_sorted = np.sort(full_df["ts"].unique())
+    cuts = np.sort(rng.choice(
+        ts_sorted[len(ts_sorted) // 4:-1], size=3, replace=False))
+    store = str(tmp_path / "store")
+    inc = str(tmp_path / "inc")
+    prev = full_df[full_df["ts"] <= cuts[0]].reset_index(drop=True)
+    ingest_corpus(ray.data.from_pandas(prev), store, num_buckets=8)
+    backfill_to_dir(read_corpus(store), inc, **kw)
+    lo = cuts[0]
+    for i, c in enumerate(list(cuts[1:]) + [None]):
+        wave = full_df[full_df["ts"] > lo] if c is None else (
+            full_df[(full_df["ts"] > lo) & (full_df["ts"] <= c)])
+        lo = c
+        new_files = append_corpus(
+            ray.data.from_pandas(wave.reset_index(drop=True)), store)
+        if not new_files:
+            continue
+        incremental_backfill_to_dir(
+            None, inc, corpus_dir=store,
+            delta_ds=ray.data.read_parquet(new_files), **kw)
+        if i == 1:  # pruned pass 2 must survive a mid-sequence compaction
+            compact_corpus(store)
+    pd.testing.assert_frame_equal(_read_sorted(inc), want)
