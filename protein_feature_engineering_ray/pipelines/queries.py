@@ -1853,6 +1853,13 @@ FROM documents"""
 # exact word-trigram Jaccard graph (the ngram_jaccard gram encoding) ->
 # recursive-CTE connected components -> min-id survivors; plus the exact
 # cosine>=0.4 pair set.  See q_neardup_dedup for why this equals the engine.
+# The pair CTE uses the COMPLETE prefix filter (similarity-join blocking):
+# J(A,B) >= t implies |A∩B| >= t*max(|A|,|B|), so A and B must share an
+# element within the first floor((1-t)*n)+1 of their globally-sorted gram
+# lists — exact intersections are computed only for those candidates
+# (all-pairs list_intersect at sf0.1's 5k docs = 12.5M pairs was the
+# oracle's wall).  Gram-less docs (J(∅,∅)=1 by the union-0 convention,
+# matching the engine) pair separately.
 SQL_NEARDUP = """WITH RECURSIVE w AS (
   SELECT doc_id,
          list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
@@ -1865,10 +1872,22 @@ SQL_NEARDUP = """WITH RECURSIVE w AS (
                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
          END) AS gs
        FROM w),
- p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              len(a.gs) AS na, len(b.gs) AS nb,
-              len(list_intersect(a.gs, b.gs)) AS i
-       FROM g a JOIN g b ON a.doc_id < b.doc_id),
+ g2 AS (SELECT doc_id, gs, list_sort(gs) AS sg FROM g),
+ pref AS (
+  SELECT doc_id, u.g AS gram
+  FROM g2, UNNEST(sg[1 : CAST(floor(0.2 * len(sg)) AS BIGINT) + 1])
+       AS u(g)),
+ cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON b.gram = a.gram AND b.doc_id > a.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id FROM g2 a JOIN g2 b
+    ON b.doc_id > a.doc_id AND len(a.gs) = 0 AND len(b.gs) = 0),
+ p AS (SELECT c.id_a, c.id_b,
+              len(ga.gs) AS na, len(gb.gs) AS nb,
+              len(list_intersect(ga.gs, gb.gs)) AS i
+       FROM cand c JOIN g2 ga ON ga.doc_id = c.id_a
+                   JOIN g2 gb ON gb.doc_id = c.id_b),
  e0 AS (SELECT id_a, id_b FROM p
         WHERE CASE WHEN na + nb - i = 0 THEN 1.0
                    ELSE CAST(i AS DOUBLE) / (na + nb - i) END >= 0.8),
