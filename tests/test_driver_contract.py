@@ -234,7 +234,7 @@ def test_queries_survive_null_injected_input(tmp_path):
     for name in ("aac", "lag_family", "lag_quant", "plot_data", "knn_exact",
                  "dbscan", "fit_transform", "neardup_dedup", "zscore_aac",
                  "latency", "sessions", "ivf_knn", "knn_partition",
-                 "token_count", "conv_summary"):
+                 "token_count", "conv_summary", "embed_docs"):
         r = qs[name](str(tmp_path))
         df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
         assert df is not None, name
@@ -265,7 +265,11 @@ def test_queries_survive_null_injected_input(tmp_path):
     oracles = e.oracle_sql()
     for name in ("aac", "knn_exact", "ivf_knn", "knn_partition", "dbscan",
                  "sessions", "token_count", "conv_summary", "lag_quant",
-                 "fit_transform"):
+                 "fit_transform",
+                 # round 5: hard-gated near-dup + embed agree on dirty
+                 # corpora too (null texts -> '' on both sides; the ngram
+                 # verify gives J(empty,empty)=1 like the SQL union-0 rule)
+                 "neardup_dedup", "embed_docs"):
         _assert_matches_oracle(
             results[name], con.execute(oracles[name]).df(), name
         )
