@@ -369,8 +369,17 @@ def read_corpus(
         return pa.concat_tables(out, promote_options="default")
 
     items = [{"path": f} for f in files]
+    # one task can open SEVERAL files (load iterates its batch's paths):
+    # bound the task count so a 10^6-file touched set doesn't become 10^6
+    # tiny Ray tasks — ~2 tasks per CPU saturates the pool, and each task
+    # still decodes only indexed row groups
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    n_tasks = min(len(items), max(32, 2 * ncpu))
     return ray.data.from_items(
-        items, override_num_blocks=len(items)
+        items, override_num_blocks=n_tasks
     ).map_batches(load, batch_format="pyarrow")
 
 
