@@ -1432,13 +1432,12 @@ def q_lang_quality(sf):
     docs = sized_read_parquet(
         f"{sf}/documents.parquet", columns=["doc_id", "text"]
     )
-    # ONE fused quality+langid pool (two chained pools paid spin-up twice
-    # and a FIXED pool pair deadlocks a 4-CPU session — the read task
-    # starves); autoscaling (1, hi): min=1 keeps the pipeline live at any
-    # session size, hi scales with the session so a 32-CPU run isn't
-    # throttled to 2 actors
-    hi = max(2, int(ray.cluster_resources().get("CPU", 4)) // 4)
-    return text_profile(docs, concurrency=(1, hi)).select_columns(
+    # task-based profile (round 5): the stage state is cheap (regexes +
+    # stopword hash sets, module-cached once per worker process), so the
+    # fused actor pool's spawn latency — and its 4-CPU-session deadlock
+    # hazards — buy nothing here; actor pools stay for expensive state
+    # (stages/embed)
+    return text_profile(docs).select_columns(
         ["doc_id", "n_words", "avg_word_len", "stopword_ratio", "lang_pred"]
     )
 
