@@ -2156,6 +2156,73 @@ UNION ALL
 {corr_sql}"""
 
 
+def q_corpus_store(sf):
+    """HARD-GATED corpus-store round-trip (round 5): ingest the canonical
+    transcripts into a bucket-partitioned managed corpus store
+    (state/corpus.py — sorted partitions, bounded row groups, exact
+    conv→row-group index sidecars), then PRUNED-READ a deterministic
+    conversation subset (int(conv_id) % 5 == 0) through the touched-bucket
+    + index path — the exact read the incremental backfill's pass 2 rides
+    at 100 TB.  The oracle is the same subset straight off the events
+    table, so this row gates ingest partitioning, watermark metas, the
+    row-group index and the exact-membership pruned read end-to-end.
+    Materialized to Arrow before returning (the store is a temp dir)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.core.bucket import bucket_hash
+    from protein_feature_engineering_ray.sources import from_events
+    from protein_feature_engineering_ray.state.corpus import (
+        ingest_corpus,
+        read_corpus,
+    )
+
+    cols = ["conv_id", "event_id", "role", "ts", "value"]
+    d = tempfile.mkdtemp(prefix="corpus_store_q_")
+    try:
+        ds = from_events(sf, columns=cols)
+        ingest_corpus(ds, d, num_buckets=8)
+        convs = sorted(
+            c for c in ds.select_columns(["conv_id"]).unique("conv_id")
+            if c is not None and c.lstrip("-").isdigit() and int(c) % 5 == 0
+        )
+        if not convs:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "event_id": pa.array([], pa.int64()),
+                "role": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "value": pa.array([], pa.float64()),
+            })
+        tb = sorted({int(b) for b in bucket_hash(np.asarray(
+            convs, dtype=object), 8)})
+        out = read_corpus(
+            d, buckets=tb, columns=cols,
+            conv_filter=pa.array(convs, pa.string()),
+        )
+        tabs = [pa.Table.from_pandas(b, preserve_index=False)
+                if not isinstance(b, pa.Table) else b
+                for b in out.iter_batches(batch_format="pyarrow",
+                                          batch_size=65536)]
+        return (pa.concat_tables(tabs, promote_options="default")
+                if tabs else pa.table({c: [] for c in cols}))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_CORPUS_STORE = """SELECT
+    CAST(user_id AS VARCHAR) AS conv_id,
+    event_id,
+    coalesce(event_type, '') AS role,
+    ts,
+    value
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+  AND user_id % 5 = 0"""
+
+
 def q_neardup_dedup(sf):
     """HARD-GATED near-dup removal (round-5; was rows-only):
 
@@ -2313,8 +2380,12 @@ QUERIES: dict[str, Callable] = {
     "fit_transform": q_fit_transform,
     "neardup_dedup": q_neardup_dedup,
     "embed_docs": q_embed_docs,
+    "corpus_store": q_corpus_store,
     # --- rows-only (no SQL analogue; allclose-gated in pytest) ---
-    "lag_family": q_lag_family,
+    # (lag_family left the catalog in round 5: all 10 kernels are now
+    # hard-gated in lag_quant and the raw-float surface stays pytest-gated
+    # via q_lag_family/tests/oracle.py; the freed slot gates the corpus
+    # store end-to-end)
     "simhash_dedup": q_simhash_dedup,
     "media_features": q_media,
 }
@@ -2374,6 +2445,7 @@ ORACLES: dict[str, str] = {
     "fit_transform": _sql_fit_invariants(),
     "neardup_dedup": SQL_NEARDUP,
     "embed_docs": SQL_EMBED_DOCS,
+    "corpus_store": SQL_CORPUS_STORE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "exact_dedup": SQL_EXACT_DEDUP,
     "multihot": _sql_multihot(),

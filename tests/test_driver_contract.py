@@ -20,8 +20,10 @@ SUBSET = ["aac", "dpc", "eaac_egaac", "latency", "sessions", "frames",
           "asof_orders", "multihot", "distance_pair", "token_count",
           "dde", "triads", "asdc", "atom_shells", "dbscan", "lang_quality",
           # round-5 gates: merged ctdd paths, full lag family, ngram-verify
-          # minhash + exact embedding pairs, embed integer invariants
-          "ctdd", "lag_quant", "neardup_dedup", "embed_docs"]
+          # minhash + exact embedding pairs, embed integer invariants,
+          # corpus-store ingest->index->pruned-read round-trip
+          "ctdd", "lag_quant", "neardup_dedup", "embed_docs",
+          "corpus_store"]
 
 
 @pytest.fixture(scope="module")
@@ -231,7 +233,7 @@ def test_queries_survive_null_injected_input(tmp_path):
 
     qs = e.queries()
     results: dict[str, pd.DataFrame] = {}
-    for name in ("aac", "lag_family", "lag_quant", "plot_data", "knn_exact",
+    for name in ("aac", "corpus_store", "lag_quant", "plot_data", "knn_exact",
                  "dbscan", "fit_transform", "neardup_dedup", "zscore_aac",
                  "latency", "sessions", "ivf_knn", "knn_partition",
                  "token_count", "conv_summary", "embed_docs"):
@@ -266,10 +268,12 @@ def test_queries_survive_null_injected_input(tmp_path):
     for name in ("aac", "knn_exact", "ivf_knn", "knn_partition", "dbscan",
                  "sessions", "token_count", "conv_summary", "lag_quant",
                  "fit_transform",
-                 # round 5: hard-gated near-dup + embed agree on dirty
-                 # corpora too (null texts -> '' on both sides; the ngram
-                 # verify gives J(empty,empty)=1 like the SQL union-0 rule)
-                 "neardup_dedup", "embed_docs"):
+                 # round 5: hard-gated near-dup + embed + corpus-store
+                 # round-trip agree on dirty corpora too (null texts -> ''
+                 # on both sides; the ngram verify gives J(empty,empty)=1
+                 # like the SQL union-0 rule; null-key rows drop at the
+                 # ingestion boundary on both sides)
+                 "neardup_dedup", "embed_docs", "corpus_store"):
         _assert_matches_oracle(
             results[name], con.execute(oracles[name]).df(), name
         )
