@@ -265,16 +265,23 @@ def _banded_rows(
             out_ids.append(ids)
             out_band.append(np.full(len(ids), bi, dtype=np.int32))
             out_hash.append(h.astype(np.uint64))
+        # compact run key (8 bytes/row, NOT the full signature): a hash of
+        # the WHOLE signature row.  Equal digest => identical signature
+        # (2^-64 collision), so digest runs are exactly the
+        # signature-identical member sets — the unit the pair generators
+        # collapse on (pair volume then scales with DISTINCT signatures,
+        # not copies; see _group_run_pair_indices).  sig[:, 0] alone (the
+        # old key) kept duplicate runs adjacent but could not SEPARATE
+        # distinct texts sharing their first perm.
+        dig = (
+            pd.util.hash_pandas_object(pd.DataFrame(sig), index=False)
+            .to_numpy().astype(np.uint64)
+        )
         cols = {
             id_col: pa.array(np.concatenate(out_ids)),
             "band": pa.array(np.concatenate(out_band), pa.int32()),
             "band_hash": pa.array(np.concatenate(out_hash), pa.uint64()),
-            # compact chain-sort key (8 bytes/row, NOT the full signature):
-            # identical documents share it, so fp-sorted chaining keeps
-            # exact-duplicate runs adjacent even in band groups that mix
-            # several distinct texts (see simhash collect_verify); using the
-            # same key in both verify paths keeps their chains identical
-            "sig0": pa.array(np.tile(sig[:, 0], bands), pa.uint64()),
+            "sig_digest": pa.array(np.tile(dig, bands), pa.uint64()),
         }
         if carry_sig:
             cols["minhash"] = _pack_rows(np.tile(sig, (bands, 1)))
@@ -357,6 +364,53 @@ def _group_pair_indices(
     return np.concatenate([a1, a2]), np.concatenate([b1, b2])
 
 
+def _group_run_pair_indices(
+    grp_of: np.ndarray, run_key: np.ndarray, band: np.ndarray,
+    small_full: int = 16, run_chain_band: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate-pair ROW indices over group-contiguous rows sorted by
+    (group, run_key, id), REPLICATION-INVARIANT:
+
+    - members of a group sharing ``run_key`` (= the full-signature digest)
+      are signature-identical RUNS.  Within a run: chain (i-1, i) pairs —
+      they verify at signature-Jaccard 1, so the run always links — and
+      only in ``run_chain_band`` (an identical-signature run recurs in
+      EVERY band; one band's chain gives the connectivity without x-bands
+      duplicate edges).
+    - across runs, each run's FIRST member represents it: ALL
+      representative pairs when the group holds <= ``small_full`` runs,
+      chain of adjacent representatives above (``_group_pair_indices`` at
+      run granularity).
+
+    Pair volume therefore scales with DISTINCT signatures, not copies.
+    The previous member-level form let exact-copy replication (a) push
+    mixed groups past the all-pairs floor — non-adjacent distinct texts
+    lost their pair in every band, an UNDER-MERGE measured at 8 copies —
+    and (b) inflate the verified edge list past the local-CC threshold
+    (~45x wall blowup via the distributed label-propagation path)."""
+    n = len(grp_of)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = grp_of[1:] != grp_of[:-1]
+    new_run = new_grp | np.concatenate(
+        [[True], run_key[1:] != run_key[:-1]])
+    # within-run chain rows, one canonical band only
+    chain_b = np.flatnonzero((~new_run) & (band == run_chain_band))
+    chain_a = chain_b - 1
+    # run representatives, still group-contiguous
+    run_first = np.flatnonzero(new_run)
+    runs_per_group = np.bincount(
+        np.cumsum(new_grp)[run_first] - 1
+    )
+    ra, rb = _group_pair_indices(runs_per_group, small_full)
+    return (
+        np.concatenate([run_first[ra], chain_a]),
+        np.concatenate([run_first[rb], chain_b]),
+    )
+
+
 def minhash_candidate_pairs(
     sigs: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -387,15 +441,19 @@ def minhash_candidate_pairs(
                 {"id_a": pd.Series([], dtype=idt),
                  "id_b": pd.Series([], dtype=idt)}
             )
-        # group-contiguous in (sig0, id) order — identical documents share
-        # sig0, so exact-dup runs stay adjacent even when a band group mixes
-        # several distinct texts (see simhash fix)
-        g = g.sort_values(["band", "band_hash", "sig0", id_col],
+        # group-contiguous in (sig_digest, id) order — digest runs are
+        # exactly the signature-identical member sets the pair generator
+        # collapses on (see _group_run_pair_indices)
+        g = g.sort_values(["band", "band_hash", "sig_digest", id_col],
                           kind="mergesort")
-        sz = g.groupby(["band", "band_hash"], sort=False).size().to_numpy()
-        ai, bi = _group_pair_indices(sz, small_full)
+        grp_of = (
+            g.groupby(["band", "band_hash"], sort=False).ngroup().to_numpy()
+        )
+        ai, bi = _group_run_pair_indices(
+            grp_of, g["sig_digest"].to_numpy(), g["band"].to_numpy(),
+            small_full)
         ids = g[id_col].to_numpy()
-        # pairs can cross sig0 runs, so the positional predecessor can have
+        # pairs can cross runs, so the positional predecessor can have
         # the LARGER id — normalize to the documented (id_a < id_b)
         # orientation so mirrored duplicates collapse in drop_duplicates
         pa_, pb_ = ids[ai], ids[bi]
@@ -448,17 +506,20 @@ def verified_edges_inband(
                  "id_b": pd.Series([], dtype=idt),
                  "sig_jaccard": pd.Series([], dtype=np.float64)}
             )
-        # group-contiguous in (sig0, id) order — the SAME key the joins
-        # path sorts by, so both verify modes emit identical pair sets;
-        # identical docs share sig0, keeping exact-dup runs adjacent in
-        # mixed band groups
-        g = g.sort_values(["band", "band_hash", "sig0", id_col],
+        # group-contiguous in (sig_digest, id) order — the SAME key the
+        # joins path sorts by, so both verify modes emit identical pair
+        # sets; digest runs collapse exactly as in the joins path
+        g = g.sort_values(["band", "band_hash", "sig_digest", id_col],
                           kind="mergesort")
         S = np.frombuffer(
             b"".join(g["minhash"]), dtype=np.uint64
         ).reshape(len(g), -1)
-        sz = g.groupby(["band", "band_hash"], sort=False).size().to_numpy()
-        ai, bi = _group_pair_indices(sz, small_full)
+        grp_of = (
+            g.groupby(["band", "band_hash"], sort=False).ngroup().to_numpy()
+        )
+        ai, bi = _group_run_pair_indices(
+            grp_of, g["sig_digest"].to_numpy(), g["band"].to_numpy(),
+            small_full)
         sim = (S[ai] == S[bi]).mean(axis=1)
         ids = g[id_col].to_numpy()
         keep = sim >= threshold

@@ -653,3 +653,40 @@ def test_simhash_dedup_merges_exact_copies_in_collided_groups():
     # into another text's cluster: at minimum, no replica pair survives
     tid = kept["doc_id"].to_numpy() // 10
     assert len(np.unique(tid)) == len(tid), "replica pair survived dedup"
+
+
+def test_minhash_dedup_replication_invariant():
+    """Exact-copy replication must change NEITHER the survivor component
+    structure NOR the asymptotics: digest runs collapse signature-identical
+    members, so a group's all-pairs budget counts DISTINCT signatures.
+    Before the run-collapse fix, 8 copies pushed mixed band groups past
+    small_full and non-adjacent distinct texts lost their pair in every
+    band (one extra survivor at K=8 on the sf corpus), while the inflated
+    edge list crossed the local-CC threshold (45x wall)."""
+    from protein_feature_engineering_ray.stages.dedup import minhash_dedup
+
+    rng = np.random.default_rng(97)
+    words = [f"w{i}" for i in range(250)]
+    texts = [" ".join(rng.choice(words, size=40)) for _ in range(30)]
+    for i in range(6):  # near-dups so components are non-trivial
+        src = texts[i].split()
+        src[3] = "ALT"
+        texts.append(" ".join(src))
+    base = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+
+    def survivors(df):
+        kept = minhash_dedup(
+            ray.data.from_pandas(df), threshold=0.5, num_buckets=8
+        ).to_pandas()
+        return set(kept["doc_id"] % 1_000_000)
+
+    want = survivors(base)
+    for k in (4, 12, 24):  # 24 copies x2 texts >> small_full member count
+        rep = pd.concat(
+            [base.assign(doc_id=base["doc_id"] + r * 1_000_000)
+             for r in range(k)], ignore_index=True)
+        got = survivors(rep)
+        # every replicated copy of a survivor's text collapses to the one
+        # min-id representative: survivor set mod the replica offset must
+        # equal the base survivor set exactly
+        assert got == want, (k, sorted(got ^ want))
