@@ -949,17 +949,18 @@ def simhash_dedup(
         # an id-sorted chain can interleave dissimilar members and break
         # every link even between EXACT duplicates (each link spans an
         # A-B boundary).  Sorting by fp first puts identical / numerically
-        # close fingerprints adjacent, so exact-dup runs always chain
-        # (ham = 0) and only the genuine block boundaries face the Hamming
-        # test.  (Found by the replicated-corpus scale check; the round-2
-        # star form had the mirror-image failure — non-hub members of a
-        # collided group never merged with each other.)  Small groups get
-        # ALL pairs (see _group_pair_indices), closing the residual
-        # under-merge when similar members are never fp-sort-adjacent.
+        # close fingerprints adjacent; the full fingerprint doubles as the
+        # RUN key (_group_run_pair_indices, same as minhash's signature
+        # digest): fingerprint-identical members chain within their run
+        # (ham = 0, always kept; one canonical band), runs pair via their
+        # representatives — all-pairs up to small_full RUNS, so exact-copy
+        # replication can neither push a group past the all-pairs floor
+        # (under-merge) nor inflate the edge list (the minhash K=8 wall).
         g = g.sort_values(["band", "bkey", "fp", id_col], kind="mergesort")
-        sz = g.groupby(["band", "bkey"], sort=False).size().to_numpy()
-        ai, bi = _group_pair_indices(sz, small_full)
+        grp_of = g.groupby(["band", "bkey"], sort=False).ngroup().to_numpy()
         fp = g["fp"].to_numpy().astype(np.uint64)
+        ai, bi = _group_run_pair_indices(
+            grp_of, fp, g["band"].to_numpy(), small_full)
         ham = _popcount64(np.bitwise_xor(fp[ai], fp[bi]))
         ids = g[id_col].to_numpy()
         keep = ham <= max_hamming
