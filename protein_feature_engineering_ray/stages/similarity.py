@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+import ray.data
 
 
 def _to_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
@@ -230,6 +231,35 @@ def knn_train_partition(
     return out.reset_index()
 
 
+def _fit_centroids(
+    corpus: "ray.data.Dataset", n_centroids: int, sample_limit: int,
+    seed: int, id_col: str, vec_col: str,
+) -> np.ndarray:
+    """Deterministic, input-order-invariant coarse centroids: bounded
+    content-hash sample -> canonical sort -> seeded k-means (8 rounds),
+    unit-normalized rows."""
+    from protein_feature_engineering_ray.stages.reduce import bounded_sample
+
+    samp = _normalize(
+        np.stack(
+            bounded_sample(corpus, sample_limit, sample_by=id_col)
+            .select_columns([vec_col]).to_pandas()[vec_col].to_numpy()
+        ).astype(np.float64)
+    )
+    samp = samp[np.lexsort(samp.T[::-1])]  # order-invariant rng picks
+    rng = np.random.default_rng(seed)
+    C = samp[rng.choice(len(samp), size=min(n_centroids, len(samp)),
+                        replace=False)]
+    for _ in range(8):
+        assign = (samp @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = samp[m].mean(axis=0)
+                C[c] = v / (np.linalg.norm(v) or 1.0)
+    return C
+
+
 def ivf_knn(
     corpus: "ray.data.Dataset",
     queries: np.ndarray,
@@ -246,28 +276,27 @@ def ivf_knn(
     sample (content-hash thinned on ``id_col`` — deterministic and
     input-order-invariant, unlike ``limit()`` which sees only the first
     blocks of a sorted corpus), corpus rows searched only in the
-    ``n_probe`` centroid cells nearest each query."""
-    from protein_feature_engineering_ray.stages.reduce import bounded_sample
+    ``n_probe`` centroid cells nearest each query.
 
-    samp = _normalize(
-        np.stack(
-            bounded_sample(corpus, sample_limit, sample_by=id_col)
-            .select_columns([vec_col]).to_pandas()[vec_col].to_numpy()
-        ).astype(np.float64)
-    )
-    samp = samp[np.lexsort(samp.T[::-1])]  # order-invariant rng picks
-    rng = np.random.default_rng(seed)
-    C = samp[rng.choice(len(samp), size=min(n_centroids, len(samp)), replace=False)]
-    for _ in range(8):
-        assign = (samp @ C.T).argmax(axis=1)
-        for c in range(len(C)):
-            m = assign == c
-            if m.any():
-                v = samp[m].mean(axis=0)
-                C[c] = v / (np.linalg.norm(v) or 1.0)
+    NOTE on what this prunes: FLOPs, not bytes — every corpus block is
+    still scanned to route its rows.  For the IO-side IVF (read only the
+    probed cells' FILES) build a centroid-partitioned store with
+    ``ivf_build`` and search it with ``ivf_search``."""
+    C = _fit_centroids(corpus, n_centroids, sample_limit, seed,
+                       id_col, vec_col)
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     q_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
     c_ref = ray.put((C, Q, q_cells))
+    parts = corpus.map_batches(
+        _make_ivf_partial(c_ref, k, id_col, vec_col),
+        batch_format="pyarrow")
+    return _streaming_topk(parts, len(Q), k, query_ids)
+
+
+def _make_ivf_partial(c_ref, k: int, id_col: str, vec_col: str):
+    """Per-batch IVF scorer: route rows to their nearest centroid, score
+    each query only against rows in its probed cells, emit per-batch
+    top-k partials (folded by ``_streaming_topk``)."""
 
     def partial(t: pa.Table) -> pa.Table:
         Cm, Qm, qc = ray.get(c_ref)
@@ -305,5 +334,127 @@ def ivf_knn(
             }
         )
 
-    parts = corpus.map_batches(partial, batch_format="pyarrow")
+    return partial
+
+
+def ivf_build(
+    corpus: "ray.data.Dataset",
+    store_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_limit: int = 4096,
+    seed: int = 11,
+) -> list[dict]:
+    """Centroid-partitioned ANN store — the IO-side IVF.
+
+    ``ivf_knn`` prunes FLOPs but still SCANS every corpus block to route
+    rows; at 100 TB the scan IS the cost.  This builds the store once:
+    fit coarse centroids (same deterministic fit as ``ivf_knn``), assign
+    every row, commit ONE parquet partition per cell through the
+    state/manifest machinery (atomic per-cell `_SUCCESS`, resumable —
+    committed cells are skipped on rerun), centroid matrix recorded in
+    the root ``_RUN.json``.  ``ivf_search`` then reads ONLY the probed
+    cells' files — the same partitioned-store discipline as the corpus
+    store (state/corpus.py) applied to similarity search."""
+    from protein_feature_engineering_ray.state.manifest import (
+        commit_bucket,
+        completed_buckets,
+        validate_run_layout,
+        write_run_meta,
+    )
+
+    C = _fit_centroids(corpus, n_centroids, sample_limit, seed,
+                       id_col, vec_col)
+    validate_run_layout(store_dir, len(C), what="ivf_build")
+    write_run_meta(store_dir, len(C), complete=False,
+                   extra={"kind": "ivf", "centroids": C.tolist()})
+    done = completed_buckets(store_dir)
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        V = _normalize(_to_matrix(t, vec_col))
+        cell = (V @ Cm.T).argmax(axis=1).astype(np.int32)
+        keep = ~np.isin(cell, np.asarray(sorted(done), dtype=np.int32)) \
+            if done else np.ones(len(t), dtype=bool)
+        return t.filter(pa.array(keep)).append_column(
+            "_cell", pa.array(cell[keep], pa.int32()))
+
+    def commit(t: pa.Table) -> pa.Table:
+        cell = int(t["_cell"][0].as_py())
+        table = t.drop_columns(["_cell"]).sort_by([(id_col, "ascending")])
+        meta = commit_bucket(store_dir, cell, table)
+        return pa.table({
+            "bucket": pa.array([meta["bucket"]], pa.int64()),
+            "rows": pa.array([meta["rows"]], pa.int64()),
+        })
+
+    manifest = (
+        corpus.map_batches(assign, batch_format="pyarrow")
+        .groupby("_cell").map_groups(commit, batch_format="pyarrow")
+        .to_pandas()
+    )
+    write_run_meta(store_dir, len(C), complete=True,
+                   extra={"kind": "ivf", "centroids": C.tolist()})
+    return manifest.to_dict("records")
+
+
+def ivf_probe_files(
+    store_dir: str, queries: np.ndarray, n_probe: int = 4,
+) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """(probed parquet files, centroid matrix, per-query probed cells) for
+    ``queries`` over an ``ivf_build`` store — also the byte-accounting
+    hook (len(files) vs the manifest total is the read-pruning factor)."""
+    import os
+
+    from protein_feature_engineering_ray.state.manifest import (
+        bucket_dir,
+        fragment_files,
+        read_manifest,
+        read_run_meta,
+    )
+
+    meta = read_run_meta(store_dir)
+    if meta is None or meta.get("kind") != "ivf":
+        raise RuntimeError(
+            f"{store_dir!r} is not an ivf store (no _RUN.json kind=ivf); "
+            "build it with ivf_build first")
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    probed = {int(c) for c in np.unique(q_cells)}
+    files = []
+    for m in read_manifest(store_dir):
+        if m["bucket"] in probed:
+            d = bucket_dir(store_dir, m["bucket"])
+            files += [os.path.join(d, f) for f in fragment_files(m)]
+    return files, C, q_cells
+
+
+def ivf_search(
+    store_dir: str,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Search an ``ivf_build`` store reading ONLY the probed cells' files.
+
+    Identical results to ``ivf_knn`` with the same centroids (the scorer
+    is shared; rows outside every query's probed cells were exactly the
+    rows the scorer would drop), but the unprobed cells' bytes never
+    leave storage."""
+    files, C, q_cells = ivf_probe_files(store_dir, queries, n_probe)
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    if not files:
+        return _streaming_topk(
+            ray.data.from_items([]), len(Q), k, query_ids)
+    ds = ray.data.read_parquet(files, columns=[id_col, vec_col])
+    c_ref = ray.put((C, Q, q_cells))
+    parts = ds.map_batches(
+        _make_ivf_partial(c_ref, k, id_col, vec_col),
+        batch_format="pyarrow")
     return _streaming_topk(parts, len(Q), k, query_ids)

@@ -690,3 +690,56 @@ def test_minhash_dedup_replication_invariant():
         # min-id representative: survivor set mod the replica offset must
         # equal the base survivor set exactly
         assert got == want, (k, sorted(got ^ want))
+
+
+def test_ivf_store_search_matches_ivf_knn_and_prunes_files(tmp_path):
+    """ivf_build + ivf_search: identical neighbors to ivf_knn with the same
+    deterministic centroids, while reading ONLY the probed cells' files
+    (the IO-side IVF — the in-stream form scans every block)."""
+    import glob
+    import os
+
+    from protein_feature_engineering_ray.stages.similarity import (
+        ivf_build,
+        ivf_knn,
+        ivf_probe_files,
+        ivf_search,
+    )
+
+    rng = np.random.default_rng(41)
+    centers = rng.normal(size=(8, 16)) * 4
+    X = np.concatenate([c + rng.normal(size=(400, 16)) for c in centers])
+    ids = np.arange(len(X))
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    corpus = ray.data.from_pandas(df).repartition(8)
+    Q, qids = X[:5], ids[:5]
+
+    store = str(tmp_path / "ivf")
+    manifest = ivf_build(corpus, store, n_centroids=8, sample_limit=1024)
+    assert sum(m["rows"] for m in manifest) == len(X)
+
+    got = ivf_search(store, Q, qids, k=7, n_probe=2).sort_values(
+        ["query_id", "nbr_id"]).reset_index(drop=True)
+    want = ivf_knn(corpus, Q, qids, k=7, n_centroids=8, n_probe=2,
+                   sample_limit=1024).sort_values(
+        ["query_id", "nbr_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    files, _, _ = ivf_probe_files(store, Q, n_probe=2)
+    total = glob.glob(os.path.join(store, "bucket=*", "*.parquet"))
+    assert 0 < len(files) < len(total), (len(files), len(total))
+
+    # resume: wipe two cells' commits; rebuild recomputes exactly those
+    from protein_feature_engineering_ray.state.manifest import (
+        bucket_dir,
+        completed_buckets,
+    )
+
+    done = sorted(completed_buckets(store))
+    for b in done[:2]:
+        os.remove(os.path.join(bucket_dir(store, b), "_SUCCESS.json"))
+    manifest2 = ivf_build(corpus, store, n_centroids=8, sample_limit=1024)
+    assert sorted(m["bucket"] for m in manifest2) == done[:2]
+    got2 = ivf_search(store, Q, qids, k=7, n_probe=2).sort_values(
+        ["query_id", "nbr_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want)
