@@ -1745,13 +1745,30 @@ def _read_vectors(sf, columns: list[str] | None = None,
 
 
 def q_ivf_knn(sf):
-    """IVF search driven in full-probe mode (n_probe == n_centroids): the
-    cell routing, per-cell search and streaming top-k fold are all
-    exercised, and the union of probed cells covers the corpus, so the
-    result is STRUCTURALLY exact — gated against the same id-membership SQL
-    as knn_exact.  The approximate path (n_probe < n_centroids) is recall-
-    tested in pytest (test_extensions)."""
-    from protein_feature_engineering_ray.stages.similarity import ivf_knn
+    """BOTH IVF forms driven in full-probe mode (n_probe == n_centroids),
+    tagged by a ``path`` column and each gated against the exact-kNN SQL:
+
+    - ``path='stream'``: in-stream ``ivf_knn`` — cell routing, per-cell
+      search and the streaming top-k fold over every corpus block.
+    - ``path='store'``: ``ivf_build`` commits a centroid-partitioned store
+      (atomic per-cell _SUCCESS, centroids in _RUN.json) under /tmp, then
+      ``ivf_search`` reads it back through ``ivf_probe_files`` — the
+      IO-side IVF whose unprobed cells' bytes never leave storage.
+
+    Full probe covers the corpus, so both results are STRUCTURALLY exact —
+    the same id-membership SQL as knn_exact, duplicated per path.  The
+    approximate path (n_probe < n_centroids) and the store's file-pruning /
+    per-cell resume are pytest-gated (test_extensions, test_joins)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from protein_feature_engineering_ray.stages.similarity import (
+        ivf_build,
+        ivf_knn,
+        ivf_search,
+    )
 
     vecs = _read_vectors(sf, columns=["vec_id", "embedding"])
 
@@ -1762,11 +1779,23 @@ def q_ivf_knn(sf):
 
     qdf = vecs.map_batches(qfilter, batch_format="pyarrow").to_pandas()
     if len(qdf) == 0:  # empty corpus -> column-less frame
-        return _empty_knn_frame()
+        f = _empty_knn_frame()
+        f.insert(0, "path", pd.Series([], dtype=object))
+        return f
     Q = np.stack(qdf["embedding"].to_numpy())
-    nbrs = ivf_knn(vecs, Q, qdf["vec_id"].to_numpy(), k=5,
-                   n_centroids=8, n_probe=8)
-    return nbrs[["query_id", "nbr_id"]].astype(np.int64)
+    qids = qdf["vec_id"].to_numpy()
+    stream = ivf_knn(vecs, Q, qids, k=5, n_centroids=8, n_probe=8)[
+        ["query_id", "nbr_id"]].astype(np.int64)
+    store_dir = tempfile.mkdtemp(prefix="pfer_ivf_store_")
+    try:
+        ivf_build(vecs, store_dir, n_centroids=8)
+        stored = ivf_search(store_dir, Q, qids, k=5, n_probe=8)[
+            ["query_id", "nbr_id"]].astype(np.int64)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    stream.insert(0, "path", "stream")
+    stored.insert(0, "path", "store")
+    return pd.concat([stream, stored], ignore_index=True)
 
 
 def q_embed_docs(sf):
@@ -1953,6 +1982,16 @@ def q_ngram_jaccard(sf):
         f"{sf}/documents.parquet", columns=["doc_id", "text"]
     )
     return pairwise_ngram_jaccard(docs, num_buckets=16)
+
+
+# q_ivf_knn returns the SAME exact top-k twice (full-probe in-stream IVF
+# and the centroid-partitioned store read back via ivf_search), tagged by
+# `path` — the oracle is the exact-kNN membership SQL duplicated per tag.
+SQL_IVF_BOTH = f"""SELECT 'stream' AS path, query_id, nbr_id
+FROM ({SQL_KNN_EXACT})
+UNION ALL
+SELECT 'store' AS path, query_id, nbr_id
+FROM ({SQL_KNN_EXACT})"""
 
 
 SQL_NGRAM_JACCARD = """WITH w AS (
@@ -2437,7 +2476,7 @@ ORACLES: dict[str, str] = {
     "lang_quality": _sql_lang_quality(),
     "model_tokens": SQL_MODEL_TOKENS,
     "knn_exact": SQL_KNN_EXACT,
-    "ivf_knn": SQL_KNN_EXACT,
+    "ivf_knn": SQL_IVF_BOTH,
     "knn_partition": _sql_knn_partition(),
     "dbscan": SQL_DBSCAN,
     "plot_data": _sql_plot_data(),
