@@ -2050,13 +2050,90 @@ SELECT conv_id, turn_idx,
 FROM p GROUP BY conv_id, turn_idx"""
 
 
+MEDIA_DIM = 8  # MediaFeatureActor.DIM
+
+
 def q_media(sf):
-    from protein_feature_engineering_ray.stages.multimodal import (
-        media_features,
-        synth_media,
+    """HARD-GATED media feature stage (round 5; was rows-only).  The real
+    decode is environment-blocked, but the stage's deterministic stand-in
+    (payload bytes -> per-chunk means over ``np.array_split(bytes, 8)``,
+    stages/multimodal.py MediaFeatureActor) is an exact function of the
+    payload — so deriving payloads from a REGISTERED table (the ASCII
+    bytes of ``documents.text``) makes the full float surface
+    SQL-reproducible: both sides compute one exact integer byte-sum per
+    chunk and one exactly-rounded IEEE division, hence bit-equal.  The
+    actor-pool plumbing exercised (schema, small payload batches, decode
+    hook, FixedSizeList output) is identical to the synthetic-media path,
+    which stays pytest-gated (test_stages/test_pipeline)."""
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.stages.multimodal import media_features
+
+    docs = sized_read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    return media_features(synth_media(n=64), concurrency=2)
+    def to_media(t: "pa.Table") -> "pa.Table":
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        payloads = [
+            (s if isinstance(s, str) else "").encode("ascii", errors="ignore")
+            for s in texts
+        ]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(
+                np.where(ids % 2 == 0, "image/png", "audio/wav")),
+            "width": pa.array(((ids % 240) + 16).astype(np.int32)),
+            "height": pa.array(((ids * 7 % 240) + 16).astype(np.int32)),
+        })
+
+    out = media_features(
+        docs.map_batches(to_media, batch_format="pyarrow"), concurrency=2
+    )
+
+    def proj(t: "pa.Table") -> "pa.Table":
+        vec = t["media_vec"]
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        vals = np.asarray(vec.flatten()).reshape(len(t), MEDIA_DIM)
+        cols = {"media_id": t["media_id"], "mime": t["mime"]}
+        for i in range(MEDIA_DIM):
+            cols[f"m{i}"] = pa.array(vals[:, i], pa.float64())
+        return pa.table(cols)
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def _sql_media() -> str:
+    """Bit-exact oracle for q_media: np.array_split(bytes, 8) boundaries —
+    first ``r = l % 8`` chunks get ``q+1 = l//8 + 1`` bytes — and the
+    fake-decode chunk mean = exact integer byte sum / chunk length (one
+    exactly-rounded IEEE division on both sides).  Empty/null text matches
+    the actor's ``p or b'\\x00'`` floor: every chunk mean is 0.0 there."""
+
+    def chunk(i: int) -> str:
+        s = f"(({i})*q + least({i}, r))"
+        e = f"(({i}+1)*q + least({i}+1, r))"
+        return (
+            f"CAST(CASE WHEN {e} > {s} THEN "
+            f"CAST(list_sum(list_transform(generate_series({s}+1, {e}), "
+            f"j -> ord(s[j]))) AS DOUBLE) / ({e} - {s}) "
+            f"ELSE 0.0 END AS DOUBLE) AS m{i}"
+        )
+
+    cols = ",\n  ".join(chunk(i) for i in range(MEDIA_DIM))
+    return f"""WITH b AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''), '[^\\x00-\\x7F]', '', 'g') AS s
+  FROM documents),
+ c AS (SELECT doc_id, s, length(s)//{MEDIA_DIM} AS q,
+              length(s)%{MEDIA_DIM} AS r FROM b)
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+  {cols}
+FROM c"""
 
 
 PLOT_NBINS = 32
@@ -2420,13 +2497,17 @@ QUERIES: dict[str, Callable] = {
     "neardup_dedup": q_neardup_dedup,
     "embed_docs": q_embed_docs,
     "corpus_store": q_corpus_store,
+    "media_features": q_media,
     # --- rows-only (no SQL analogue; allclose-gated in pytest) ---
     # (lag_family left the catalog in round 5: all 10 kernels are now
     # hard-gated in lag_quant and the raw-float surface stays pytest-gated
     # via q_lag_family/tests/oracle.py; the freed slot gates the corpus
-    # store end-to-end)
+    # store end-to-end.  media_features joined the oracle-backed block in
+    # round 5: payloads derive from documents.text, making the fake-decode
+    # digest bit-exact in SQL — simhash_dedup is the one remaining
+    # rows-only entry, its 64-bit token-hash fingerprint having no SQL
+    # analogue.)
     "simhash_dedup": q_simhash_dedup,
-    "media_features": q_media,
 }
 
 ORACLES: dict[str, str] = {
@@ -2485,6 +2566,7 @@ ORACLES: dict[str, str] = {
     "neardup_dedup": SQL_NEARDUP,
     "embed_docs": SQL_EMBED_DOCS,
     "corpus_store": SQL_CORPUS_STORE,
+    "media_features": _sql_media(),
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "exact_dedup": SQL_EXACT_DEDUP,
     "multihot": _sql_multihot(),

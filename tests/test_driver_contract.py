@@ -236,7 +236,8 @@ def test_queries_survive_null_injected_input(tmp_path):
     for name in ("aac", "corpus_store", "lag_quant", "plot_data", "knn_exact",
                  "dbscan", "fit_transform", "neardup_dedup", "zscore_aac",
                  "latency", "sessions", "ivf_knn", "knn_partition",
-                 "token_count", "conv_summary", "embed_docs"):
+                 "token_count", "conv_summary", "embed_docs",
+                 "media_features"):
         r = qs[name](str(tmp_path))
         df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
         assert df is not None, name
@@ -273,7 +274,10 @@ def test_queries_survive_null_injected_input(tmp_path):
                  # on both sides; the ngram verify gives J(empty,empty)=1
                  # like the SQL union-0 rule; null-key rows drop at the
                  # ingestion boundary on both sides)
-                 "neardup_dedup", "embed_docs", "corpus_store"):
+                 "neardup_dedup", "embed_docs", "corpus_store",
+                 # media payloads derive from documents.text (null -> b'',
+                 # matching the actor's b'\x00' floor = all-zero means)
+                 "media_features"):
         _assert_matches_oracle(
             results[name], con.execute(oracles[name]).df(), name
         )
