@@ -23,7 +23,9 @@ SUBSET = ["aac", "dpc", "eaac_egaac", "latency", "sessions", "frames",
           # minhash + exact embedding pairs, embed integer invariants,
           # corpus-store ingest->index->pruned-read round-trip
           "ctdd", "lag_quant", "neardup_dedup", "embed_docs",
-          "corpus_store"]
+          "corpus_store",
+          # round-5 gate: documents-derived media payloads, bit-exact digest
+          "media_features"]
 
 
 @pytest.fixture(scope="module")
@@ -281,6 +283,35 @@ def test_queries_survive_null_injected_input(tmp_path):
         _assert_matches_oracle(
             results[name], con.execute(oracles[name]).df(), name
         )
+
+
+def test_media_gate_survives_non_ascii_text(tmp_path):
+    """media_features' documents-derived payload gate filters to ASCII on
+    BOTH sides (Python ``.encode('ascii', 'ignore')`` vs SQL
+    ``regexp_replace('[^\\x00-\\x7F]')``): the bit-exact digest must hold
+    on unicode / empty / null / sub-chunk-width text, not just the
+    driver's ASCII corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    texts = ["héllo wörld ünïcode", "日本語テキスト", "emoji 🎉 mix ascii",
+             "", None, "plain ascii text survives unchanged",
+             "tabs\tand\nnewlines\r ok", "ç" * 50, "a" * 7,  # < 8 bytes
+             "mixed ½ fractions · dots — dashes"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = e.queries()["media_features"](str(tmp_path))
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{tmp_path / 'documents.parquet'}')")
+    _assert_matches_oracle(
+        got, c.execute(e.oracle_sql()["media_features"]).df(),
+        "media_features")
 
 
 def test_queries_survive_single_row_input(tmp_path):
