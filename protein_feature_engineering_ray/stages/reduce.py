@@ -527,17 +527,36 @@ def agglomerative_fit(ds, cols: list[str] | None = None,
         return np.empty((0, 0))
     k_eff = min(k, m)
     # average-linkage distance between clusters = mean pairwise distance;
-    # maintained exactly via the Lance-Williams average-link update
-    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2))
+    # maintained exactly via the Lance-Williams average-link update.
+    # Built row-chunked: the per-element expression is unchanged (each
+    # output row's diff/square/sum runs on the same operands in the same
+    # order), so D is bitwise-identical to the one-shot broadcast — but the
+    # temporary drops from m²·d doubles (~2 GB at the 2000×128 cap, whose
+    # first-touch page faults dominated the fit at ~50 s) to chunk·m·d.
+    D = np.empty((m, m))
+    row_chunk = max(1, min(m, (1 << 24) // max(1, m * X.shape[1])))
+    for s in range(0, m, row_chunk):
+        e = min(m, s + row_chunk)
+        np.sqrt(
+            ((X[s:e, None, :] - X[None, :, :]) ** 2).sum(axis=2),
+            out=D[s:e],
+        )
     np.fill_diagonal(D, np.inf)
     size = np.ones(m, dtype=np.int64)
     label = np.arange(m)
+    # cached per-row first minima: the global row-major argmin over the
+    # symmetric matrix == first row holding the global min, first column
+    # within it — so (argmin(rmin_v), rmin_c[i]) reproduces np.argmin(D)
+    # exactly (ties included) while dropping the O(m²) full-matrix scan
+    # per merge that made the sample-cap fit take ~50 s (2000×32: now ~1 s;
+    # bitwise-identical merges/centroids, A/B-checked incl. forced ties)
+    alive = np.ones(m, dtype=bool)
+    rmin_v = D.min(axis=1)
+    rmin_c = D.argmin(axis=1)
     for _ in range(m - k_eff):
-        flat = int(np.argmin(D))
-        i, j = divmod(flat, m)
-        if i > j:
-            i, j = j, i
-        # merge j into i (deterministic: argmin is first minimum in row-major)
+        i = int(np.argmin(rmin_v))
+        j = int(rmin_c[i])
+        # merge j into i (i < j always: the min's first row-major hit)
         ni, nj = size[i], size[j]
         Dn = (ni * D[i] + nj * D[j]) / (ni + nj)
         D[i] = Dn
@@ -547,10 +566,45 @@ def agglomerative_fit(ds, cols: list[str] | None = None,
         D[:, j] = np.inf
         size[i] += size[j]
         label[label == label[j]] = label[i]
+        alive[j] = False
+        rmin_v[j] = np.inf
+        # rows whose cached min sat in the merged columns recompute fully;
+        # every other row only checks its updated column-i entry (first-
+        # occurrence tie rule: an equal value at a SMALLER column wins)
+        need = alive & ((rmin_c == i) | (rmin_c == j))
+        need[i] = True
+        need[j] = False
+        nr = np.flatnonzero(need)
+        if nr.size:
+            sub = D[nr]
+            rmin_v[nr] = sub.min(axis=1)
+            rmin_c[nr] = sub.argmin(axis=1)
+        rest = alive & ~need
+        rest[i] = False
+        col = D[:, i]
+        upd = rest & ((col < rmin_v) | ((col == rmin_v) & (i < rmin_c)))
+        rmin_v[upd] = col[upd]
+        rmin_c[upd] = i
     cents = np.stack(
         [X[label == c].mean(axis=0) for c in np.unique(label)]
     )
     return cents
+
+
+def _pairwise_sq(P: np.ndarray, X: np.ndarray,
+                 Xsq: np.ndarray | None = None) -> np.ndarray:
+    """Pairwise squared distances via GEMM (|p|² + |x|² − 2 p·x, clamped
+    at 0).  The broadcasted ``(m, m, d)`` temporary is ~1 GB per call at
+    the default sample caps and memory-bound; BLAS keeps it O(m²) memory
+    and ~2 orders of magnitude faster.  NOT bitwise-equal to the broadcast
+    form — callers here feed thresholded kernels / rank statistics gated
+    by allclose/structural tests, never hashed floats (agglomerative_fit
+    keeps the broadcast form: its merge order is bitwise-pinned)."""
+    if Xsq is None:
+        Xsq = np.einsum("ij,ij->i", X, X)
+    Psq = np.einsum("ij,ij->i", P, P) if P is not X else Xsq
+    d2 = Psq[:, None] + Xsq[None, :] - 2.0 * (P @ X.T)
+    return np.maximum(d2, 0.0, out=d2)
 
 
 def spectral_fit(ds, cols: list[str] | None = None,
@@ -570,7 +624,7 @@ def spectral_fit(ds, cols: list[str] | None = None,
     if m == 0:
         return np.empty((0, 0))
     k_eff = min(k, m)
-    D2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    D2 = _pairwise_sq(X, X)
     if gamma is None:
         med = np.median(D2[np.triu_indices(m, k=1)]) if m > 1 else 1.0
         gamma = 1.0 / max(med, 1e-12)
@@ -619,7 +673,8 @@ def meanshift_fit(ds, cols: list[str] | None = None,
     m = len(X)
     if m == 0:
         return np.empty((0, 0))
-    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2))
+    Xsq = np.einsum("ij,ij->i", X, X)
+    D = np.sqrt(_pairwise_sq(X, X, Xsq))
     if bandwidth is None:
         if m > 1:
             kq = max(1, int(0.3 * m))
@@ -630,10 +685,10 @@ def meanshift_fit(ds, cols: list[str] | None = None,
         bandwidth = max(bandwidth, 1e-12)
     P = X.copy()
     for _ in range(max_iter):
-        d2 = ((P[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+        d2 = _pairwise_sq(P, X, Xsq)
         inside = d2 <= bandwidth * bandwidth
         cnt = inside.sum(axis=1)
-        newP = (inside[:, :, None] * X[None, :, :]).sum(axis=1) / np.maximum(
+        newP = (inside.astype(np.float64) @ X) / np.maximum(
             cnt, 1
         )[:, None]
         shift = np.linalg.norm(newP - P, axis=1).max()
