@@ -516,23 +516,66 @@ def winnow_matches(
         .groupby("_fb")
         .map_groups(pairs, batch_format="pyarrow")
     )
-    # a pair's fingerprints spread across buckets: one tiny second groupby
-    # over (id_a, id_b) sums the per-bucket shared counts
-    total = per_bucket.groupby(["id_a", "id_b"]).sum("n_shared")
 
-    def fin(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or t.num_rows == 0:
-            # empty block: Ray's empty aggregate types id columns int64
-            # regardless of input — rebuild with the probed id type so
-            # empty and non-empty results share one schema
+    # a pair's fingerprints spread across fingerprint buckets, so the
+    # per-bucket counts need one cross-bucket sum keyed on (id_a, id_b).
+    # Ray's multi-key Aggregate is sort-based with per-key Python overhead
+    # (~30 s of CPU on a 600k-pair stress corpus); the same coarse-bucket
+    # discipline as the fingerprint side — int32 pair-hash groupby + a
+    # vectorized pandas combine inside each group — sums the same rows two
+    # orders of magnitude faster.
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_pb", pa.array([], pa.int32()))
+        # ids are any orderable dtype (ints here, strings allowed):
+        # pd.util.hash_array gives a stable uint64 for either — stability
+        # only matters within this one job (partitioning key, never output)
+        ha = pd.util.hash_array(
+            np.asarray(t["id_a"].to_numpy(zero_copy_only=False)))
+        hb = pd.util.hash_array(
+            np.asarray(t["id_b"].to_numpy(zero_copy_only=False)))
+        mixed = ha * np.uint64(0x9E3779B97F4A7C15) ^ hb
+        pb = (mixed % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("_pb", pa.array(pb, pa.int32()))
+
+    def sum_pairs(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
             return pa.table({"id_a": pa.array([], idt),
                              "id_b": pa.array([], idt),
                              "n_shared": pa.array([], pa.int64())})
-        n = t["sum(n_shared)"]
-        keep = pc.greater_equal(n, min_shared)
+        id_type = g.schema.field("id_a").type
+        cnt = (
+            pd.DataFrame({
+                "id_a": g["id_a"].to_numpy(zero_copy_only=False),
+                "id_b": g["id_b"].to_numpy(zero_copy_only=False),
+                "n_shared": g["n_shared"].to_numpy(zero_copy_only=False),
+            })
+            .groupby(["id_a", "id_b"], sort=False)["n_shared"].sum()
+            .reset_index()
+        )
+        return pa.table({
+            "id_a": pa.Array.from_pandas(cnt["id_a"], type=id_type),
+            "id_b": pa.Array.from_pandas(cnt["id_b"], type=id_type),
+            "n_shared": pa.array(cnt["n_shared"].to_numpy(), pa.int64()),
+        })
+
+    total = (
+        per_bucket.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(sum_pairs, batch_format="pyarrow")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            # empty block: rebuild with the probed id type so empty and
+            # non-empty results share one schema
+            return pa.table({"id_a": pa.array([], idt),
+                             "id_b": pa.array([], idt),
+                             "n_shared": pa.array([], pa.int64())})
+        keep = pc.greater_equal(t["n_shared"], min_shared)
         t = t.filter(keep)
         return pa.table({"id_a": t["id_a"].cast(idt), "id_b": t["id_b"].cast(idt),
-                         "n_shared": t["sum(n_shared)"]})
+                         "n_shared": t["n_shared"]})
 
     # Ray DROPS empty blocks outright (map_batches never runs on them and an
     # all-empty pipeline materializes with schema None), so a zero-match
