@@ -1331,18 +1331,54 @@ def embedding_neardup(
         .groupby("_bucket")
         .map_groups(pairs, batch_format="pandas")
     )
-    # a pair colliding in several reps appears once per rep: reduce
-    dedup = hits.groupby(["id_a", "id_b"]).max("cosine")
 
-    def rename(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:  # schema-less empty block (no hits at all)
+    # a pair colliding in several reps appears once per rep: reduce to the
+    # max cosine per pair.  Same coarse-bucket combine as winnow_matches
+    # (stages/text.py): Ray's sort-based multi-key Aggregate pays per-key
+    # Python overhead on what can be a large pair table; an int32 pair-hash
+    # groupby + one vectorized pandas max inside each group is exact and
+    # orders of magnitude cheaper.
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_pb", pa.array([], pa.int32()))
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = a * np.uint64(0x9E3779B97F4A7C15) ^ b
+        pb = (mixed % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("_pb", pa.array(pb, pa.int32()))
+
+    def max_pairs(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()),
                  "id_b": pa.array([], pa.int64()),
                  "cosine": pa.array([], pa.float64())}
             )
+        red = (
+            pd.DataFrame({
+                "id_a": g["id_a"].to_numpy(zero_copy_only=False),
+                "id_b": g["id_b"].to_numpy(zero_copy_only=False),
+                "cosine": g["cosine"].to_numpy(zero_copy_only=False),
+            })
+            .groupby(["id_a", "id_b"], sort=False)["cosine"].max()
+            .reset_index()
+        )
         return pa.table(
-            {"id_a": t["id_a"], "id_b": t["id_b"], "cosine": t["max(cosine)"]}
+            {"id_a": pa.array(red["id_a"].to_numpy(), pa.int64()),
+             "id_b": pa.array(red["id_b"].to_numpy(), pa.int64()),
+             "cosine": pa.array(red["cosine"].to_numpy(), pa.float64())}
         )
 
-    return dedup.map_batches(rename, batch_format="pyarrow")
+    # Ray drops empty blocks (a zero-hit corpus would lose the schema
+    # through the groupby): union a typed empty seed — no-op otherwise
+    seed = ray.data.from_arrow(pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    ))
+    return (
+        hits.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(max_pairs, batch_format="pyarrow")
+        .union(seed)
+    )
