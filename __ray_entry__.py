@@ -8,12 +8,12 @@ here (or in the library) initialises or shuts down Ray.
   per-turn feature stack (the north-star entity×timestamp output).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator family
   from SURVEY.md §2 (see protein_feature_engineering_ray/pipelines/queries.py);
-  SQL-expressible ops carry an exactly-matching DuckDB oracle, float-
-  accumulation ops are rows-only and covered by the pytest pandas oracle.
-  The catalog holds EXACTLY 50 entries, every oracle-backed query first
-  (the driver records CORRECTNESS rows for at most the first 50 — observed
-  round 2); related rows-only operators are merged into combined queries,
-  mapped back to individual operators in COVERAGE.md.
+  since round-5 close EVERY one of the EXACTLY 50 catalog entries carries an
+  exactly-matching DuckDB oracle (the driver records CORRECTNESS rows for at
+  most the first 50 — observed round 2); related operators are merged into
+  combined queries, mapped back to individual operators in COVERAGE.md.
+  Raw-float accumulation surfaces additionally stay allclose-gated by the
+  pytest pandas oracle.
 """
 
 from __future__ import annotations

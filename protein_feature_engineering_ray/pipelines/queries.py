@@ -1456,17 +1456,32 @@ def q_minhash_dedup(sf):
 
 
 def q_simhash_dedup(sf):
-    """Full SimHash near-dup removal (banded 64-bit fingerprints with
-    guaranteed candidate recall for <= max_hamming flips, exact popcount
-    verify, connected components; rows-only).  Survivors carry their
-    fingerprint so one query covers simhash64 AND the dedup pipeline."""
+    """HARD-GATED full SimHash near-dup removal (round-5 close; was the last
+    rows-only entry): banded 64-bit fingerprints with guaranteed candidate
+    recall for <= max_hamming flips (pigeonhole over 4 bands), exact
+    popcount verify, connected components, min-id survivor.  Survivors
+    carry their fingerprint so one query covers simhash64 AND the dedup
+    pipeline.
+
+    Runs with ``hash_fn="md5"`` — token hash = lower 64 bits of md5, which
+    DuckDB reproduces bit-for-bit via ``md5_number_lower()`` — so the
+    oracle recomputes the ENTIRE surface from first principles: per-token
+    hashes, the 64 per-bit majority votes, the fingerprint word, the
+    complete Hamming<=3 pair graph (band-key equijoin prefilter, exact by
+    the same pigeonhole theorem the engine relies on), components, and the
+    survivor set.  The vectorized ``hash_fn="fast"`` family (the 100 TB
+    path — same algorithm, pd.util.hash_array tokens) stays pytest-gated
+    via q_neardup_full and the per-doc-reference/recall tests."""
     from protein_feature_engineering_ray.stages.dedup import simhash64, simhash_dedup
 
     docs = sized_read_parquet(
         f"{sf}/documents.parquet", columns=["doc_id", "text"]
     )
-    kept = simhash_dedup(docs, max_hamming=3, bands=4, num_buckets=16)
-    return simhash64(kept)
+    kept = simhash_dedup(
+        docs, max_hamming=3, bands=4, num_buckets=16, hash_fn="md5",
+        small_full=None,  # exact mode: complete Hamming<=3 edge set
+    )
+    return simhash64(kept, hash_fn="md5")
 
 
 def q_embedding_neardup(sf):
@@ -1937,6 +1952,55 @@ FROM embeddings a JOIN embeddings b
  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4"""
 
 
+# simhash_dedup oracle (round-5 close): recomputes the ENTIRE md5-mode
+# simhash surface from first principles — token split (same RE2 '\s+' as
+# Arrow, parity verified on the corpus), md5_number_lower per token
+# (bit-identical to the engine's digest[8:16] little-endian), 64 per-bit
+# majority votes, the fingerprint word, then the complete Hamming<=3 pair
+# graph via a 16-bit band-key equijoin prefilter (EXACT recall by the same
+# pigeonhole theorem the engine's banding relies on: <=3 flips leave >=1 of
+# 4 bands intact), recursive-CTE components, min-id survivors with their
+# fingerprints.
+SQL_SIMHASH = """WITH RECURSIVE d AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents),
+ toks AS (
+  SELECT doc_id, u.tok
+  FROM d, UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')) AS u(tok)),
+ th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+ votes AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT UNNEST(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit),
+ fps0 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::UBIGINT << bit)
+                  ELSE 0::UBIGINT END)::UBIGINT AS fp
+  FROM votes GROUP BY doc_id),
+ fps AS MATERIALIZED (
+  SELECT d.doc_id, coalesce(fps0.fp, 0::UBIGINT) AS fp
+  FROM d LEFT JOIN fps0 USING (doc_id)),
+ bandkeys AS (
+  SELECT doc_id, fp, b.band, (fp >> (b.band * 16)) & 65535 AS bkey
+  FROM fps CROSS JOIN (SELECT UNNEST(range(4)) AS band) b),
+ cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.fp AS fp_a, b.doc_id AS id_b, b.fp AS fp_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.bkey = b.bkey AND b.doc_id > a.doc_id),
+ e0 AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3),
+ e AS (SELECT id_a AS src, id_b AS dst FROM e0
+       UNION ALL SELECT id_b, id_a FROM e0),
+ reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node),
+ comp AS (SELECT node, min(lab) AS lab FROM reach GROUP BY node)
+SELECT comp.node AS doc_id, fps.fp AS simhash
+FROM comp JOIN fps ON fps.doc_id = comp.node
+WHERE comp.node = comp.lab"""
+
+
 def q_knn_exact(sf):
     """Exact top-5 cosine neighbor MEMBERSHIP per query (ids only — float
     ranks are summation-order-sensitive, the id set is not), oracle-checked
@@ -2360,9 +2424,9 @@ def q_neardup_dedup(sf):
       cross join — gates the ANN operator's ground truth; the banded
       hyperplane LSH scale path stays recall-tested in pytest.
 
-    SimHash moved to its own rows-only entry (``simhash_dedup``) — its
-    fingerprint hash has no SQL analogue and this corpus contains genuine
-    near-dups, so its survivor set is not SQL-predictable."""
+    SimHash lives in its own entry (``simhash_dedup``) — hard-gated too
+    since round-5 close via ``hash_fn="md5"`` (DuckDB ``md5_number_lower``
+    reproduces the token hash bit-for-bit)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -2405,8 +2469,14 @@ def q_neardup_full(sf):
     embedding rows carry doc_id = id_a and fp = "id_b:cosine(4dp)"."""
     import pyarrow as pa
 
+    from protein_feature_engineering_ray.stages.dedup import simhash64, simhash_dedup
+
     mh = q_minhash_dedup(sf)
-    sh = q_simhash_dedup(sf)
+    # the DEFAULT fast token-hash family (q_simhash_dedup gates md5 mode)
+    sh_docs = sized_read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    sh = simhash64(
+        simhash_dedup(sh_docs, max_hamming=3, bands=4, num_buckets=16))
     emb = q_embedding_neardup(sf)
 
     def tag_mh(t: "pa.Table") -> "pa.Table":
@@ -2444,11 +2514,10 @@ def q_neardup_full(sf):
 
 # Catalog discipline (round-3): the driver records CORRECTNESS rows for at
 # most the first 50 entries (round-2 cut off at exactly 50), so the catalog
-# holds exactly 50 — every oracle-backed query FIRST, rows-only checks last,
-# related rows-only operators merged into combined queries (the mapping to
-# SURVEY §2 operators is COVERAGE.md's table).
+# holds exactly 50, related operators merged into combined queries (the
+# mapping to SURVEY §2 operators is COVERAGE.md's table).  Since round-5
+# close ALL 50 are hard-gated (DuckDB oracle: rows + schema + value hash).
 QUERIES: dict[str, Callable] = {
-    # --- hard-gated (DuckDB oracle: rows + schema + value hash) ---
     "aac": q_aac,
     "gaac": q_gaac,
     "dpc": q_dpc,
@@ -2498,15 +2567,15 @@ QUERIES: dict[str, Callable] = {
     "embed_docs": q_embed_docs,
     "corpus_store": q_corpus_store,
     "media_features": q_media,
-    # --- rows-only (no SQL analogue; allclose-gated in pytest) ---
     # (lag_family left the catalog in round 5: all 10 kernels are now
     # hard-gated in lag_quant and the raw-float surface stays pytest-gated
     # via q_lag_family/tests/oracle.py; the freed slot gates the corpus
     # store end-to-end.  media_features joined the oracle-backed block in
     # round 5: payloads derive from documents.text, making the fake-decode
-    # digest bit-exact in SQL — simhash_dedup is the one remaining
-    # rows-only entry, its 64-bit token-hash fingerprint having no SQL
-    # analogue.)
+    # digest bit-exact in SQL.  simhash_dedup — the last rows-only entry —
+    # joined at round-5 close: hash_fn="md5" makes the token hash DuckDB's
+    # md5_number_lower, so the fingerprint, Hamming graph and survivor set
+    # are all SQL-exact.  ALL 50 catalog entries now carry oracles.)
     "simhash_dedup": q_simhash_dedup,
 }
 
@@ -2573,4 +2642,5 @@ ORACLES: dict[str, str] = {
     "property_lookup": _sql_lookup(),
     "distance_pair": _sql_distance_pair(2),
     "atom_shells": _sql_shells(),
+    "simhash_dedup": SQL_SIMHASH,
 }

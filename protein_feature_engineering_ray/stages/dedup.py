@@ -335,7 +335,7 @@ def minhash_lsh_candidates(
 
 
 def _group_pair_indices(
-    sz: np.ndarray, small_full: int = 16
+    sz: np.ndarray, small_full: int | None = 16
 ) -> tuple[np.ndarray, np.ndarray]:
     """Candidate-pair ROW indices (a_idx, b_idx) over group-contiguous sorted
     rows: ALL i<j pairs for groups of size <= ``small_full`` (closes the
@@ -343,13 +343,21 @@ def _group_pair_indices(
     sort-adjacent and fail against their neighbors — at bounded O(size²)
     cost), CHAIN (i-1, i) pairs above (hot groups stay O(size)).  Fully
     vectorized: the all-pairs side is the rank/offset trick (element at
-    local rank r pairs with its r predecessors)."""
+    local rank r pairs with its r predecessors).
+
+    ``small_full=None`` = EXACT mode: all-pairs in EVERY group, no chain
+    fallback — candidate recall becomes provably complete (the oracle-gate
+    mode; cost is O(size²) per collided group, bounded in practice because
+    callers pair RUNS of identical signatures, not members)."""
     sz = np.asarray(sz, dtype=np.int64)
     n = int(sz.sum())
     starts = np.concatenate([[0], np.cumsum(sz)[:-1]])
     grp = np.repeat(np.arange(len(sz)), sz)
     rank = np.arange(n, dtype=np.int64) - starts[grp]
-    small = sz <= small_full
+    small = (
+        np.ones(len(sz), dtype=bool) if small_full is None
+        else sz <= small_full
+    )
     srow = small[grp]
     idx_s = np.flatnonzero(srow)
     r_s = rank[idx_s]
@@ -366,7 +374,7 @@ def _group_pair_indices(
 
 def _group_run_pair_indices(
     grp_of: np.ndarray, run_key: np.ndarray, band: np.ndarray,
-    small_full: int = 16, run_chain_band: int = 0,
+    small_full: int | None = 16, run_chain_band: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Candidate-pair ROW indices over group-contiguous rows sorted by
     (group, run_key, id), REPLICATION-INVARIANT:
@@ -846,12 +854,41 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     )
 
 
+def _md5_lower64(words: np.ndarray) -> np.ndarray:
+    """Lower 64 bits of md5(token) — bytes 8..16 of the digest read
+    little-endian, bit-identical to DuckDB's ``md5_number_lower()`` (probed
+    empirically: both give 10575884659879408057 for 'hello').  Hashes each
+    DISTINCT token once (np.unique + inverse scatter), so cost scales with
+    vocabulary, not token count."""
+    import hashlib
+    import struct
+
+    uniq, inv = np.unique(words, return_inverse=True)
+    hu = np.empty(len(uniq), dtype=np.uint64)
+    unpack = struct.Struct("<Q").unpack_from
+    for i, w in enumerate(uniq):
+        hu[i] = unpack(hashlib.md5(w.encode("utf-8")).digest(), 8)[0]
+    return hu[inv]
+
+
 def simhash64(
-    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "fast",
 ) -> ray.data.Dataset:
     """64-bit simhash over word unigrams (sign of per-bit weighted sums).
     Vectorized across the batch: one flat token-hash array, per-(doc, bit)
-    vote accumulation — no per-document Python loop."""
+    vote accumulation — no per-document Python loop.
+
+    ``hash_fn``: ``"fast"`` (default) hashes tokens with the vectorized
+    ``pd.util.hash_array`` — the scale path.  ``"md5"`` uses the lower 64
+    bits of md5, bit-identical to DuckDB ``md5_number_lower()``, making the
+    whole fingerprint (and every survivor decision built on it) exactly
+    reproducible in SQL — the oracle-gate mode, same role as
+    ``minhash_dedup(verify="ngram")``.  Same algorithm either way; only the
+    token-hash family differs."""
+    assert hash_fn in ("fast", "md5"), hash_fn
 
     def fn(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -868,7 +905,10 @@ def simhash64(
         words = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)[keep]
         out = np.zeros(len(t), dtype=np.uint64)
         if len(words):
-            h = pd.util.hash_array(words).astype(np.uint64)
+            if hash_fn == "md5":
+                h = _md5_lower64(words)
+            else:
+                h = pd.util.hash_array(words).astype(np.uint64)
             bits = (
                 (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
             ).astype(np.int8)
@@ -893,7 +933,8 @@ def simhash_dedup(
     bands: int = 4,
     num_buckets: int = 64,
     cc_local_threshold: int = 2_000_000,
-    small_full: int = 16,
+    small_full: int | None = 16,
+    hash_fn: str = "fast",
 ) -> ray.data.Dataset:
     """SimHash near-dup removal with GUARANTEED candidate recall: the 64-bit
     fingerprint splits into ``bands`` equal bit-bands; a pair within
@@ -905,7 +946,7 @@ def simhash_dedup(
     components keep the min id per cluster (same machinery as
     minhash_dedup)."""
     assert max_hamming < bands, "recall guarantee needs max_hamming < bands"
-    fps = simhash64(ds, id_col, text_col)
+    fps = simhash64(ds, id_col, text_col, hash_fn=hash_fn)
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
 
@@ -953,7 +994,9 @@ def simhash_dedup(
         # RUN key (_group_run_pair_indices, same as minhash's signature
         # digest): fingerprint-identical members chain within their run
         # (ham = 0, always kept; one canonical band), runs pair via their
-        # representatives — all-pairs up to small_full RUNS, so exact-copy
+        # representatives — all-pairs up to small_full RUNS (None = ALWAYS
+        # all-pairs: the verified edge set is then provably the complete
+        # Hamming<=max_hamming graph — oracle-gate mode), so exact-copy
         # replication can neither push a group past the all-pairs floor
         # (under-merge) nor inflate the edge list (the minhash K=8 wall).
         g = g.sort_values(["band", "bkey", "fp", id_col], kind="mergesort")

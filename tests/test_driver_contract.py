@@ -25,7 +25,10 @@ SUBSET = ["aac", "dpc", "eaac_egaac", "latency", "sessions", "frames",
           "ctdd", "lag_quant", "neardup_dedup", "embed_docs",
           "corpus_store",
           # round-5 gate: documents-derived media payloads, bit-exact digest
-          "media_features"]
+          "media_features",
+          # round-5 close: md5-mode simhash — fingerprint, Hamming graph and
+          # survivors all SQL-exact (the last rows-only entry retired)
+          "simhash_dedup"]
 
 
 @pytest.fixture(scope="module")
@@ -161,10 +164,14 @@ def test_catalog_invariants():
     assert set(o) <= set(q), "oracle without a query"
     keys = list(q)
     has_oracle = [k in o for k in keys]
-    first_rows_only = has_oracle.index(False)
-    assert all(not h for h in has_oracle[first_rows_only:]), (
-        "oracle-backed queries must all precede rows-only queries"
-    )
+    if all(has_oracle):
+        # round-5 close state: every catalog entry is oracle-gated
+        assert len(o) == len(q)
+    else:
+        first_rows_only = has_oracle.index(False)
+        assert all(not h for h in has_oracle[first_rows_only:]), (
+            "oracle-backed queries must all precede rows-only queries"
+        )
 
 
 def test_queries_survive_empty_input(tmp_path):

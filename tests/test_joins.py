@@ -490,6 +490,73 @@ def test_simhash_dedup_guaranteed_recall():
     assert len(kept & set(range(6, 30))) == 24
 
 
+def test_md5_lower64_matches_duckdb():
+    """The md5-mode token hash is bit-identical to DuckDB md5_number_lower
+    (lower 8 digest bytes, little-endian) — the bridge that makes the
+    simhash_dedup catalog entry SQL-exact.  Tricky tokens: unicode,
+    combining marks, long strings, punctuation."""
+    import duckdb
+
+    from protein_feature_engineering_ray.stages.dedup import _md5_lower64
+
+    toks = np.asarray(
+        ["hello", "héllo", "日本語", "a" * 300, "tab\ttok", "mixed123!@#",
+         "ß", " nbsp", "é", "ABC", "abc"], dtype=object)
+    got = _md5_lower64(toks)
+    con = duckdb.connect()
+    for t, g in zip(toks, got):
+        want = con.execute("SELECT md5_number_lower(?)", [t]).fetchone()[0]
+        assert int(g) == int(want), t
+
+
+def test_simhash_md5_exact_mode_matches_bruteforce_components():
+    """hash_fn='md5' + small_full=None (the oracle-gate configuration):
+    survivors == min-id per connected component of the complete
+    Hamming<=max_hamming graph, computed here by brute force over all
+    pairs — the engine's banding/run/verify machinery must reproduce the
+    mathematical definition exactly."""
+    from protein_feature_engineering_ray.stages.dedup import (
+        simhash64,
+        simhash_dedup,
+    )
+
+    rng = np.random.default_rng(101)
+    words = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(words, size=40)) for _ in range(40)]
+    # near-copies (1-word edits), exact copies, and empty docs
+    for i in range(8):
+        src = texts[i].split()
+        src[3] = "YY"
+        texts.append(" ".join(src))
+    texts += [texts[0], texts[1], "", "   "]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df)
+    fps = (simhash64(ds, hash_fn="md5").to_pandas().sort_values("doc_id")
+           ["simhash"].to_numpy().astype(np.uint64))
+    max_hamming = 3
+    n = len(fps)
+    lab = np.arange(n)
+
+    def find(i):
+        while lab[i] != i:
+            lab[i] = lab[lab[i]]
+            i = lab[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if bin(int(fps[i]) ^ int(fps[j])).count("1") <= max_hamming:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    lab[max(ri, rj)] = min(ri, rj)
+    want = sorted({find(i) for i in range(n)})
+    out = simhash_dedup(
+        ray.data.from_pandas(df), max_hamming=max_hamming, bands=4,
+        num_buckets=8, hash_fn="md5", small_full=None,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == want
+
+
 def test_bucket_join_randomized_vs_pandas_merge():
     """Randomized cross-check: every join mode equals the pandas-merge
     ground truth on random frames with duplicate keys, null-free int keys,
