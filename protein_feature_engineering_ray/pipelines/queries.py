@@ -427,7 +427,9 @@ def _sql_lookup() -> str:
                           ("blosum", EVENT_BLOSUM)):
         for j in range(table.shape[1]):
             cases = " ".join(
-                f"WHEN '{s}' THEN {table[i, j]!r}" for i, s in enumerate(LETTERS)
+                # float() first: numpy>=2 reprs scalars as np.float64(x)
+                f"WHEN '{s}' THEN {float(table[i, j])!r}"
+                for i, s in enumerate(LETTERS)
             )
             # unknown roles -> 0 rows (the engine's documented rule), not NULL
             cols.append(f'CASE role {cases} ELSE 0.0 END AS "{prefix}_{j}"')
@@ -1213,9 +1215,13 @@ def _sql_lag_quant() -> str:
     rmat = (_diff * _diff).mean(axis=2)  # PAAC.counts' R, exactly
     k_props = zn.shape[1]
     lut_rows = ", ".join(
+        # float() first: numpy>=2 reprs scalars as np.float64(x), which
+        # would be a DuckDB syntax error; float-of-float64 is exact so the
+        # emitted literal text is unchanged on numpy 1.x
         "('{}', '{}', {!r}, {!r}, {})".format(
-            sa, sb, d2[i, j], rmat[i, j],
-            ", ".join(repr(zn[i, j2] * zn[j, j2]) for j2 in range(k_props)))
+            sa, sb, float(d2[i, j]), float(rmat[i, j]),
+            ", ".join(repr(float(zn[i, j2] * zn[j, j2]))
+                      for j2 in range(k_props)))
         for i, sa in enumerate(LETTERS) for j, sb in enumerate(LETTERS)
     )
     m_cols = ", ".join(f"m{j}" for j in range(k_props))
@@ -1265,7 +1271,8 @@ def _sql_lag_quant() -> str:
     # COMPACTED distance n, denominator = compacted length - n.  ACC is
     # the concatenation of the AC block and this CC block.
     prop0 = ", ".join(
-        f"('{s}', {EVENT_ZSCALE[i, 0]!r})" for i, s in enumerate(LETTERS))
+        f"('{s}', {float(EVENT_ZSCALE[i, 0])!r})"
+        for i, s in enumerate(LETTERS))
     ccl_ctes = ",\n ".join(
         f"""ccl{n} AS (
   SELECT a.conv_id,
@@ -2364,8 +2371,11 @@ def q_corpus_store(sf):
     try:
         ds = from_events(sf, columns=cols)
         ingest_corpus(ds, d, num_buckets=8)
+        # list conversations from the JUST-COMMITTED store (a one-column
+        # pruned read of the sorted partitions), not by re-executing the
+        # whole events read + transcript transform a second time
         convs = sorted(
-            c for c in ds.select_columns(["conv_id"]).unique("conv_id")
+            c for c in read_corpus(d, columns=["conv_id"]).unique("conv_id")
             if c is not None and c.lstrip("-").isdigit() and int(c) % 5 == 0
         )
         if not convs:

@@ -32,6 +32,20 @@ import ray.data
 from protein_feature_engineering_ray.core.joins import bucket_join
 
 
+def _probe_id_type(ds: ray.data.Dataset, id_col: str) -> pa.DataType:
+    """Id dtype from the dataset's schema (int64 when unprobeable) — empty
+    result blocks must carry the REAL id dtype or Ray's block-schema
+    unification breaks against non-empty siblings (string doc ids)."""
+    try:
+        sch = ds.schema()
+        probed = dict(zip(sch.names, sch.types)).get(id_col)
+        if isinstance(probed, pa.DataType):
+            return probed
+    except Exception:
+        pass
+    return pa.int64()
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -1154,12 +1168,13 @@ def pairwise_ngram_jaccard(
         left_cols=[id_col, text_col, "_partner"],
         right_cols=[id_col, text_col], right_suffix="_b",
     )
+    idt = _probe_id_type(ds, id_col)
 
     def score(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
             return pa.table(
-                {"id_a": pa.array([], pa.int64()),
-                 "id_b": pa.array([], pa.int64()),
+                {"id_a": pa.array([], idt),
+                 "id_b": pa.array([], idt),
                  "jaccard": pa.array([], pa.float64())}
             )
         ta = np.asarray(t[text_col].to_numpy(zero_copy_only=False), dtype=object)
@@ -1208,12 +1223,16 @@ def ngram_verify_pairs(
         left_cols=["id_a", "id_b", text_col],
         right_cols=[id_col, text_col],
     )
+    idt = _probe_id_type(ds, id_col)
 
     def score(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
+            # typed from the input's id dtype: a zero-pair coarse bucket
+            # must not emit int64 ids next to non-int64 siblings (block
+            # schema unification would fail for e.g. string doc ids)
             return pa.table(
-                {"id_a": pa.array([], pa.int64()),
-                 "id_b": pa.array([], pa.int64()),
+                {"id_a": pa.array([], idt),
+                 "id_b": pa.array([], idt),
                  "jaccard": pa.array([], pa.float64())}
             )
         ta = np.asarray(t[text_col].to_numpy(zero_copy_only=False), dtype=object)

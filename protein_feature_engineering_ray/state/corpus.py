@@ -24,7 +24,11 @@ Idempotency rides the same per-bucket watermark as the splice: an
 rows against its committed ``ts_watermark_us``, so already-committed
 fragments are never duplicated (the north rule's resume granularity applied
 to ingest itself — the reference's analogue is the per-sample ``.pt`` skip,
-ESM_embed.ipynb cell 2).
+ESM_embed.ipynb cell 2).  Rows AT the watermark microsecond are resolved by
+an exact whole-row multiset diff against the committed rows at that
+timestamp (row-group-pruned read), so a retry skips them while a genuinely
+new same-microsecond row arriving in a later wave is still ingested — the
+watermark never silently drops data.
 """
 
 from __future__ import annotations
@@ -118,16 +122,75 @@ def ingest_corpus(
     return manifest.to_dict("records")
 
 
+def _committed_rows_at_ts(corpus_dir: str, bucket: int, wm_us: int,
+                          meta: dict) -> pa.Table:
+    """Every committed row of one bucket whose ts equals ``wm_us``, decoding
+    only the row groups whose ts statistics cover the watermark (the
+    boundary microsecond typically lives in a handful of groups)."""
+
+    def _us(v) -> int:
+        # parquet stats give datetimes; route through pyarrow for exact us
+        return int(pa.scalar(v).cast(pa.timestamp("us"))
+                   .cast(pa.int64()).as_py())
+
+    bdir = bucket_dir(corpus_dir, bucket)
+    out = []
+    for fname in fragment_files(meta):
+        pf = pq.ParquetFile(os.path.join(bdir, fname))
+        ts_idx = pf.schema_arrow.get_field_index("ts")
+        keep = []
+        for g in range(pf.num_row_groups):
+            st = pf.metadata.row_group(g).column(ts_idx).statistics
+            if st is None or not st.has_min_max:
+                keep.append(g)  # no stats: read conservatively
+            elif _us(st.min) <= wm_us <= _us(st.max):
+                keep.append(g)
+        if not keep:
+            continue
+        t = pf.read_row_groups(keep)
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        t = t.filter(pc.equal(ts, wm_us))
+        if t.num_rows:
+            out.append(t)
+    if not out:
+        return pa.table({})
+    return pa.concat_tables(out)
+
+
+def _multiset_diff(new: pa.Table, committed: pa.Table) -> pa.Table:
+    """``new`` minus ``committed`` as MULTISETS of whole rows — the k-th
+    identical copy survives only when committed holds fewer than k copies.
+    Exact (grouped on every column); inputs are the few rows sharing one
+    boundary microsecond, so pandas here is cheap."""
+    if committed.num_rows == 0 or new.num_rows == 0:
+        return new
+    cols = list(new.column_names)
+    nd = new.to_pandas()
+    cd = committed.select(cols).to_pandas()
+    occ = nd.groupby(cols, sort=False, dropna=False).cumcount().to_numpy()
+    have = (cd.groupby(cols, sort=False, dropna=False).size()
+            .reset_index(name="_have"))
+    cnt = nd.merge(have, on=cols, how="left")["_have"].fillna(0).to_numpy()
+    return new.filter(pa.array(occ >= cnt))
+
+
 def append_corpus(
     delta_ds: ray.data.Dataset,
     corpus_dir: str,
     order_cols: tuple[str, ...] = ORDER_COLS,
 ) -> list[str]:
-    """Append one arrival wave: per touched bucket, rows strictly newer than
-    the bucket's committed watermark become one sorted ``delta-<gen>``
-    fragment (at-or-below-watermark rows are skipped — that is what makes a
-    crashed append retry-safe).  Returns the fragment file paths — point the
-    incremental backfill's ``delta_ds`` at them for a delta-sized pass 1."""
+    """Append one arrival wave: per touched bucket, rows newer than the
+    bucket's committed watermark become one sorted ``delta-<gen>``
+    fragment.  Rows BELOW the watermark are skipped (that is what makes a
+    crashed append retry-safe); rows AT the watermark are ambiguous — a
+    retry remnant of the committed wave, or a genuinely new row in the same
+    microsecond straddling the wave boundary — and are resolved exactly: a
+    row-group-pruned read of the committed rows at that timestamp, then a
+    whole-row multiset diff, so retries stay idempotent while no new data
+    is ever silently lost (the per-bucket meta records the duplicate count
+    it skipped as ``boundary_dup_skipped``).  Returns the fragment file
+    paths — point the incremental backfill's ``delta_ds`` at them for a
+    delta-sized pass 1."""
     meta = corpus_meta(corpus_dir)
     if not meta.get("complete"):
         raise RuntimeError(
@@ -141,9 +204,21 @@ def append_corpus(
         table = sort_bucket(table.drop_columns(["_bucket"]), order_cols)
         old = read_bucket_meta(corpus_dir, bucket) or {}
         wm = old.get("ts_watermark_us")
+        dup_skipped = 0
         if wm is not None:
             ts = table["ts"].cast(pa.timestamp("us")).cast(pa.int64())
-            table = table.filter(pc.greater(ts, wm))
+            newer = table.filter(pc.greater(ts, wm))
+            boundary = table.filter(pc.equal(ts, wm))
+            if boundary.num_rows:
+                fresh = _multiset_diff(
+                    boundary, _committed_rows_at_ts(corpus_dir, bucket,
+                                                    wm, old))
+                dup_skipped = boundary.num_rows - fresh.num_rows
+                table = (sort_bucket(pa.concat_tables([newer, fresh]),
+                                     order_cols)
+                         if fresh.num_rows else newer)
+            else:
+                table = newer
         empty = pa.table({"bucket": pa.array([], pa.int64()),
                           "file": pa.array([], pa.string()),
                           "rows": pa.array([], pa.int64())})
@@ -153,6 +228,8 @@ def append_corpus(
         lineage = {
             "ts_watermark_us": hi if wm is None else max(wm, hi),
             "resolve": "concat",
+            "boundary_dup_skipped":
+                int(old.get("boundary_dup_skipped", 0)) + dup_skipped,
         }
         if old.get("ts_min_us") is not None or lo is not None:
             lineage["ts_min_us"] = min(

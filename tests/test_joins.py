@@ -403,6 +403,28 @@ def test_minhash_verify_ngram_matches_exact_ground_truth():
         minhash_dedup(ray.data.from_pandas(df), verify="nope")
 
 
+def test_ngram_verify_pairs_string_ids():
+    """Empty coarse buckets must emit blocks typed with the REAL id dtype:
+    with string doc ids and more buckets than pairs, zero-pair buckets used
+    to hardcode int64 and break block-schema unification."""
+    from protein_feature_engineering_ray.stages.dedup import (
+        ngram_verify_pairs,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["x y z w q", "x y z w q", "p q r s t", "u v"],
+    })
+    pairs = pd.DataFrame({"id_a": ["a"], "id_b": ["b"]})
+    out = ngram_verify_pairs(
+        ray.data.from_pandas(pairs), ray.data.from_pandas(docs),
+        k=3, threshold=0.5, num_buckets=8,
+    ).to_pandas()
+    assert list(out["id_a"]) == ["a"] and list(out["id_b"]) == ["b"]
+    assert out["jaccard"].iloc[0] == 1.0
+    assert out["id_a"].dtype == object
+
+
 def test_pairwise_ngram_jaccard_matches_reference_fn():
     """Vectorized hash-based trigram Jaccard == the per-pair exact helper,
     including short (<k words), empty and whitespace-only docs."""

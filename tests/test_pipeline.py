@@ -1042,6 +1042,61 @@ def test_corpus_store_incremental(tmp_path):
     assert len(corpus_files(store)) == stats["files_total"]
 
 
+def test_append_corpus_watermark_boundary(tmp_path):
+    """Rows AT a bucket's committed watermark resolve exactly: a retry
+    remnant (whole-row duplicate) is skipped, a genuinely NEW row in the
+    same microsecond is ingested, identical new copies follow multiset
+    semantics, and the skip count lands in the bucket meta — the watermark
+    never silently drops data."""
+    from protein_feature_engineering_ray.state.corpus import (
+        append_corpus,
+        ingest_corpus,
+        read_corpus,
+    )
+    from protein_feature_engineering_ray.state.manifest import (
+        read_bucket_meta,
+    )
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    us = pd.Timedelta(microseconds=1)
+    base = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": [0, 1, 0],
+        "role": ["user", "assistant", "user"],
+        "ts": [t0, t0 + 5 * us, t0 + 5 * us],
+    })
+    store = str(tmp_path / "store")
+    ingest_corpus(ray.data.from_pandas(base), store, num_buckets=4)
+
+    wm_ts = t0 + 5 * us  # every committed row's max ts — the watermark
+    wave2 = pd.DataFrame({
+        # row 0: exact duplicate of committed (c1, 1) at the watermark
+        # (a crashed-append retry remnant) — must be skipped;
+        # rows 1-3: genuinely NEW rows in the SAME microsecond (two of
+        # them identical copies — both must survive, committed has zero);
+        # row 4: a plainly newer row.
+        "conv_id": ["c1", "c1", "c2", "c2", "c1"],
+        "turn_idx": [1, 2, 1, 1, 3],
+        "role": ["assistant", "user", "tool", "tool", "user"],
+        "ts": [wm_ts, wm_ts, wm_ts, wm_ts, t0 + 9 * us],
+    })
+    files = append_corpus(ray.data.from_pandas(wave2), store)
+    assert files
+    got = read_corpus(store).to_pandas()
+    assert len(got) == len(base) + 4  # all of wave2 except the retry dup
+    assert len(got[(got["conv_id"] == "c1") & (got["turn_idx"] == 1)]) == 1
+    assert len(got[(got["conv_id"] == "c2") & (got["turn_idx"] == 1)]) == 2
+
+    # a full retry of the whole wave is a no-op
+    assert append_corpus(ray.data.from_pandas(wave2), store) == []
+    assert len(read_corpus(store).to_pandas()) == len(base) + 4
+
+    # the skipped duplicate is accounted loudly in its bucket's meta
+    b_c1 = int(bucket_hash(np.asarray(["c1"], dtype=object), 4)[0])
+    meta = read_bucket_meta(store, b_c1)
+    assert meta.get("boundary_dup_skipped", 0) >= 1
+
+
 def test_incremental_random_waves(tmp_path):
     """Randomized armor: N random append cut-points, incremental after each
     wave, final logical output equals a cold full backfill regardless of
