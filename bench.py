@@ -244,6 +244,10 @@ def run_bench() -> dict:
         "n_turns": n_turns,
         "queries": times,
         "winnow_drops": winnow_drops,
+        # host weather at record time: this sandbox shares a box with noisy
+        # neighbors (documented 1.4x spread); a one-shot record needs its
+        # own context to be comparable across rounds
+        "loadavg_1m": round(os.getloadavg()[0], 1),
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }
@@ -280,8 +284,20 @@ def run_scaling() -> dict:
     # headroom against noisy-neighbor jitter at full machine width)
     lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
-    runs_lo = [one(lo) for _ in range(repeats)]
-    runs_hi = [one(hi) for _ in range(repeats)]
+    # INTERLEAVE lo/hi children (lo,hi,lo,hi,...): the sandbox's neighbor
+    # load drifts on minute timescales, so an all-lo-then-all-hi order lets
+    # one load regime land entirely on one level and bias the ratio even
+    # under min-of-N (observed: a mid-sweep load-14 arrival sank only the
+    # hi runs, efficiency 0.72 vs 0.89 in a quiet window); interleaving
+    # samples both levels across the same noise windows.  loadavg before
+    # each child is recorded so a recorded sweep carries its own weather.
+    runs_lo, runs_hi = [], []
+    load_lo, load_hi = [], []
+    for _ in range(repeats):
+        load_lo.append(round(os.getloadavg()[0], 1))
+        runs_lo.append(one(lo))
+        load_hi.append(round(os.getloadavg()[0], 1))
+        runs_hi.append(one(hi))
     bf_lo = min(r["value"] for r in runs_lo)
     bf_hi = min(r["value"] for r in runs_hi)
     sw_lo = min(r["sweep_sec"] for r in runs_lo)
@@ -311,6 +327,8 @@ def run_scaling() -> dict:
         "backfill_sec_hi_all": [r["value"] for r in runs_hi],
         "sweep_sec_lo_all": [r["sweep_sec"] for r in runs_lo],
         "sweep_sec_hi_all": [r["sweep_sec"] for r in runs_hi],
+        "loadavg_before_lo": load_lo,
+        "loadavg_before_hi": load_hi,
         "sf": runs_hi[0]["sf"],
     }
 

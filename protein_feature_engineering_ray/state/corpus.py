@@ -258,24 +258,33 @@ def append_corpus(
     ]
 
 
-def compact_corpus(corpus_dir: str) -> list[dict]:
-    """Rewrite every multi-fragment partition to one sorted, conv-indexed
+def compact_corpus(corpus_dir: str, min_fragments: int = 2) -> list[dict]:
+    """Rewrite fragmented partitions to one sorted, conv-indexed
     ``data.parquet`` generation (CONCAT resolution — corpus fragments are
-    arrival waves of new rows, nothing supersedes).  Run on the append
-    cadence's amortization schedule: appends stay cheap, the reader's
-    fragment count and the row-group index stay tight.  Watermarks are
-    preserved, so append idempotency is unaffected.  One Ray task per
-    fragmented bucket; returns their manifest rows."""
+    arrival waves of new rows, nothing supersedes).  ``min_fragments`` is
+    the size-tiered trigger: only buckets holding at least that many
+    fragments rewrite (default 2 = every fragmented bucket).  Calling this
+    after each append wave with e.g. ``min_fragments=8`` gives the standard
+    LSM amortization — appends stay cheap, read amplification and the
+    row-group index stay bounded, and each bucket rewrites only once per
+    ~8 waves (compaction MUST run after the wave's returned delta paths
+    have been consumed by the incremental backfill: it deletes them).
+    Watermarks are preserved, so append idempotency is unaffected.  One Ray
+    task per compacted bucket; returns their manifest rows."""
+    if min_fragments < 2:
+        raise ValueError(f"min_fragments must be >= 2, got {min_fragments}")
     meta = corpus_meta(corpus_dir)
     multi = [m for m in read_manifest(corpus_dir)
-             if len(fragment_files(m)) > 1]
+             if len(fragment_files(m)) >= min_fragments]
     if not multi:
         return []
     items = [
         {"bucket": m["bucket"],
          "files": ";".join(fragment_files(m)),
          "ts_watermark_us": m.get("ts_watermark_us"),
-         "ts_min_us": m.get("ts_min_us")}
+         "ts_min_us": m.get("ts_min_us"),
+         # cumulative idempotency diagnostic survives the rewrite
+         "boundary_dup_skipped": int(m.get("boundary_dup_skipped", 0))}
         for m in multi
     ]
 
@@ -297,6 +306,8 @@ def compact_corpus(corpus_dir: str) -> list[dict]:
                     "ts_min_us": t["ts_min_us"][i].as_py(),
                     "resolve": "concat",
                     "compacted": True,
+                    "boundary_dup_skipped":
+                        int(t["boundary_dup_skipped"][i].as_py()),
                 },
                 row_group_size=ROW_GROUP_ROWS, index_col="conv_id",
             )

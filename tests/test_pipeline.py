@@ -1162,6 +1162,10 @@ def test_corpus_store_compaction(tmp_path):
 
     want = read_corpus(store).to_pandas().sort_values(
         ["conv_id", "turn_idx"]).reset_index(drop=True)
+    # size-tiered trigger: every bucket holds <= 3 fragments (base + 2
+    # waves), so a min_fragments=4 cadence call is a no-op
+    assert compact_corpus(store, min_fragments=4) == []
+    assert len(corpus_files(store)) == n_files_before
     rows = compact_corpus(store)
     assert rows and len(corpus_files(store)) == n_buckets  # one per bucket
     got = read_corpus(store).to_pandas().sort_values(
