@@ -128,6 +128,48 @@ def conv_features(
     return grouped_buckets(ds, fn, num_buckets=num_buckets, order_cols=order_cols)
 
 
+def _salt_dict(conv_col, chunk: np.ndarray) -> pa.Array:
+    """Dictionary-encoded ``conv#NNNNNNNNN`` chunk salt — no per-row Python.
+
+    Only the DISTINCT (conversation, chunk) pairs of the batch are formatted
+    (one per ~``chunk_size`` rows); every row carries an int32 index.  All
+    downstream stages then take their dictionary fast paths: ``add_bucket``
+    hashes only the small dictionary, ``sort_bucket`` rank-sorts it, and
+    ``ConvContext`` segments on the int32 codes without materializing
+    strings.  The zero-padded chunk suffix keeps lexicographic salt order ==
+    (conv, chunk) order, so chunked outputs stay byte-identical to the
+    per-row f-string construction this replaces."""
+    if isinstance(conv_col, pa.ChunkedArray):
+        conv_col = conv_col.combine_chunks()
+    de = (
+        conv_col
+        if pa.types.is_dictionary(conv_col.type)
+        else conv_col.dictionary_encode()
+    )
+    if chunk.size and int(chunk.max()) >= 1 << 32:
+        raise ValueError(
+            f"chunk index {int(chunk.max())} >= 2^32; raise chunk_size"
+        )
+    if de.null_count > 0:
+        # rare null-conv path: match the legacy f-string rendering ("None#…")
+        conv = np.asarray(conv_col.cast(pa.string()).to_numpy(
+            zero_copy_only=False), dtype=object)
+        return pa.array(
+            [f"{c}#{k:09d}" for c, k in zip(conv, chunk)], pa.string()
+        ).dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    combined = (codes << 32) | chunk.astype(np.int64)
+    uniq, inv = np.unique(combined, return_inverse=True)
+    dic = de.dictionary.to_pylist()
+    salts = pa.array(
+        [f"{dic[int(u >> 32)]}#{int(u & 0xFFFFFFFF):09d}" for u in uniq],
+        pa.string(),
+    )
+    return pa.DictionaryArray.from_arrays(
+        pa.array(inv.astype(np.int32), pa.int32()), salts
+    )
+
+
 def _explode_chunks(ds: ray.data.Dataset, chunk_size: int, L: int) -> ray.data.Dataset:
     """Salt rows into ``conv_id#chunk`` groups; rows in the last ``L``
     positions of a chunk are duplicated into the next chunk as read-only
@@ -136,11 +178,7 @@ def _explode_chunks(ds: ray.data.Dataset, chunk_size: int, L: int) -> ray.data.D
     def explode(t: pa.Table) -> pa.Table:
         ti = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         chunk = ti // chunk_size
-        conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False), dtype=object)
-        salt = np.array(
-            [f"{c}#{k:09d}" for c, k in zip(conv, chunk)], dtype=object
-        )
-        own = t.append_column("_salt", pa.array(salt, pa.string()))
+        own = t.append_column("_salt", _salt_dict(t["conv_id"], chunk))
         own = own.append_column(
             "_ctx", pa.array(np.zeros(len(t), dtype=np.int8), pa.int8())
         )
@@ -151,11 +189,9 @@ def _explode_chunks(ds: ray.data.Dataset, chunk_size: int, L: int) -> ray.data.D
             return own
         idx = np.flatnonzero(tail)
         ctx_rows = t.take(pa.array(idx))
-        ctx_salt = np.array(
-            [f"{c}#{k + 1:09d}" for c, k in zip(conv[idx], chunk[idx])],
-            dtype=object,
+        ctx_rows = ctx_rows.append_column(
+            "_salt", _salt_dict(ctx_rows["conv_id"], chunk[idx] + 1)
         )
-        ctx_rows = ctx_rows.append_column("_salt", pa.array(ctx_salt, pa.string()))
         ctx_rows = ctx_rows.append_column(
             "_ctx", pa.array(np.ones(len(idx), dtype=np.int8), pa.int8())
         )
@@ -216,28 +252,29 @@ def conv_features_chunked(
         ctx = ConvContext(table, alphabet, seg_col="_salt")
         own = table["_ctx"].to_numpy(zero_copy_only=False) == 0
         mats = [k.counts(ctx, anchor=own) for k in kernels]
-        first = ctx.starts[:-1]
-        conv = np.asarray(
-            table["conv_id"].to_numpy(zero_copy_only=False), dtype=object
-        )[first]
-        # chunk index: parse the salt suffix (conv#NNNNNNNNN) so the merge
-        # can restore chunk order for order-mergeable kernels
-        salts = np.asarray(
-            table["_salt"].to_numpy(zero_copy_only=False), dtype=object
-        )[first]
-        chunk_idx = np.array([int(s.rsplit("#", 1)[1]) for s in salts],
-                             dtype=np.int64)
+        # one salt per segment (dictionary-aware head decode — never all
+        # rows); parse conv + chunk index from the conv#NNNNNNNNN suffix so
+        # the merge can restore chunk order for order-mergeable kernels
+        salts = ctx.conv_ids
+        split = [s.rsplit("#", 1) for s in salts]
+        conv = np.array([p[0] for p in split], dtype=object)
+        chunk_idx = np.array([int(p[1]) for p in split], dtype=np.int64)
+        # ONE FixedSizeList partial column instead of sum(counts_width) named
+        # float64 columns: the merge exchange ships the same bytes but Arrow
+        # handles one child buffer, not thousands of arrays (assembly, block
+        # concat and the bucket sort all scale with column COUNT)
+        pmat = np.ascontiguousarray(
+            np.concatenate(
+                [np.atleast_2d(m.T).T.astype(np.float64) for m in mats], axis=1
+            )
+        )
         cols = {
             "conv_id": pa.array(conv, pa.string()),
             "_chunk": pa.array(chunk_idx, pa.int64()),
+            "_p": pa.FixedSizeListArray.from_arrays(
+                pa.array(pmat.reshape(-1), pa.float64()), pmat.shape[1]
+            ),
         }
-        j = 0
-        for m in mats:
-            for c in range(m.shape[1]):
-                cols[f"_p{j}"] = pa.array(
-                    m[:, c].astype(np.float64), pa.float64()
-                )
-                j += 1
         return pa.table(cols)
 
     def merge_fn(table: pa.Table) -> pa.Table:
@@ -247,10 +284,13 @@ def conv_features_chunked(
         from protein_feature_engineering_ray.core.bucket import segment_starts
 
         starts = segment_starts(conv)
-        width = table.num_columns - 2
-        mat = np.column_stack(
-            [table[f"_p{j}"].to_numpy(zero_copy_only=False) for j in range(width)]
-        ).astype(np.float64)
+        pcol = table["_p"].combine_chunks()
+        width = pcol.type.list_size
+        mat = (
+            pcol.values.to_numpy(zero_copy_only=False)
+            .astype(np.float64, copy=False)
+            .reshape(len(table), width)
+        )
         n_conv = len(starts) - 1
         cols = {"conv_id": pa.array(conv[starts[:-1]], pa.string())}
         off = 0
@@ -283,6 +323,95 @@ def conv_features_chunked(
         partials, merge_fn, num_buckets=num_buckets, key="conv_id",
         order_cols=("conv_id", "_chunk"),
     )
+
+
+def conv_features_auto(
+    ds: ray.data.Dataset,
+    kernels: Sequence[ConvKernel],
+    alphabet: Alphabet = DEFAULT_ALPHABET,
+    chunk_size: int = 100_000,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    max_long_convs: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Skew-routed conversation descriptors: only conversations LONGER than
+    ``chunk_size`` take the salted chunked machinery; everything else takes
+    the plain one-exchange ``conv_features`` path.
+
+    ``conv_features_chunked`` pays per conversation whether it needs the
+    split or not — context-row duplication, a per-chunk partial row of
+    ``sum(counts_width)`` float64s, and a second merge exchange.  On a
+    realistic corpus (many normal conversations, a few pathological ones)
+    that overhead dwarfs the straggler it removes.  The router:
+
+    1. A column-pruned pre-pass collects the DISTINCT conv_ids owning any
+       row with ``turn_idx >= chunk_size`` — by construction at most
+       ``n_turns / chunk_size`` ids (loud ``max_long_convs`` cap).
+    2. The id set is broadcast ONCE (``ray.put``) and each batch partitions
+       with a vectorized ``pc.is_in`` — no shuffle for the split.
+    3. Short conversations -> ``conv_features``; long -> ``conv_features_chunked``;
+       ``union`` of the two (identical schemas).
+
+    Values are identical to ``conv_features``: count families bit-exact,
+    the order-merged lag families equal up to float summation order.
+    Requires a valid ``turn_idx``.  Note the input dataset is consumed
+    twice (once per side) plus the cheap 2-column pre-pass — materialize
+    upstream or read from storage; both re-reads are column-pruned by the
+    downstream kernels' contracts.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    def long_ids(t: pa.Table) -> pa.Table:
+        sel = t.filter(
+            pc.greater_equal(t["turn_idx"], pa.scalar(chunk_size))
+        )["conv_id"]
+        if pa.types.is_dictionary(sel.type):
+            sel = sel.cast(pa.string())
+        return pa.table({"conv_id": pc.unique(sel)})
+
+    ids_df = (
+        ds.select_columns(["conv_id", "turn_idx"])
+        .map_batches(long_ids, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # all-empty blocks can drop the schema entirely
+    ids = (
+        ids_df["conv_id"].unique() if "conv_id" in ids_df.columns else []
+    )
+    if len(ids) > max_long_convs:
+        raise RuntimeError(
+            f"{len(ids)} conversations exceed chunk_size={chunk_size} rows "
+            f"(> max_long_convs={max_long_convs}); raise chunk_size or the cap"
+        )
+    if len(ids) == 0:
+        return conv_features(
+            ds, kernels, alphabet=alphabet, num_buckets=num_buckets
+        )
+    ref = ray.put(pa.array(np.asarray(ids, dtype=object), pa.string()))
+
+    def side(keep_long: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            conv = t["conv_id"]
+            if pa.types.is_dictionary(conv.type):
+                conv = conv.cast(pa.string())
+            m = pc.is_in(conv, value_set=ray.get(ref))
+            if not keep_long:
+                m = pc.invert(m)
+            return t.filter(m)
+
+        return fn
+
+    short_out = conv_features(
+        ds.map_batches(side(False), batch_format="pyarrow"),
+        kernels, alphabet=alphabet, num_buckets=num_buckets,
+    )
+    long_out = conv_features_chunked(
+        ds.map_batches(side(True), batch_format="pyarrow"),
+        kernels, alphabet=alphabet, chunk_size=chunk_size,
+        num_buckets=num_buckets,
+    )
+    return short_out.union(long_out)
 
 
 def turn_features_chunked(
@@ -333,11 +462,7 @@ def turn_features_chunked(
     def explode(t: pa.Table) -> pa.Table:
         ti = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         chunk = ti // chunk_size
-        conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False), dtype=object)
-        salt = np.array(
-            [f"{c}#{k:09d}" for c, k in zip(conv, chunk)], dtype=object
-        )
-        own = t.append_column("_salt", pa.array(salt, pa.string()))
+        own = t.append_column("_salt", _salt_dict(t["conv_id"], chunk))
         own = own.append_column(
             "_ctx", pa.array(np.zeros(len(t), dtype=np.int8), pa.int8())
         )
@@ -349,12 +474,8 @@ def turn_features_chunked(
             if tail.any():
                 idx = np.flatnonzero(tail)
                 ctx_rows = t.take(pa.array(idx))
-                ctx_salt = np.array(
-                    [f"{c}#{k + 1:09d}" for c, k in zip(conv[idx], chunk[idx])],
-                    dtype=object,
-                )
                 ctx_rows = ctx_rows.append_column(
-                    "_salt", pa.array(ctx_salt, pa.string())
+                    "_salt", _salt_dict(ctx_rows["conv_id"], chunk[idx] + 1)
                 )
                 ctx_rows = ctx_rows.append_column(
                     "_ctx", pa.array(np.ones(len(idx), dtype=np.int8), pa.int8())
@@ -368,12 +489,8 @@ def turn_features_chunked(
             if head.any():
                 idx = np.flatnonzero(head)
                 ctx_rows = t.take(pa.array(idx))
-                ctx_salt = np.array(
-                    [f"{c}#{k - 1:09d}" for c, k in zip(conv[idx], chunk[idx])],
-                    dtype=object,
-                )
                 ctx_rows = ctx_rows.append_column(
-                    "_salt", pa.array(ctx_salt, pa.string())
+                    "_salt", _salt_dict(ctx_rows["conv_id"], chunk[idx] - 1)
                 )
                 ctx_rows = ctx_rows.append_column(
                     "_ctx", pa.array(np.ones(len(idx), dtype=np.int8), pa.int8())

@@ -187,6 +187,10 @@ def ctdd_chunked(
         gc = ctx.group_codes.astype(np.int32)
         n = len(t)
         salt = t["_salt"]
+        if pa.types.is_dictionary(salt.type):
+            # the target side (prep_tgts) carries plain-string salts; decode
+            # so the tag-union's blocks concat under one schema
+            salt = salt.cast(pa.string())
         return pa.table(
             {
                 "_salt": salt,

@@ -578,6 +578,61 @@ def test_chunked_conv_features_equivalence():
         )
 
 
+def test_conv_features_auto_routes_by_length():
+    """The skew router: long conversations (> chunk_size turns) go through
+    the salted chunked machinery, short ones through the plain path — and
+    the union equals ``conv_features`` on everything.  Also covers the
+    no-long-convs fast path and the loud ``max_long_convs`` cap."""
+    from protein_feature_engineering_ray.core.executor import (
+        conv_features,
+        conv_features_auto,
+    )
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+
+    specs = [("AAC", {}), ("DPC", {}), ("CKSAAP", {"kspace": 2}),
+             ("DDE", {}), ("NMBroto", {"nlag": 3}), ("AC", {"nlag": 3})]
+    pdf = synth_transcripts(n_convs=16, duplicates=False, as_pandas=True)
+    rng = np.random.default_rng(47)
+    val = rng.normal(loc=1.0, scale=2.0, size=len(pdf))
+    val[rng.random(len(pdf)) < 0.1] = np.nan
+    pdf["value"] = val
+    ds = ray.data.from_pandas(pdf)
+    ks = lambda: [make_kernel(n, ALPHA, p)[1] for n, p in specs]  # noqa: E731
+    whole = (
+        conv_features(ds, ks(), alphabet=ALPHA, num_buckets=5)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    # chunk_size=7: several synth conversations exceed it -> both sides run
+    routed = (
+        conv_features_auto(ds, ks(), alphabet=ALPHA, chunk_size=7,
+                           num_buckets=9)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    assert list(whole.columns) == list(routed.columns)
+    pd.testing.assert_series_equal(whole["conv_id"], routed["conv_id"])
+    exact = [c for c in whole.columns
+             if c.startswith(("aac_", "dpc_", "cksaap_", "dde_"))]
+    pd.testing.assert_frame_equal(whole[exact], routed[exact])
+    for c in whole.columns[1:]:
+        np.testing.assert_allclose(
+            whole[c], routed[c], rtol=1e-9, atol=1e-12, err_msg=c
+        )
+
+    # no conversation is long -> identical to the plain path, one exchange
+    routed_all_short = (
+        conv_features_auto(ds, ks(), alphabet=ALPHA, chunk_size=10**6,
+                           num_buckets=5)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(whole, routed_all_short)
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="max_long_convs"):
+        conv_features_auto(ds, ks(), alphabet=ALPHA, chunk_size=7,
+                           num_buckets=5, max_long_convs=1)
+
+
 def test_chunked_conv_lag_and_dde_equivalence():
     """Round-2 decomposable kernels: DDE (integer partials, bit-exact) and
     the full lag/autocorrelation family across chunk boundaries — the
