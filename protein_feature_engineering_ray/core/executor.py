@@ -325,39 +325,20 @@ def conv_features_chunked(
     )
 
 
-def conv_features_auto(
-    ds: ray.data.Dataset,
-    kernels: Sequence[ConvKernel],
-    alphabet: Alphabet = DEFAULT_ALPHABET,
-    chunk_size: int = 100_000,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
-    max_long_convs: int = 2_000_000,
-) -> ray.data.Dataset:
-    """Skew-routed conversation descriptors: only conversations LONGER than
-    ``chunk_size`` take the salted chunked machinery; everything else takes
-    the plain one-exchange ``conv_features`` path.
+def _route_by_length(
+    ds: ray.data.Dataset, chunk_size: int, max_long_convs: int
+) -> tuple[ray.data.Dataset, ray.data.Dataset] | None:
+    """Shared skew-router split: (short, long) datasets, or None when no
+    conversation exceeds ``chunk_size`` rows.
 
-    ``conv_features_chunked`` pays per conversation whether it needs the
-    split or not — context-row duplication, a per-chunk partial row of
-    ``sum(counts_width)`` float64s, and a second merge exchange.  On a
-    realistic corpus (many normal conversations, a few pathological ones)
-    that overhead dwarfs the straggler it removes.  The router:
-
-    1. A column-pruned pre-pass collects the DISTINCT conv_ids owning any
-       row with ``turn_idx >= chunk_size`` — by construction at most
-       ``n_turns / chunk_size`` ids (loud ``max_long_convs`` cap).
-    2. The id set is broadcast ONCE (``ray.put``) and each batch partitions
-       with a vectorized ``pc.is_in`` — no shuffle for the split.
-    3. Short conversations -> ``conv_features``; long -> ``conv_features_chunked``;
-       ``union`` of the two (identical schemas).
-
-    Values are identical to ``conv_features``: count families bit-exact,
-    the order-merged lag families equal up to float summation order.
-    Requires a valid ``turn_idx``.  Note the input dataset is consumed
-    twice (once per side) plus the cheap 2-column pre-pass — materialize
-    upstream or read from storage; both re-reads are column-pruned by the
-    downstream kernels' contracts.
-    """
+    A column-pruned pre-pass collects the DISTINCT conv_ids owning any row
+    with ``turn_idx >= chunk_size`` — by construction at most
+    ``n_turns / chunk_size`` ids (loud ``max_long_convs`` cap).  The id set
+    is broadcast ONCE (``ray.put``) and each batch partitions with a
+    vectorized ``pc.is_in`` — no shuffle for the split.  Requires a valid
+    ``turn_idx``.  The input dataset is consumed once per returned side
+    plus this 2-column pre-pass — materialize upstream or read from
+    storage."""
     import pyarrow.compute as pc
 
     import ray
@@ -385,9 +366,7 @@ def conv_features_auto(
             f"(> max_long_convs={max_long_convs}); raise chunk_size or the cap"
         )
     if len(ids) == 0:
-        return conv_features(
-            ds, kernels, alphabet=alphabet, num_buckets=num_buckets
-        )
+        return None
     ref = ray.put(pa.array(np.asarray(ids, dtype=object), pa.string()))
 
     def side(keep_long: bool):
@@ -402,13 +381,49 @@ def conv_features_auto(
 
         return fn
 
-    short_out = conv_features(
+    return (
         ds.map_batches(side(False), batch_format="pyarrow"),
-        kernels, alphabet=alphabet, num_buckets=num_buckets,
+        ds.map_batches(side(True), batch_format="pyarrow"),
+    )
+
+
+
+
+def conv_features_auto(
+    ds: ray.data.Dataset,
+    kernels: Sequence[ConvKernel],
+    alphabet: Alphabet = DEFAULT_ALPHABET,
+    chunk_size: int = 100_000,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    max_long_convs: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Skew-routed conversation descriptors: only conversations LONGER than
+    ``chunk_size`` take the salted chunked machinery; everything else takes
+    the plain one-exchange ``conv_features`` path.
+
+    ``conv_features_chunked`` pays per conversation whether it needs the
+    split or not — context-row duplication, a per-chunk partial row of
+    ``sum(counts_width)`` float64s, and a second merge exchange.  On a
+    realistic corpus (many normal conversations, a few pathological ones)
+    that overhead dwarfs the straggler it removes; measured on a corpus
+    with one 33%-share mega conversation the always-chunk path is 0.7-1.0x
+    the straggling unchunked path while this router is 1.3-1.7x
+    (scripts/megaconv_proof.py).  Split semantics: ``_route_by_length``.
+
+    Values are identical to ``conv_features``: count families bit-exact,
+    the order-merged lag families equal up to float summation order.
+    """
+    routed = _route_by_length(ds, chunk_size, max_long_convs)
+    if routed is None:
+        return conv_features(
+            ds, kernels, alphabet=alphabet, num_buckets=num_buckets
+        )
+    short_ds, long_ds = routed
+    short_out = conv_features(
+        short_ds, kernels, alphabet=alphabet, num_buckets=num_buckets
     )
     long_out = conv_features_chunked(
-        ds.map_batches(side(True), batch_format="pyarrow"),
-        kernels, alphabet=alphabet, chunk_size=chunk_size,
+        long_ds, kernels, alphabet=alphabet, chunk_size=chunk_size,
         num_buckets=num_buckets,
     )
     return short_out.union(long_out)
@@ -517,6 +532,39 @@ def turn_features_chunked(
         exploded, chunk_fn, num_buckets=num_buckets, key="_salt",
         order_cols=("_salt", "turn_idx"),
     )
+
+
+def turn_features_auto(
+    ds: ray.data.Dataset,
+    kernels: Sequence[TurnKernel],
+    alphabet: Alphabet = DEFAULT_ALPHABET,
+    chunk_size: int = 100_000,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    max_long_convs: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Skew-routed per-turn features: the ``conv_features_auto`` router for
+    the turn-level stack.  Conversations longer than ``chunk_size`` take the
+    salted ``turn_features_chunked`` path (context-prefix/suffix duplication
+    + per-chunk tasks), everything else the plain one-exchange
+    ``turn_features`` path; the union is row-identical to ``turn_features``
+    (every kernel declares a bounded lookback/lookahead, so chunked values
+    are exactly equal, not merely close).  Requires a valid ``turn_idx``.
+    The input dataset is consumed twice plus a 2-column pre-pass — see
+    ``conv_features_auto``."""
+    routed = _route_by_length(ds, chunk_size, max_long_convs)
+    if routed is None:
+        return turn_features(
+            ds, kernels, alphabet=alphabet, num_buckets=num_buckets
+        )
+    short_ds, long_ds = routed
+    short_out = turn_features(
+        short_ds, kernels, alphabet=alphabet, num_buckets=num_buckets
+    )
+    long_out = turn_features_chunked(
+        long_ds, kernels, alphabet=alphabet, chunk_size=chunk_size,
+        num_buckets=num_buckets,
+    )
+    return short_out.union(long_out)
 
 
 def turn_features(

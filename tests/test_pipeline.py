@@ -633,6 +633,48 @@ def test_conv_features_auto_routes_by_length():
                            num_buckets=5, max_long_convs=1)
 
 
+def test_turn_features_auto_routes_by_length():
+    """Per-turn skew router: union of the plain path (short convs) and the
+    salted chunked path (long convs) is row-identical to ``turn_features``
+    — bounded lookback/lookahead kernels are exactly equal when chunked."""
+    from protein_feature_engineering_ray.core.executor import (
+        turn_features,
+        turn_features_auto,
+    )
+    from protein_feature_engineering_ray.functions.registry import make_kernel
+
+    specs = [
+        ("OneHot", {}),
+        ("RollingComposition", {"w": 4}),
+        ("Latency", {}),
+        ("LagLead", {"col": "latency2", "shifts": (-2, 1, 3)}),
+        ("RollingStats", {"col": "latency2", "w": 5}),
+    ]
+    pdf = synth_transcripts(n_convs=16, duplicates=False, as_pandas=True)
+    pdf["latency2"] = np.arange(len(pdf), dtype=float)
+    ds = ray.data.from_pandas(pdf).repartition(4)
+    ks = lambda: [make_kernel(n, ALPHA, p)[1] for n, p in specs]  # noqa: E731
+    whole = (
+        turn_features(ds, ks(), alphabet=ALPHA, num_buckets=5)
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    routed = (
+        turn_features_auto(ds, ks(), alphabet=ALPHA, chunk_size=7,
+                           num_buckets=9)
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(whole) == len(routed) == len(pdf)
+    pd.testing.assert_frame_equal(whole, routed)
+
+    # all short -> plain path
+    routed_all_short = (
+        turn_features_auto(ds, ks(), alphabet=ALPHA, chunk_size=10**6,
+                           num_buckets=5)
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(whole, routed_all_short)
+
+
 def test_chunked_conv_lag_and_dde_equivalence():
     """Round-2 decomposable kernels: DDE (integer partials, bit-exact) and
     the full lag/autocorrelation family across chunk boundaries — the
