@@ -56,6 +56,17 @@ def add_bucket(
 
     def _add(batch: pa.Table) -> pa.Table:
         col = batch[key]
+        if not pa.types.is_dictionary(col.type) and (
+            pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+        ) and col.null_count == 0:
+            # plain string keys: encode once and hash only the dictionary —
+            # pd.util.hash_array over boxed objects is the cost, and keys
+            # repeat (~turns-per-conversation times); measured 6-7x faster
+            # per batch at 100x repetition, not slower even all-unique
+            # (identical buckets: the hash is elementwise)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            col = col.dictionary_encode()
         if pa.types.is_dictionary(col.type):
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()

@@ -303,6 +303,50 @@ def test_backfill_dedup_on_ingest(tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_add_bucket_string_encode_parity():
+    """add_bucket's plain-string fast path (dictionary_encode + hash the
+    dictionary) assigns the SAME buckets as hashing the decoded strings —
+    for plain, pre-dictionary-encoded, chunked, and null-containing keys
+    (nulls fall back to the direct object hash)."""
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.core.bucket import (
+        add_bucket,
+        bucket_hash,
+    )
+
+    rng = np.random.default_rng(11)
+    keys = np.array([f"conv-{i}" for i in rng.integers(0, 40, 300)],
+                    dtype=object)
+    expect = bucket_hash(keys, 8)
+
+    def got(tbl):
+        out = add_bucket(ray.data.from_arrow(tbl), 8).to_pandas()
+        out = out.sort_values("row").reset_index(drop=True)
+        return out["_bucket"].to_numpy()
+
+    base = pa.table({"conv_id": pa.array(keys, pa.string()),
+                     "row": np.arange(len(keys))})
+    np.testing.assert_array_equal(got(base), expect)
+
+    dicted = base.set_column(
+        0, "conv_id", base["conv_id"].combine_chunks().dictionary_encode()
+    )
+    np.testing.assert_array_equal(got(dicted), expect)
+
+    chunked = pa.table({
+        "conv_id": pa.chunked_array([keys[:100], keys[100:]]),
+        "row": np.arange(len(keys)),
+    })
+    np.testing.assert_array_equal(got(chunked), expect)
+
+    with_null = keys.copy().astype(object)
+    with_null[7] = None
+    tbl_null = pa.table({"conv_id": pa.array(with_null, pa.string()),
+                         "row": np.arange(len(keys))})
+    np.testing.assert_array_equal(got(tbl_null), bucket_hash(with_null, 8))
+
+
 def test_order_invariance():
     """Shuffled input blocks -> identical output (SURVEY §5.3)."""
     from protein_feature_engineering_ray.core.executor import conv_features
