@@ -89,7 +89,7 @@ def session_stats(
         ts = ctx.ts_us
         return pa.table(
             {
-                "conv_id": pa.array(ctx.conv_ids_rows[sess_start], pa.string()),
+                "conv_id": pa.array(ctx.seg_heads(sess_start), pa.string()),
                 "session_idx": pa.array(sid[sess_start], pa.int64()),
                 "n_turns": pa.array(
                     (sess_end - sess_start + 1).astype(np.float64), pa.float64()
@@ -133,7 +133,7 @@ def session_composition(
         denom = n_turns.astype(np.float64)
         denom[denom == 0] = 1.0
         cols = {
-            "conv_id": pa.array(ctx.conv_ids_rows[first], pa.string()),
+            "conv_id": pa.array(ctx.seg_heads(first), pa.string()),
             "session_idx": pa.array(sid[first], pa.int64()),
             "n_turns": pa.array(n_turns, pa.int64()),
         }
@@ -186,7 +186,7 @@ def frame_features(
         ts_first = ts[first_pos]
         ts_last = ts[last_pos]
         cols = {
-            "conv_id": pa.array(ctx.conv_ids_rows[first_pos], pa.string()),
+            "conv_id": pa.array(ctx.seg_heads(first_pos), pa.string()),
             "frame_idx": pa.array(frame[first_pos], pa.int64()),
             "n_turns": pa.array(n_turns, pa.int64()),
             "ts_first": pa.array(ts_first, pa.timestamp("us")),

@@ -50,7 +50,8 @@ def validate_conversations(
         if require_contiguous:
             expect = ctx.pos
             if not np.array_equal(ti.astype(np.int64), expect):
-                bad = ctx.conv_ids_rows[ti.astype(np.int64) != expect][:3]
+                bad = ctx.seg_heads(
+                    np.flatnonzero(ti.astype(np.int64) != expect)[:3])
                 raise ValidationError(
                     f"non-contiguous turn_idx in conversations {list(bad)}"
                 )
