@@ -87,9 +87,12 @@ def make_backfill_fn(
             # adjacent after the in-bucket sort — keep the first; free here
             # (no extra shuffle, SURVEY §2.8)
             ccol = table["conv_id"]
+            if isinstance(ccol, pa.ChunkedArray):
+                ccol = ccol.combine_chunks()  # unified: index <=> value
+            if not pa.types.is_dictionary(ccol.type) and ccol.null_count == 0:
+                # adjacency equality only needs equality-preserving codes
+                ccol = ccol.dictionary_encode()
             if pa.types.is_dictionary(ccol.type):
-                if isinstance(ccol, pa.ChunkedArray):
-                    ccol = ccol.combine_chunks()  # unified: index <=> value
                 conv = ccol.indices.to_numpy(zero_copy_only=False)
             else:
                 conv = np.asarray(

@@ -144,9 +144,23 @@ def asof_join(
             return _empty_out()
         if "_bucket" in g.column_names:
             g = g.drop_columns(["_bucket"])
+        # encode conv_id ONCE over the union table: both sides then sort,
+        # merge-lexsort and equality-check on int codes instead of boxed
+        # Python strings (the join only needs conv contiguity + a
+        # side-consistent total order — any dictionary order qualifies)
+        ck = g["conv_id"]
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        if not pa.types.is_dictionary(ck.type):
+            ck = ck.dictionary_encode()
+        g = g.append_column(
+            "_ck", ck.indices.cast(pa.int64())
+        )
         side = g["_src"]
-        L = g.filter(pc.equal(side, 0)).select(list(turn_cols) + ["_ats"])
-        rsel = ["conv_id", "_ats"] + feature_cols + (["_tb"] if tiebreak else [])
+        L = g.filter(pc.equal(side, 0)).select(
+            list(turn_cols) + ["_ats", "_ck"]
+        )
+        rsel = ["_ck", "_ats"] + feature_cols + (["_tb"] if tiebreak else [])
         R = g.filter(pc.equal(side, 1)).select(rsel)
         nl, nr = len(L), len(R)
         if nl == 0:
@@ -155,14 +169,13 @@ def asof_join(
             # placeholder turn_idx (-1) from events-derived sources: assign
             # the canonical per-conversation index inside the co-located
             # bucket (same rule as ConvContext.pos)
-            keys = [("conv_id", "ascending")] + [
+            keys = [("_ck", "ascending")] + [
                 (c, "ascending") for c in assign_turn_idx_by
             ]
             L = L.take(pc.sort_indices(L, sort_keys=keys))
-            conv_tmp = np.asarray(
-                L["conv_id"].to_numpy(zero_copy_only=False), dtype=object
+            starts = segment_starts(
+                L["_ck"].to_numpy(zero_copy_only=False)
             )
-            starts = segment_starts(conv_tmp)
             seg = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
             pos = (np.arange(nl) - starts[seg]).astype(np.int32)
             L = L.set_column(
@@ -170,18 +183,14 @@ def asof_join(
                 pa.array(pos, pa.int32()),
             )
         L = L.take(pc.sort_indices(
-            L, sort_keys=[("conv_id", "ascending"), ("_ats", "ascending")]
+            L, sort_keys=[("_ck", "ascending"), ("_ats", "ascending")]
         ))
-        rkeys = [("conv_id", "ascending"), ("_ats", "ascending")] + (
+        rkeys = [("_ck", "ascending"), ("_ats", "ascending")] + (
             [("_tb", "ascending")] if tiebreak else []
         )
         R = R.take(pc.sort_indices(R, sort_keys=rkeys))
-        conv_l = np.asarray(
-            L["conv_id"].to_numpy(zero_copy_only=False), dtype=object
-        )
-        conv_r = np.asarray(
-            R["conv_id"].to_numpy(zero_copy_only=False), dtype=object
-        )
+        conv_l = L["_ck"].to_numpy(zero_copy_only=False)
+        conv_r = R["_ck"].to_numpy(zero_copy_only=False)
         ats_l = L["_ats"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ats_r = R["_ats"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         conv_all = np.concatenate([conv_r, conv_l])
