@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from protein_feature_engineering_ray.core.joins import bucket_join
+from protein_feature_engineering_ray.core.strhash import hash_strings
 
 
 def _probe_id_type(ds: ray.data.Dataset, id_col: str) -> pa.DataType:
@@ -133,10 +134,8 @@ def _batch_shingle_hashes(
     keep = tok_len > 0  # .split() semantics: drop empty split artifacts
     n = len(texts)
     rid = np.repeat(np.arange(n), np.diff(offs))[keep]
-    words = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)[keep]
-    wh = pd.util.hash_array(words).astype(np.uint64) if len(words) else (
-        np.empty(0, np.uint64)
-    )
+    kept = flat.filter(pa.array(keep))
+    wh = hash_strings(kept)
     nw = np.bincount(rid, minlength=n)
     row_start = np.concatenate([[0], np.cumsum(nw)])
     out_h = []
@@ -154,6 +153,11 @@ def _batch_shingle_hashes(
     shortm = nw < k  # includes empty rows -> "" shingle, like text.split()
     if shortm.any():
         srows = np.flatnonzero(shortm)
+        # box only the short rows' tokens (the common long-document case
+        # never materializes Python strings)
+        words = np.asarray(
+            kept.to_numpy(zero_copy_only=False), dtype=object
+        )
         joined = np.array(
             [" ".join(words[row_start[r]:row_start[r + 1]]) for r in srows],
             dtype=object,
@@ -916,13 +920,16 @@ def simhash64(
         tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
         keep = tok_len > 0
         rid = np.repeat(np.arange(len(t)), np.diff(offsets))[keep]
-        words = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)[keep]
+        kept = flat.filter(pa.array(keep))
         out = np.zeros(len(t), dtype=np.uint64)
-        if len(words):
+        if len(kept):
             if hash_fn == "md5":
+                words = np.asarray(
+                    kept.to_numpy(zero_copy_only=False), dtype=object
+                )
                 h = _md5_lower64(words)
             else:
-                h = pd.util.hash_array(words).astype(np.uint64)
+                h = hash_strings(kept)
             bits = (
                 (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
             ).astype(np.int8)
@@ -1073,8 +1080,8 @@ def _gram_hashes(texts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
     keep = tok_len > 0
     rid_all = np.repeat(np.arange(len(texts)), np.diff(offsets))
-    words = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
-    wh = pd.util.hash_array(words[keep]).astype(np.uint64)
+    kept = flat.filter(pa.array(keep))
+    wh = hash_strings(kept)
     rid = rid_all[keep]
     nw = np.bincount(rid, minlength=len(texts))
     # contiguous per-row layout (already sorted by rid)
@@ -1095,7 +1102,7 @@ def _gram_hashes(texts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         # tokens are contiguous per row in the rid-sorted flat array:
         # slice by cumulative counts, no per-row rescans
         row_start = np.concatenate([[0], np.cumsum(nw)])
-        wk = words[keep]
+        wk = np.asarray(kept.to_numpy(zero_copy_only=False), dtype=object)
         joined = np.array(
             [" ".join(wk[row_start[r]:row_start[r + 1]]) for r in srows],
             dtype=object,

@@ -16,6 +16,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from protein_feature_engineering_ray.core.strhash import hash_strings
+
 _STOPWORDS = {
     "en": {"the", "and", "of", "a", "to", "in", "is", "it", "for", "on"},
     "de": {"der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"},
@@ -88,12 +90,7 @@ class TextQuality:
         n_punct = pc.count_substring_regex(texts, r"[.,;:!?]").to_numpy(
             zero_copy_only=False
         )
-        lower_h = pd.util.hash_array(
-            np.asarray(
-                pc.utf8_lower(flat).to_numpy(zero_copy_only=False),
-                dtype=object,
-            )
-        ).astype(np.uint64)
+        lower_h = hash_strings(pc.utf8_lower(flat))
         is_stop = np.isin(lower_h, self.stop_en_h) & nonempty
         n_stop = _segment_sum(is_stop, offsets)
         rid = np.repeat(np.arange(n), np.diff(offsets))
@@ -174,9 +171,7 @@ class LangId:
         flat, offsets = _tokens_flat(pc.utf8_lower(texts), r"\s+")
         tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
         nonempty = tok_len > 0
-        h = pd.util.hash_array(
-            np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
-        ).astype(np.uint64)
+        h = hash_strings(flat)
         rid = np.repeat(np.arange(n), np.diff(offsets))
         # distinct (row, word) pairs once; then per-language membership sums
         hh, rr = h[nonempty], rid[nonempty]
@@ -343,9 +338,7 @@ def winnow_fingerprints(
         texts = pc.fill_null(t[text_col], "")
         flat, offsets = _tokens_flat(pc.utf8_lower(texts), r"\s+")
         tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(
-            np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
-        ).astype(np.uint64)
+        h = hash_strings(flat)
         # drop split artifacts ("" tokens) and rebuild offsets
         nonempty = tok_len > 0
         rid_all = np.repeat(np.arange(len(t)), np.diff(offsets))
@@ -595,9 +588,7 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = "text",
     the exact-dedup / idempotent-re-ingest key."""
 
     def fn(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            np.asarray(t[text_col].to_numpy(zero_copy_only=False), dtype=object)
-        ).astype(np.uint64)
+        h = hash_strings(t[text_col])
         return pa.table(
             {id_col: t[id_col], "fingerprint": pa.array(h, pa.uint64())}
         )
