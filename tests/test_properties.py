@@ -259,3 +259,35 @@ def test_winnow_segments_properties(token_docs, k, window):
             h, np.array([0, len(h)]), k, window
         )
         assert set(fi) == set(fp[rid == i]), i
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.sampled_from(["hello", "wörld", "", "a", "токен", "x" * 300]),
+            st.text(max_size=20),
+        ),
+        max_size=200,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_hash_strings_matches_boxed_pandas(vals):
+    """hash_strings (dictionary-encode + distinct-only hashing) must be
+    bit-identical to the boxed pd.util.hash_array path it replaced — for
+    plain/large/dictionary string columns, chunked arrays, nulls, empties."""
+    from protein_feature_engineering_ray.core.strhash import hash_strings
+
+    arr = pa.array(vals, pa.string())
+    ref = pd.util.hash_array(
+        np.asarray(arr.to_numpy(zero_copy_only=False), dtype=object)
+    ).astype(np.uint64) if len(vals) else np.empty(0, np.uint64)
+
+    assert np.array_equal(hash_strings(arr), ref)
+    assert np.array_equal(hash_strings(pa.array(vals, pa.large_string())), ref)
+    if len(vals) > 1:
+        mid = len(vals) // 2
+        ch = pa.chunked_array([arr[:mid], arr[mid:]])
+        assert np.array_equal(hash_strings(ch), ref)
+    if arr.null_count == 0:
+        assert np.array_equal(hash_strings(arr.dictionary_encode()), ref)
