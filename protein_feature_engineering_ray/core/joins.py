@@ -140,49 +140,56 @@ def bucket_join(
         # order must match pad_left for the union
         return pa.table({c: cols[c] for c in lnames + rv_out + [_JB, _SIDE]})
 
-    def merge(g: pa.Table) -> pd.DataFrame:
-        # split sides BEFORE pandas conversion: within its own rows every
-        # column is null-free, so int64 keys stay int64 (a joint conversion
-        # would see the other side's padding nulls and promote to float64,
-        # silently breaking the next join's key hash)
+    def merge(g: pa.Table) -> pa.Table:
+        # The pandas merge sees KEY COLUMNS ONLY (plus row-number columns);
+        # payload columns — packed binary signatures, list columns, text —
+        # never convert to pandas: match indices gather them with zero-copy
+        # Arrow take/filter.  Sides split BEFORE the key conversion: within
+        # its own rows every key is null-free, so int64 keys stay int64 (a
+        # joint conversion would see the other side's padding nulls and
+        # promote to float64, silently breaking the next join's key hash).
         import pyarrow.compute as pc
 
         side = g[_SIDE]
-        Lv = g.filter(pc.equal(side, 0)).select(lnames).to_pandas()
+        L = g.filter(pc.equal(side, 0)).select(lnames)
         R = g.filter(pc.equal(side, 1))
+        lkey = L.select(on).to_pandas()
         if how == "inner" or how == "left_outer":
-            Rv = R.select(on + rv_out).to_pandas()
-            out = Lv.merge(
-                Rv, on=on, how="inner" if how == "inner" else "left",
+            Rv = R.select(on + rv_out)
+            rkey = Rv.select(on).to_pandas()
+            lkey["_li"] = np.arange(len(lkey), dtype=np.int64)
+            rkey["_ri"] = np.arange(len(rkey), dtype=np.int64)
+            m = lkey.merge(
+                rkey, on=on, how="inner" if how == "inner" else "left",
                 suffixes=(None, None),
             )
-            # Re-emit as Arrow under the group's unified schema: a bucket
-            # whose left_outer merge padded NaNs would otherwise yield
-            # float64 right-value columns while fully-matched buckets yield
-            # int64 — per-block schema divergence that downstream Arrow
-            # stages (and Dataset.to_pandas) see as object dtype.  Casting
-            # each column back to its wire type (NaN -> null) keeps every
-            # block on one schema.
-            arrays = {}
-            for c in out_names:
-                typ = g.schema.field(c).type
-                if pa.types.is_null(typ):
-                    # a bucket with ZERO right rows carries null-typed right
-                    # value columns; emit an explicit null column (Arrow
-                    # promotes null -> the other blocks' concrete type)
-                    # instead of letting pandas infer float64 from the NaN
-                    # padding — per-block float64-vs-int64 divergence
-                    arrays[c] = pa.nulls(len(out))
-                else:
-                    arrays[c] = pa.Array.from_pandas(out[c], type=typ)
-            return pa.table(arrays)
-        # semi/anti: dedupe right keys, probe membership
+            Lt = L.take(pa.array(m["_li"].to_numpy(), pa.int64()))
+            if how == "inner":
+                ri = pa.array(m["_ri"].to_numpy(), pa.int64())
+            else:
+                # unmatched left rows: null indices -> Arrow take emits null
+                # rows in the column's own (wire) type — fully-matched and
+                # zero-right buckets stay on one per-column schema
+                rn = m["_ri"].to_numpy()
+                miss = np.isnan(rn) if rn.dtype.kind == "f" else np.zeros(
+                    len(rn), dtype=bool
+                )
+                ri = pa.array(
+                    np.where(miss, 0, rn).astype(np.int64), pa.int64(),
+                    mask=miss,
+                )
+            Rt = Rv.select(rv_out).take(ri)
+            return pa.table(
+                {c: Lt[c] for c in lnames} | {c: Rt[c] for c in rv_out}
+            )
+        # semi/anti: dedupe right keys, probe membership (left order and
+        # multiplicity preserved: one output row per left row vs deduped rk)
         rk = R.select(on).to_pandas().drop_duplicates()
-        m = Lv.merge(rk, on=on, how="left", indicator=True)["_merge"]
+        m = lkey.merge(rk, on=on, how="left", indicator=True)["_merge"]
         mask = (m == "both").to_numpy()
         if how == "left_anti":
             mask = ~mask
-        return Lv[mask]
+        return L.filter(pa.array(mask))
 
     lt = left.map_batches(pad_left, batch_format="pyarrow")
     rt = right.map_batches(pad_right, batch_format="pyarrow")
