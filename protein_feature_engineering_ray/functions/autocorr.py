@@ -13,7 +13,8 @@ Two series sources:
   alphabet (feature.py:1451-1455).
 
 All segment-vectorized: lag products are shifted-array multiplies with
-same-segment masks, per-conversation sums via ``np.add.at``.  A NaN prefix
+same-segment masks, per-conversation sums via order-preserving
+``np.bincount`` segment reductions.  A NaN prefix
 (e.g. first-turn latency) is compacted away per segment before lagging.
 """
 
@@ -23,6 +24,9 @@ import numpy as np
 
 from protein_feature_engineering_ray.core.bucket import segment_starts
 from protein_feature_engineering_ray.core.context import ConvContext
+from protein_feature_engineering_ray.functions.composition import (
+    _seg_code_counts,
+)
 
 
 def znorm_table(table: np.ndarray) -> np.ndarray:
@@ -62,9 +66,9 @@ def _series(ctx: ConvContext, spec) -> tuple[np.ndarray, np.ndarray, np.ndarray]
 
 
 def _seg_reduce(values: np.ndarray, seg_row: np.ndarray, n_segs: int) -> np.ndarray:
-    out = np.zeros(n_segs, dtype=np.float64)
-    np.add.at(out, seg_row, values)
-    return out
+    # bincount accumulates in input order, exactly like the np.add.at scatter
+    # it replaces (bit-identical float sums), at ~3x the throughput
+    return np.bincount(seg_row, weights=values, minlength=n_segs)
 
 
 class _LagBase:
@@ -148,8 +152,7 @@ class _LagBase:
         nseg_c = len(lens)
         seg_row = np.repeat(np.arange(nseg_c), lens)
         # chunk-segment mean, then centered moments (see class docstring)
-        sx = np.zeros(nseg_c)
-        np.add.at(sx, seg_row, x)
+        sx = _seg_reduce(x, seg_row, nseg_c)
         m = sx / np.maximum(lens, 1)
         xm = x - m[seg_row]
         for n in range(1, nlag + 1):
@@ -159,16 +162,15 @@ class _LagBase:
                 h, t = xm[:-n][mask], xm[n:][mask]
                 base = (n - 1) * 6
                 blk = np.zeros((nseg_c, 6))
-                np.add.at(blk[:, 0], segm, h * t)
-                np.add.at(blk[:, 1], segm, h)
-                np.add.at(blk[:, 2], segm, t)
-                np.add.at(blk[:, 3], segm, h * h)
-                np.add.at(blk[:, 4], segm, t * t)
-                np.add.at(blk[:, 5], segm, np.ones(len(segm)))
+                blk[:, 0] = _seg_reduce(h * t, segm, nseg_c)
+                blk[:, 1] = _seg_reduce(h, segm, nseg_c)
+                blk[:, 2] = _seg_reduce(t, segm, nseg_c)
+                blk[:, 3] = _seg_reduce(h * h, segm, nseg_c)
+                blk[:, 4] = _seg_reduce(t * t, segm, nseg_c)
+                blk[:, 5] = np.bincount(segm, minlength=nseg_c)
                 out[seg_map, base : base + 6] = blk
         g = 6 * nlag
-        m2 = np.zeros(nseg_c)
-        np.add.at(m2, seg_row, xm * xm)
+        m2 = _seg_reduce(xm * xm, seg_row, nseg_c)
         out[seg_map, g] = m
         out[seg_map, g + 1] = m2
         out[seg_map, g + 2] = lens
@@ -295,8 +297,7 @@ class AutoCovariance(_LagBase):
 
     def apply(self, ctx: ConvContext) -> np.ndarray:
         x, st, seg_map, lens, nseg_c, seg_row = self._prep(ctx)
-        mean = np.zeros(nseg_c)
-        np.add.at(mean, seg_row, x)
+        mean = _seg_reduce(x, seg_row, nseg_c)
         mean /= np.maximum(lens, 1)
         xc = x - mean[seg_row]
         cols = np.zeros((nseg_c, self.nlag), dtype=np.float64)
@@ -329,8 +330,7 @@ class Moran(_LagBase):
 
     def apply(self, ctx: ConvContext) -> np.ndarray:
         x, st, seg_map, lens, nseg_c, seg_row = self._prep(ctx)
-        mean = np.zeros(nseg_c)
-        np.add.at(mean, seg_row, x)
+        mean = _seg_reduce(x, seg_row, nseg_c)
         mean /= np.maximum(lens, 1)
         xc = x - mean[seg_row]
         var = _seg_reduce(xc * xc, seg_row, nseg_c) / np.maximum(lens, 1)
@@ -366,8 +366,7 @@ class Geary(_LagBase):
 
     def apply(self, ctx: ConvContext) -> np.ndarray:
         x, st, seg_map, lens, nseg_c, seg_row = self._prep(ctx)
-        mean = np.zeros(nseg_c)
-        np.add.at(mean, seg_row, x)
+        mean = _seg_reduce(x, seg_row, nseg_c)
         mean /= np.maximum(lens, 1)
         xc = x - mean[seg_row]
         ss = _seg_reduce(xc * xc, seg_row, nseg_c)
@@ -433,11 +432,9 @@ class CrossCovariance:
         nseg_c = len(lens)
         seg_map = segc[st[:-1]] if len(xa) else np.zeros(0, dtype=np.int64)
         seg_row = np.repeat(np.arange(nseg_c), lens)
-        mean_a = np.zeros(nseg_c)
-        np.add.at(mean_a, seg_row, xa)
+        mean_a = _seg_reduce(xa, seg_row, nseg_c)
         mean_a /= np.maximum(lens, 1)
-        mean_b = np.zeros(nseg_c)
-        np.add.at(mean_b, seg_row, xb)
+        mean_b = _seg_reduce(xb, seg_row, nseg_c)
         mean_b /= np.maximum(lens, 1)
         ca = xa - mean_a[seg_row]
         cb = xb - mean_b[seg_row]
@@ -448,8 +445,7 @@ class CrossCovariance:
                 break
             mask = seg_row[:-n] == seg_row[n:]
             prod = ca[:-n] * cb[n:]
-            s = np.zeros(nseg_c)
-            np.add.at(s, seg_row[:-n][mask], prod[mask])
+            s = _seg_reduce(prod[mask], seg_row[:-n][mask], nseg_c)
             cnt = np.maximum(lens - n, 0).astype(np.float64)
             cols[:, n - 1] = np.where(cnt > 0, s / np.where(cnt == 0, 1, cnt), 0.0)
         out = np.zeros((ctx.n_segs, self.nlag), dtype=np.float64)
@@ -498,12 +494,11 @@ class SOCNumber:
             if anchor is not None:
                 mask &= anchor[n:]
             vals = d2[a[mask], b[mask]]
-            np.add.at(sums[:, n - 1], seg[:-n][mask], vals)
+            sums[:, n - 1] = _seg_reduce(vals, seg[:-n][mask], ctx.n_segs)
         if anchor is None:
             own_len = ctx.lengths.astype(np.float64)
         else:
-            own_len = np.zeros(ctx.n_segs)
-            np.add.at(own_len, seg, anchor.astype(np.float64))
+            own_len = _seg_reduce(anchor.astype(np.float64), seg, ctx.n_segs)
         return sums, own_len
 
     def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
@@ -556,18 +551,13 @@ class QSOrder:
     def _unigram(self, ctx: ConvContext, anchor: np.ndarray | None) -> np.ndarray:
         A = len(self.letters)
         if anchor is None:
-            from protein_feature_engineering_ray.functions.composition import (
-                _seg_code_counts,
-            )
-
             return _seg_code_counts(
                 ctx.seg_of_row, ctx.codes, ctx.n_segs, A
             ).astype(np.float64)
-        out = np.zeros((ctx.n_segs, A), dtype=np.float64)
         sel = (ctx.codes >= 0) & anchor
-        if sel.any():
-            np.add.at(out, (ctx.seg_of_row[sel], ctx.codes[sel]), 1.0)
-        return out
+        return _seg_code_counts(
+            ctx.seg_of_row[sel], ctx.codes[sel], ctx.n_segs, A
+        ).astype(np.float64)
 
     def counts(self, ctx: ConvContext, anchor: np.ndarray | None = None) -> np.ndarray:
         return np.concatenate(
@@ -632,20 +622,18 @@ class PAAC:
             mask = (seg[:-n] == seg[n:]) & (a >= 0) & (b >= 0)
             if anchor is not None:
                 mask &= anchor[n:]
-            np.add.at(sums[:, n - 1], seg[:-n][mask], R[a[mask], b[mask]])
+            sums[:, n - 1] = _seg_reduce(
+                R[a[mask], b[mask]], seg[:-n][mask], ctx.n_segs)
         if anchor is None:
-            uni = np.zeros((ctx.n_segs, A), dtype=np.float64)
             sel = codes >= 0
-            if sel.any():
-                np.add.at(uni, (seg[sel], codes[sel]), 1.0)
+            uni = _seg_code_counts(
+                seg[sel], codes[sel], ctx.n_segs, A).astype(np.float64)
             own_len = ctx.lengths.astype(np.float64)
         else:
-            uni = np.zeros((ctx.n_segs, A), dtype=np.float64)
             sel = (codes >= 0) & anchor
-            if sel.any():
-                np.add.at(uni, (seg[sel], codes[sel]), 1.0)
-            own_len = np.zeros(ctx.n_segs)
-            np.add.at(own_len, seg, anchor.astype(np.float64))
+            uni = _seg_code_counts(
+                seg[sel], codes[sel], ctx.n_segs, A).astype(np.float64)
+            own_len = _seg_reduce(anchor.astype(np.float64), seg, ctx.n_segs)
         return np.concatenate([uni, sums, own_len[:, None]], axis=1)
 
     def finalize(self, counts: np.ndarray) -> np.ndarray:
@@ -716,18 +704,17 @@ class APAAC:
             segm = seg[:-n][mask]
             for j in range(k):
                 prod = self.props[a[mask], j] * self.props[b[mask], j]
-                np.add.at(sums[:, (n - 1) * k + j], segm, prod)
-        uni = np.zeros((ctx.n_segs, A), dtype=np.float64)
+                sums[:, (n - 1) * k + j] = _seg_reduce(
+                    prod, segm, ctx.n_segs)
         sel = codes >= 0
         if anchor is not None:
             sel = sel & anchor
-        if sel.any():
-            np.add.at(uni, (seg[sel], codes[sel]), 1.0)
+        uni = _seg_code_counts(
+            seg[sel], codes[sel], ctx.n_segs, A).astype(np.float64)
         if anchor is None:
             own_len = ctx.lengths.astype(np.float64)
         else:
-            own_len = np.zeros(ctx.n_segs)
-            np.add.at(own_len, seg, anchor.astype(np.float64))
+            own_len = _seg_reduce(anchor.astype(np.float64), seg, ctx.n_segs)
         return np.concatenate([uni, sums, own_len[:, None]], axis=1)
 
     def finalize(self, counts: np.ndarray) -> np.ndarray:

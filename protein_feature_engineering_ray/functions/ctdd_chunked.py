@@ -41,7 +41,10 @@ from protein_feature_engineering_ray.core.bucket import (
 )
 from protein_feature_engineering_ray.core.context import ConvContext
 from protein_feature_engineering_ray.core.executor import _explode_chunks
-from protein_feature_engineering_ray.functions.composition import CTDDistribution
+from protein_feature_engineering_ray.functions.composition import (
+    CTDDistribution,
+    _seg_code_counts,
+)
 from protein_feature_engineering_ray.schema import Alphabet, DEFAULT_ALPHABET
 
 
@@ -64,10 +67,8 @@ def ctdd_chunked(
         ctx = ConvContext(table, alphabet, seg_col="_salt")
         gc = ctx.group_codes
         seg = ctx.seg_of_row
-        cnt = np.zeros((ctx.n_segs, G), dtype=np.int64)
         sel = gc >= 0
-        if sel.any():
-            np.add.at(cnt, (seg[sel], gc[sel]), 1)
+        cnt = _seg_code_counts(seg[sel], gc[sel], ctx.n_segs, G)
         first = ctx.starts[:-1]
         conv = np.asarray(
             table["conv_id"].to_numpy(zero_copy_only=False), dtype=object

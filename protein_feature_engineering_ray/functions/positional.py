@@ -19,6 +19,9 @@ from __future__ import annotations
 import numpy as np
 
 from protein_feature_engineering_ray.core.context import ConvContext
+from protein_feature_engineering_ray.functions.composition import (
+    _scatter_add1,
+)
 
 
 def _win_start(ctx: ConvContext, w: int) -> np.ndarray:
@@ -408,20 +411,10 @@ class ShellComposition:
                 same = seg[:-d] == seg[d:]
                 # forward neighbor (row i sees i+d)
                 sel = same & (codes[d:] >= 0)
-                if sel.any():
-                    np.add.at(
-                        out,
-                        (idx[:-d][sel], si * A + codes[d:][sel]),
-                        1.0,
-                    )
+                _scatter_add1(out, idx[:-d][sel], si * A + codes[d:][sel])
                 # backward neighbor (row i sees i-d)
                 sel = same & (codes[:-d] >= 0)
-                if sel.any():
-                    np.add.at(
-                        out,
-                        (idx[d:][sel], si * A + codes[:-d][sel]),
-                        1.0,
-                    )
+                _scatter_add1(out, idx[d:][sel], si * A + codes[:-d][sel])
         return out
 
 

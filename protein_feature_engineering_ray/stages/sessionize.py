@@ -26,6 +26,9 @@ from protein_feature_engineering_ray.core.bucket import (
     grouped_buckets,
 )
 from protein_feature_engineering_ray.core.context import ConvContext
+from protein_feature_engineering_ray.functions.composition import (
+    _seg_code_counts,
+)
 from protein_feature_engineering_ray.schema import Alphabet, DEFAULT_ALPHABET
 
 
@@ -123,12 +126,11 @@ def session_composition(
         new[1:] = (sid[1:] != sid[:-1]) | (ctx.seg_of_row[1:] != ctx.seg_of_row[:-1])
         sess_of_row = np.cumsum(new) - 1
         ns = int(sess_of_row[-1]) + 1 if ctx.n else 0
-        counts = np.zeros((ns, alphabet.size), dtype=np.int64)
         codes = ctx.codes
         valid = codes >= 0
-        np.add.at(counts, (sess_of_row[valid], codes[valid]), 1)
-        n_turns = np.zeros(ns, dtype=np.int64)
-        np.add.at(n_turns, sess_of_row, 1)
+        counts = _seg_code_counts(
+            sess_of_row[valid], codes[valid], ns, alphabet.size)
+        n_turns = np.bincount(sess_of_row, minlength=ns)
         first = np.flatnonzero(new)
         denom = n_turns.astype(np.float64)
         denom[denom == 0] = 1.0
@@ -171,12 +173,11 @@ def frame_features(
         key = ctx.seg_of_row * (int(ctx.lengths.max() // stride) + 1 if ctx.n else 1) + frame
         uniq, inv = np.unique(key, return_inverse=True)
         nf = len(uniq)
-        counts = np.zeros((nf, alphabet.size), dtype=np.int64)
         codes = ctx.codes
         valid = codes >= 0
-        np.add.at(counts, (inv[valid], codes[valid]), 1)
-        n_turns = np.zeros(nf, dtype=np.int64)
-        np.add.at(n_turns, inv, 1)
+        counts = _seg_code_counts(
+            inv[valid], codes[valid], nf, alphabet.size)
+        n_turns = np.bincount(inv, minlength=nf)
         ts = ctx.ts_us
         # rows are sorted, frames are contiguous runs -> first/last by position
         first_pos = np.full(nf, ctx.n, dtype=np.int64)
