@@ -814,26 +814,32 @@ def drop_component_dups(
 
     if n_edges <= cc_local_threshold:
         epdf = edges.select_columns(["id_a", "id_b"]).to_pandas()
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(epdf["id_a"], epdf["id_b"]):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min id so the kept representative is the min
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
+        a = epdf["id_a"].to_numpy()
+        b = epdf["id_b"].to_numpy()
+        # vectorized min-label CC (no per-edge Python loop): compress ids to
+        # dense indices — np.unique sorts ascending, so the min label index
+        # IS the min id (numeric or lexicographic, same `<` as before) —
+        # then alternate edge-relax passes with pointer doubling; O(log
+        # diameter) rounds, each a handful of array ops over the edge list
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ea, eb = inv[: len(a)], inv[len(a):]
+        lab = np.arange(len(nodes))
+        while True:
+            relaxed = lab.copy()
+            np.minimum.at(relaxed, ea, lab[eb])
+            np.minimum.at(relaxed, eb, lab[ea])
+            while True:
+                jumped = relaxed[relaxed]
+                if np.array_equal(jumped, relaxed):
+                    break
+                relaxed = jumped
+            if np.array_equal(relaxed, lab):
+                break
+            lab = relaxed
         # broadcast the drop list as a pandas Index: hash-based vectorized
         # membership per batch (a multi-million-entry drop set must never be
         # probed by a per-row Python loop in the hot filter)
-        drop_idx = pd.Index({x for x in parent if find(x) != x})
+        drop_idx = pd.Index(nodes[lab != np.arange(len(nodes))])
         drop_ref = ray.put(drop_idx)
 
         def filter_fn(t: pa.Table) -> pa.Table:
