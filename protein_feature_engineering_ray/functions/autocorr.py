@@ -68,6 +68,10 @@ def _series(ctx: ConvContext, spec) -> tuple[np.ndarray, np.ndarray, np.ndarray]
 def _seg_reduce(values: np.ndarray, seg_row: np.ndarray, n_segs: int) -> np.ndarray:
     # bincount accumulates in input order, exactly like the np.add.at scatter
     # it replaces (bit-identical float sums), at ~3x the throughput
+    if len(values) == 0:
+        # np.bincount returns int64 when weights is EMPTY (numpy quirk);
+        # downstream in-place float ops (mean /= lens) need float64
+        return np.zeros(n_segs, dtype=np.float64)
     return np.bincount(seg_row, weights=values, minlength=n_segs)
 
 

@@ -205,6 +205,31 @@ def test_lag_merge_ordered_equals_apply(series, nlag):
         )
 
 
+def test_lag_all_nan_conversation():
+    """Regression: an all-NaN value series compacts to an EMPTY array, and
+    np.bincount with empty weights returns int64 (numpy quirk) — apply()
+    and counts() must still run and emit zero rows for every kernel."""
+    from protein_feature_engineering_ray.functions import autocorr as ac
+
+    df = pd.DataFrame(
+        {"conv_id": ["c0", "c0"], "turn_idx": [0, 1],
+         "role": ["a", "a"], "text": ["", ""], "tool": ["", ""],
+         "ts": pd.to_datetime([0, 1], unit="s").astype("datetime64[us]"),
+         "value": [np.nan, np.nan]}
+    )
+    ctx = _ctx(df)
+    for k in [ac.NMBroto(("col", "value"), nlag=2),
+              ac.AutoCovariance(("col", "value"), nlag=2),
+              ac.Moran(("col", "value"), nlag=2),
+              ac.Geary(("col", "value"), nlag=2)]:
+        out = k.apply(ctx)
+        assert out.shape == (1, 2) and np.all(out == 0.0)
+        cnts = k.counts(ctx)
+        assert cnts.shape[0] == 1
+        merged = k.merge_ordered(cnts[None, 0:1][0])
+        np.testing.assert_allclose(merged, out[0])
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     st.lists(
