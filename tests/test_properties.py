@@ -228,6 +228,9 @@ def test_lag_all_nan_conversation():
         assert cnts.shape[0] == 1
         merged = k.merge_ordered(cnts[None, 0:1][0])
         np.testing.assert_allclose(merged, out[0])
+    cc = ac.CrossCovariance(("col", "value"), ("col", "value"), nlag=2)
+    out = cc.apply(ctx)
+    assert out.shape == (1, 2) and np.all(out == 0.0)
 
 
 @settings(max_examples=60, deadline=None)
