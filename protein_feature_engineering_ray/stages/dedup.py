@@ -795,6 +795,34 @@ def minhash_dedup(
     )
 
 
+def local_cc_labels(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized min-label connected components over an in-memory edge list
+    (no per-edge Python loop): compress ids to dense indices — np.unique
+    sorts ascending, so the min label index IS the min id (numeric or
+    lexicographic, same ``<`` as a union-find on raw ids) — then alternate
+    edge-relax passes with pointer doubling; O(log diameter) rounds, each a
+    handful of array ops over the edge list.
+
+    Returns ``(nodes, lab)``: the sorted unique node ids and, per node, the
+    dense INDEX of its component's minimum id (``nodes[lab]`` = min id)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(nodes))
+    while True:
+        relaxed = lab.copy()
+        np.minimum.at(relaxed, ea, lab[eb])
+        np.minimum.at(relaxed, eb, lab[ea])
+        while True:
+            jumped = relaxed[relaxed]
+            if np.array_equal(jumped, relaxed):
+                break
+            relaxed = jumped
+        if np.array_equal(relaxed, lab):
+            break
+        lab = relaxed
+    return nodes, lab
+
+
 def drop_component_dups(
     ds: ray.data.Dataset,
     edges: ray.data.Dataset,
@@ -814,28 +842,8 @@ def drop_component_dups(
 
     if n_edges <= cc_local_threshold:
         epdf = edges.select_columns(["id_a", "id_b"]).to_pandas()
-        a = epdf["id_a"].to_numpy()
-        b = epdf["id_b"].to_numpy()
-        # vectorized min-label CC (no per-edge Python loop): compress ids to
-        # dense indices — np.unique sorts ascending, so the min label index
-        # IS the min id (numeric or lexicographic, same `<` as before) —
-        # then alternate edge-relax passes with pointer doubling; O(log
-        # diameter) rounds, each a handful of array ops over the edge list
-        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-        ea, eb = inv[: len(a)], inv[len(a):]
-        lab = np.arange(len(nodes))
-        while True:
-            relaxed = lab.copy()
-            np.minimum.at(relaxed, ea, lab[eb])
-            np.minimum.at(relaxed, eb, lab[ea])
-            while True:
-                jumped = relaxed[relaxed]
-                if np.array_equal(jumped, relaxed):
-                    break
-                relaxed = jumped
-            if np.array_equal(relaxed, lab):
-                break
-            lab = relaxed
+        nodes, lab = local_cc_labels(
+            epdf["id_a"].to_numpy(), epdf["id_b"].to_numpy())
         # broadcast the drop list as a pandas Index: hash-based vectorized
         # membership per batch (a multi-million-entry drop set must never be
         # probed by a per-row Python loop in the hot filter)

@@ -9,8 +9,13 @@ unknown roles, single-turn conversations, equal timestamps.
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import os
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+# soak knob: GRAFT_HYP_SCALE=20 multiplies every test's example budget
+_HYP_SCALE = int(os.environ.get("GRAFT_HYP_SCALE", "1"))
 
 from protein_feature_engineering_ray.core.context import ConvContext
 from protein_feature_engineering_ray.functions import composition as comp
@@ -69,7 +74,7 @@ def _check(got: pd.DataFrame, want: pd.DataFrame, keys=("conv_id",)):
         )
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _HYP_SCALE, deadline=None)
 @given(corpora())
 def test_composition_properties(df):
     ctx = _ctx(df)
@@ -85,7 +90,7 @@ def test_composition_properties(df):
            oracle.stride_ktuple(df, ALPHA, k=2, gap=1))
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _HYP_SCALE, deadline=None)
 @given(corpora())
 def test_rolling_properties(df):
     ctx = _ctx(df)
@@ -102,7 +107,7 @@ def test_rolling_properties(df):
     assert (m.sum(axis=1) <= 1.0 + 1e-12).all()
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30 * _HYP_SCALE, deadline=None)
 @given(corpora(), st.integers(1, 4))
 def test_lag_properties(df, lag):
     ctx = _ctx(df)
@@ -162,7 +167,7 @@ def lag_series(draw):
     return vals, [0] + cuts + [length]
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _HYP_SCALE, deadline=None)
 @given(lag_series(), st.integers(1, 4))
 def test_lag_merge_ordered_equals_apply(series, nlag):
     """Chunked protocol invariant for the order-merged lag family: counts()
@@ -233,7 +238,7 @@ def test_lag_all_nan_conversation():
     assert out.shape == (1, 2) and np.all(out == 0.0)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _HYP_SCALE, deadline=None)
 @given(
     st.lists(
         st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=30),
@@ -299,7 +304,7 @@ def test_winnow_segments_properties(token_docs, k, window):
         max_size=200,
     ),
 )
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _HYP_SCALE, deadline=None)
 def test_hash_strings_matches_boxed_pandas(vals):
     """hash_strings (dictionary-encode + distinct-only hashing) must be
     bit-identical to the boxed pd.util.hash_array path it replaced — for
@@ -319,3 +324,45 @@ def test_hash_strings_matches_boxed_pandas(vals):
         assert np.array_equal(hash_strings(ch), ref)
     if arr.null_count == 0:
         assert np.array_equal(hash_strings(arr.dictionary_encode()), ref)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=80),
+    as_str=st.booleans(),
+)
+@settings(max_examples=200 * _HYP_SCALE, deadline=None)
+def test_local_cc_labels_matches_union_find(edges, as_str):
+    """The vectorized min-label CC (pointer doubling over the edge list)
+    must assign every node the MIN id of its component — checked against a
+    plain union-find oracle on random multigraphs with self-loops, duplicate
+    edges, both orientations, and string or int ids."""
+    from protein_feature_engineering_ray.stages.dedup import local_cc_labels
+
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    if as_str:
+        # zero-pad so lexicographic order == numeric order
+        a = np.array([f"n{v:03d}" for v in a], dtype=object)
+        b = np.array([f"n{v:03d}" for v in b], dtype=object)
+
+    nodes, lab = local_cc_labels(a, b)
+    got = dict(zip(nodes, (nodes[i] for i in lab)))
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(a, b):
+        parent[find(u)] = find(v)
+    roots: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in roots or n < roots[r]:
+            roots[r] = n
+    want = {n: roots[find(n)] for n in parent}
+    assert got == want
