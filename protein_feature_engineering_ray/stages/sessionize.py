@@ -169,21 +169,25 @@ def frame_features(
             table = table.set_column(idx, "turn_idx", pa.array(ti, pa.int32()))
             ctx.table = table
         frame = ctx.pos // stride
-        # global frame key = (segment, frame)
-        key = ctx.seg_of_row * (int(ctx.lengths.max() // stride) + 1 if ctx.n else 1) + frame
-        uniq, inv = np.unique(key, return_inverse=True)
-        nf = len(uniq)
+        # rows arrive sorted by (conv, pos), so the (segment, frame) key is
+        # non-decreasing and frames are CONTIGUOUS RUNS: run boundaries give
+        # the frame index, sizes and first/last positions in O(n) — the same
+        # idiom as session_composition (np.unique would re-sort; the
+        # minimum/maximum.at scatters it replaces are unbuffered)
+        new = np.ones(ctx.n, dtype=bool)
+        if ctx.n:
+            new[1:] = (frame[1:] != frame[:-1]) | (
+                ctx.seg_of_row[1:] != ctx.seg_of_row[:-1])
+        inv = np.cumsum(new) - 1
+        nf = int(inv[-1]) + 1 if ctx.n else 0
         codes = ctx.codes
         valid = codes >= 0
         counts = _seg_code_counts(
             inv[valid], codes[valid], nf, alphabet.size)
-        n_turns = np.bincount(inv, minlength=nf)
         ts = ctx.ts_us
-        # rows are sorted, frames are contiguous runs -> first/last by position
-        first_pos = np.full(nf, ctx.n, dtype=np.int64)
-        np.minimum.at(first_pos, inv, np.arange(ctx.n))
-        last_pos = np.full(nf, -1, dtype=np.int64)
-        np.maximum.at(last_pos, inv, np.arange(ctx.n))
+        first_pos = np.flatnonzero(new)
+        last_pos = np.append(first_pos[1:], ctx.n) - 1
+        n_turns = last_pos - first_pos + 1
         ts_first = ts[first_pos]
         ts_last = ts[last_pos]
         cols = {
