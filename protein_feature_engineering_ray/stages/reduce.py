@@ -340,23 +340,15 @@ def component_labels(
         return ids_only.map_batches(self_label, batch_format="pyarrow")
 
     if n_edges <= cc_local_threshold:
+        from protein_feature_engineering_ray.stages.dedup import local_cc_labels
+
         epdf = edges.to_pandas()
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(epdf["id_a"], epdf["id_b"]):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        root = {x: find(x) for x in parent}
+        # vectorized min-label CC (shared with drop_component_dups): root of
+        # every endpoint = min id of its component, same `<` as the per-edge
+        # union-find it replaced
+        nodes, lab = local_cc_labels(
+            epdf["id_a"].to_numpy(), epdf["id_b"].to_numpy())
+        root = dict(zip(nodes, nodes[lab]))
         root_ref = ray.put(root)
 
         def assign(t: pa.Table) -> pa.Table:
