@@ -2231,12 +2231,14 @@ def q_plot_data(sf):
     from protein_feature_engineering_ray.functions.composition import CompositionK
     from protein_feature_engineering_ray.stages import plotdata as pdx
 
-    ev = sized_read_parquet(f"{sf}/events.parquet", columns=["value"])
+    # hist/line must see the INGESTED row set, not raw events: the
+    # transcripts boundary drops null-identity rows (user_id/ts/event_id),
+    # and the oracle's CTE applies the same rule — reading raw parquet here
+    # diverged on null-injected corpora (caught by the dirty-corpus sweep)
+    ev = from_events(sf, columns=["value"])
     hist = pdx.histogram_counts(ev, "value", nbins=PLOT_NBINS)
-    ev2 = sized_read_parquet(
-        f"{sf}/events.parquet", columns=["event_type", "value"]
-    )
-    line = pdx.grouped_mean(ev2, "event_type", "value", LETTERS, scale=100)
+    ev2 = from_events(sf, columns=["role", "value"])
+    line = pdx.grouped_mean(ev2, "role", "value", LETTERS, scale=100)
 
     cnt_cols = [f"cnt_{s}" for s in LETTERS]
     conv = conv_features(

@@ -286,7 +286,10 @@ def test_queries_survive_null_injected_input(tmp_path):
                  "neardup_dedup", "embed_docs", "corpus_store",
                  # media payloads derive from documents.text (null -> b'',
                  # matching the actor's b'\x00' floor = all-zero means)
-                 "media_features"):
+                 "media_features",
+                 # round 5: hist/line read through from_events so the
+                 # ingestion-boundary null-identity drops match the CTE
+                 "plot_data"):
         _assert_matches_oracle(
             results[name], con.execute(oracles[name]).df(), name
         )
