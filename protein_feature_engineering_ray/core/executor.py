@@ -77,6 +77,22 @@ def feature_names(kernels: Sequence) -> list[str]:
     return out
 
 
+def _empty_transcript_table() -> pa.Table:
+    """Zero-row table in the canonical transcript schema — the input every
+    conv-level bucket fn accepts (kernels ignore extra source columns, and a
+    conv-level OUTPUT schema does not depend on the input's dtypes)."""
+    return pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "event_id": pa.array([], pa.int64()),
+        "turn_idx": pa.array([], pa.int32()),
+        "role": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+        "tool": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+    })
+
+
 def _make_bucket_fn(
     kernels: Sequence, alphabet: Alphabet, per_turn: bool, assign_turn_idx: bool,
     vector_col: str | None = None,
@@ -125,7 +141,18 @@ def conv_features(
     (or one packed vector column when ``vector_col`` is set)."""
     fn = _make_bucket_fn(kernels, alphabet, per_turn=False,
                          assign_turn_idx=assign_turn_idx, vector_col=vector_col)
-    return grouped_buckets(ds, fn, num_buckets=num_buckets, order_cols=order_cols)
+    out = grouped_buckets(ds, fn, num_buckets=num_buckets, order_cols=order_cols)
+    # schema anchor: a conv-level output schema is fully kernel-determined
+    # (conv_id string + float feature columns), so union one typed ZERO-ROW
+    # block — on an empty corpus map_groups yields no blocks and the dataset
+    # would otherwise lose its schema (to_pandas() -> column-less frame).
+    # Best-effort: kernels referencing DERIVED columns (e.g. a latency_sec
+    # added upstream) raise on the canonical empty probe — skip the anchor.
+    try:
+        anchor = ray.data.from_arrow(fn(_empty_transcript_table()))
+    except (KeyError, IndexError, ValueError):
+        return out
+    return anchor.union(out)
 
 
 def _salt_dict(conv_col, chunk: np.ndarray) -> pa.Array:

@@ -691,8 +691,12 @@ class ConvSummary:
         if "tool_flag" in ctx.table.column_names:
             is_tool = ctx.table["tool_flag"].to_numpy(zero_copy_only=False) != 0
         else:
-            tool_col = ctx.col_np("tool")
-            is_tool = np.asarray([t != "" and t is not None for t in tool_col])
+            tool_col = np.asarray(ctx.col_np("tool"), dtype=object)
+            # elementwise object compare (no per-row Python loop); same truth
+            # table as `t != "" and t is not None` (NaN counts as a tool, as
+            # before), and stays dtype=bool on EMPTY input where a list
+            # comprehension's asarray defaults to float64 and breaks indexing
+            is_tool = (tool_col != "") & (tool_col != None)  # noqa: E711
         tool_cnt = np.zeros(ctx.n_segs, dtype=np.int64)
         _scatter_count1d(tool_cnt, ctx.seg_of_row[is_tool])
         tool_share = tool_cnt / n_turns

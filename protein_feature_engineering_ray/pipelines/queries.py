@@ -2376,8 +2376,10 @@ def q_corpus_store(sf):
         # list conversations from the JUST-COMMITTED store (a one-column
         # pruned read of the sorted partitions), not by re-executing the
         # whole events read + transcript transform a second time
+        # Dataset.unique returns None (not []) when the store is empty
+        uniq = read_corpus(d, columns=["conv_id"]).unique("conv_id") or []
         convs = sorted(
-            c for c in read_corpus(d, columns=["conv_id"]).unique("conv_id")
+            c for c in uniq
             if c is not None and c.lstrip("-").isdigit() and int(c) % 5 == 0
         )
         if not convs:

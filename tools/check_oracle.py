@@ -29,7 +29,19 @@ def to_df(res) -> pd.DataFrame:
             return res.to_pandas()
     except ImportError:
         pass
-    return res.to_pandas()
+    df = res.to_pandas()
+    if len(df) == 0 and len(df.columns) == 0:
+        # Ray's Dataset.to_pandas() drops columns when there are ZERO rows
+        # even though the dataset schema is known (the engine emits typed
+        # empty anchor blocks); rebuild the typed empty frame from schema
+        sch = res.schema()
+        if sch is not None:
+            import pyarrow as pa
+
+            df = pa.schema(
+                [(n, t) for n, t in zip(sch.names, sch.types)]
+            ).empty_table().to_pandas()
+    return df
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
