@@ -1228,7 +1228,13 @@ def pairwise_ngram_jaccard(
             }
         )
 
-    return j.map_batches(score, batch_format="pyarrow")
+    # typed zero-row anchor: with no join matches (e.g. a 1-doc corpus) the
+    # inner join yields NO blocks and the dataset would lose its schema
+    anchor = ray.data.from_arrow(pa.table(
+        {"id_a": pa.array([], idt), "id_b": pa.array([], idt),
+         "jaccard": pa.array([], pa.float64())}
+    ))
+    return anchor.union(j.map_batches(score, batch_format="pyarrow"))
 
 
 def ngram_verify_pairs(

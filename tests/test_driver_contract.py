@@ -384,3 +384,49 @@ def test_full_fidelity_neardup_and_embed_variants():
     assert len(ed) == ed["doc_id"].nunique()
     V = np.stack(ed["embedding"].to_numpy())
     assert V.shape[1] == 32 and np.isfinite(V).all()
+
+
+def test_degenerate_corpora_empty_and_single_row(tmp_path):
+    """EMPTY and SINGLE-ROW corpora: no query in the subset may crash, and
+    each must match its oracle with the exact output schema — conv-level
+    outputs ride the typed zero-row anchor (conv_features), pair outputs
+    anchor at the join (pairwise_ngram_jaccard), and Dataset.schema() is
+    the recovery path for Ray's column-less to_pandas() at zero rows."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    names = ("aac", "conv_summary", "corpus_store", "ngram_jaccard",
+             "plot_data", "knn_exact", "dde", "triads")
+    qs, oracles = e.queries(), e.oracle_sql()
+    for tag, nrows in (("empty", 0), ("onerow", 1)):
+        d = tmp_path / tag
+        os.makedirs(d, exist_ok=True)
+        for f in os.listdir(SF):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(SF, f))
+                pq.write_table(t.slice(0, min(nrows, t.num_rows)), d / f)
+        con = duckdb.connect()
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                con.execute(f"CREATE VIEW {f[:-8]} AS SELECT * FROM "
+                            f"read_parquet('{d / f}')")
+        for name in names:
+            r = qs[name](str(d))
+            if isinstance(r, pd.DataFrame):
+                df = r
+            elif isinstance(r, pa.Table):
+                df = r.to_pandas()
+            else:
+                df = r.to_pandas()
+                if len(df) == 0 and len(df.columns) == 0:
+                    sch = r.schema()
+                    assert sch is not None, (tag, name, "schema lost")
+                    df = pa.schema(list(zip(sch.names, sch.types))
+                                   ).empty_table().to_pandas()
+            _assert_matches_oracle(
+                df, con.execute(oracles[name]).df(), f"{tag}:{name}")
