@@ -166,6 +166,10 @@ def run_bench() -> dict:
     timed("doc_pipeline", lambda: (
         Q.q_token_count(sf_dir).count(), Q.q_lang_quality(sf_dir).count(),
         Q.q_minhash_dedup(sf_dir).count()))
+    # separate line (round-5 late) so doc_pipeline stays comparable across
+    # rounds: token counts + Gopher repetition signals + PII/URL scrub in
+    # one fused documents pass
+    timed("text_filters", lambda: Q.q_text_filters(sf_dir).count())
 
     # winnowing over a BOILERPLATE-HEAVY corpus (x8 exact replicas make
     # every shared template shingle a hot fingerprint): the max_group cap

@@ -724,6 +724,73 @@ SQL_EXACT_DEDUP = """SELECT doc_id, n_chars FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)"""
 
 
+def _sql_repetition() -> str:
+    """Gopher-style repetition signals (stages/text.py repetition_profile):
+    every stat is an integer count or an int/int double division, so the
+    engine's flat-token segment reductions and this exact-string GROUP BY
+    agree bit-for-bit.  Grams build as list_transform over generate_series
+    (empty when the doc is shorter than the window, matching the engine's
+    endpoint-rid mask)."""
+    return r"""WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents),
+ l AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM d),
+ g AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dlines,
+         len(ws) AS n_words,
+         list_transform(generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1]) AS g2,
+         list_transform(generate_series(1, len(ws) - 4),
+                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                             || ' ' || ws[i + 3] || ' ' || ws[i + 4]) AS g5
+  FROM l),
+ top2 AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+    GROUP BY doc_id, gram)
+  GROUP BY doc_id),
+ d5 AS (
+  SELECT doc_id, count(*) AS t5, count(DISTINCT gram) AS u5
+  FROM (SELECT doc_id, unnest(g5) AS gram FROM g)
+  GROUP BY doc_id)
+SELECT g.doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_words AS BIGINT) AS n_words,
+  (n_lines - n_dlines) / greatest(n_lines, 1) AS dup_line_frac,
+  coalesce(topc, 0) / greatest(len(g2), 1) AS top_2gram_frac,
+  (coalesce(t5, 0) - coalesce(u5, 0)) / greatest(coalesce(t5, 0), 1)
+    AS dup_5gram_frac
+FROM g LEFT JOIN top2 ON top2.doc_id = g.doc_id
+       LEFT JOIN d5 ON d5.doc_id = g.doc_id"""
+
+
+def _sql_scrub() -> str:
+    """PII/URL scrub oracle: the SAME RE2 pattern strings the Arrow kernels
+    run (both engines are RE2), counts on the original text, replacement
+    nested in declaration order — identical strings out."""
+    from protein_feature_engineering_ray.stages.text import SCRUB_PATTERNS
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(txt, {_sql_str(pat)})) AS BIGINT)"
+        f" AS n_{name}s"
+        for name, pat, _ in SCRUB_PATTERNS
+    )
+    scrub = "txt"
+    for name, pat, repl in SCRUB_PATTERNS:
+        scrub = (f"regexp_replace({scrub}, {_sql_str(pat)}, "
+                 f"{_sql_str(repl)}, 'g')")
+    return f"""SELECT doc_id,
+  {counts},
+  {scrub} AS scrubbed
+FROM (SELECT doc_id, coalesce(text, '') AS txt FROM documents)"""
+
+
 # --- query callables -------------------------------------------------------
 
 
@@ -889,6 +956,39 @@ def q_token_count(sf):
     docs = sized_read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     return token_count(docs).select_columns(
         ["doc_id", "n_tokens", "n_bpe_tokens"])
+
+
+def q_text_filters(sf):
+    """One documents pass through the three stateless text-filter stages
+    (token counts -> Gopher repetition signals -> PII/URL scrub); Ray fuses
+    the chained map_batches into a single task per block.  Subsumes the
+    round-1..4 `token_count` catalog entry (driver cap: first 50 entries
+    only, so new bit-exact surface merges into existing rows — the
+    comp_chunked / ctdd precedent)."""
+    import pyarrow as pa
+
+    from protein_feature_engineering_ray.stages.text import (
+        repetition_profile,
+        scrub_profile,
+        token_count,
+    )
+
+    docs = sized_read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    out = scrub_profile(repetition_profile(token_count(docs)))
+    cols = ["doc_id", "n_tokens", "n_bpe_tokens", "n_lines", "n_words",
+            "dup_line_frac", "top_2gram_frac", "dup_5gram_frac",
+            "n_emails", "n_urls", "n_phones", "scrubbed"]
+    # typed zero-row anchor (dedup.py:1231 pattern): a fully-empty corpus
+    # yields no blocks and Ray loses the schema; doc_id keeps the input's
+    # dtype, every derived column's type is stage-determined
+    sch = docs.schema()
+    idt = dict(zip(sch.names, sch.types)).get("doc_id", pa.int64())
+    types = {"doc_id": idt, "scrubbed": pa.string(),
+             "dup_line_frac": pa.float64(), "top_2gram_frac": pa.float64(),
+             "dup_5gram_frac": pa.float64()}
+    anchor = ray.data.from_arrow(pa.table(
+        {c: pa.array([], types.get(c, pa.int64())) for c in cols}))
+    return anchor.union(out.select_columns(cols))
 
 
 def q_exact_dedup(sf):
@@ -2565,7 +2665,11 @@ QUERIES: dict[str, Callable] = {
     "asof_orders": q_asof_orders,
     "zscore_aac": q_zscore_aac,
     "minmax_aac": q_minmax_aac,
-    "token_count": q_token_count,
+    # round 5 (late): token_count grew into text_filters — same n_tokens /
+    # n_bpe_tokens columns plus Gopher-style repetition signals and the
+    # PII/URL scrub, all bit-exact (integer-ratio stats; shared RE2
+    # pattern strings run by both Arrow and DuckDB)
+    "text_filters": q_text_filters,
     "lang_quality": q_lang_quality,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -2636,7 +2740,11 @@ ORACLES: dict[str, str] = {
     "asof_orders": SQL_ASOF_ORDERS,
     "zscore_aac": _sql_zscore_aac(ZSCORE_SCALE),
     "minmax_aac": _sql_minmax_aac(),
-    "token_count": SQL_TOKEN_COUNT,
+    "text_filters": (
+        f"SELECT * FROM ({SQL_TOKEN_COUNT}) tc "
+        f"JOIN ({_sql_repetition()}) rep USING (doc_id) "
+        f"JOIN ({_sql_scrub()}) scr USING (doc_id)"
+    ),
     "lang_quality": _sql_lang_quality(),
     "model_tokens": SQL_MODEL_TOKENS,
     "knn_exact": SQL_KNN_EXACT,

@@ -598,3 +598,135 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = "text",
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- repetition / scrub profiles (training-data filter signals) ------------
+
+def _max_per_row(rid: np.ndarray, h: np.ndarray, n_rows: int) -> np.ndarray:
+    """Highest multiplicity of any single hash value within each row id
+    (the "top n-gram count" of Gopher-style repetition filters).  Sort by
+    (rid, h), collapse equal runs to (row, count) pairs, scatter-max."""
+    out = np.zeros(n_rows, dtype=np.int64)
+    if len(h) == 0:
+        return out
+    order = np.lexsort((h, rid))
+    hs, rs = h[order], rid[order]
+    new = np.empty(len(hs), dtype=bool)
+    new[0] = True
+    new[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+    gid = np.cumsum(new) - 1
+    run = np.bincount(gid)
+    np.maximum.at(out, rs[new], run)
+    return out
+
+
+def _repetition_batch(t: pa.Table, text_col: str) -> pa.Table:
+    """Per-document repetition signals (Gopher/MassiveText-style quality
+    rules: Rae et al. 2021 §A1.1 — duplicate-line fraction, top n-gram
+    fraction, duplicate n-gram fraction; count-based variants here so every
+    stat is an integer ratio, bit-exact against the SQL oracle).
+
+    Layout: one Arrow split per axis (literal '\\n' for lines, `\\s+` for
+    words), then flat-array + row-id segment reductions — no Python row
+    loop.  N-grams hash-combine via the joined gram string so the engine's
+    multiplicities match SQL's exact-string GROUP BY (64-bit collisions
+    are the usual negligible caveat)."""
+    texts = pc.fill_null(t[text_col], "")
+    n = len(t)
+
+    # lines: literal newline split, empties dropped on both sides
+    lines = pc.split_pattern(texts, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    lflat = lines.flatten()
+    loff = lines.offsets.to_numpy(zero_copy_only=False)
+    lmask = pc.utf8_length(lflat).to_numpy(zero_copy_only=False) > 0
+    n_lines = _segment_sum(lmask, loff).astype(np.int64)
+    rid_l = np.repeat(np.arange(n), np.diff(loff))
+    h_l = hash_strings(lflat)
+    n_dlines = _distinct_per_row(h_l[lmask], rid_l[lmask], n)
+
+    # words: whitespace split, compacted to nonempty tokens
+    wflat, woff = _tokens_flat(texts, r"\s+")
+    wmask = pc.utf8_length(wflat).to_numpy(zero_copy_only=False) > 0
+    rid_w = np.repeat(np.arange(n), np.diff(woff))[wmask]
+    wne = wflat.filter(pa.array(wmask))
+    n_words = np.bincount(rid_w, minlength=n).astype(np.int64)
+
+    def grams(k: int):
+        """(row ids, joined-gram hashes) for all within-row k-grams over
+        the compacted token stream; rid is non-decreasing so endpoint
+        equality implies the whole window shares one row."""
+        if len(wne) < k:
+            return (np.empty(0, np.int64), np.empty(0, np.uint64))
+        m = len(wne) - k + 1
+        valid = rid_w[k - 1:] == rid_w[:m]
+        parts = [wne.slice(j, m).filter(pa.array(valid)) for j in range(k)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        return rid_w[:m][valid], hash_strings(joined)
+
+    rid2, h2 = grams(2)
+    t2 = np.bincount(rid2, minlength=n).astype(np.int64)
+    top2 = _max_per_row(rid2, h2, n)
+
+    rid5, h5 = grams(5)
+    t5 = np.bincount(rid5, minlength=n).astype(np.int64)
+    u5 = _distinct_per_row(h5, rid5, n)
+
+    out = t
+    for name, arr in (
+        ("n_lines", pa.array(n_lines, pa.int64())),
+        ("n_words", pa.array(n_words, pa.int64())),
+        ("dup_line_frac",
+         pa.array((n_lines - n_dlines) / np.maximum(n_lines, 1),
+                  pa.float64())),
+        ("top_2gram_frac",
+         pa.array(top2 / np.maximum(t2, 1), pa.float64())),
+        ("dup_5gram_frac",
+         pa.array((t5 - u5) / np.maximum(t5, 1), pa.float64())),
+    ):
+        out = _set_column(out, name, arr)
+    return out
+
+
+def repetition_profile(ds: ray.data.Dataset,
+                       text_col: str = "text") -> ray.data.Dataset:
+    """Gopher-style repetition filter signals per document: nonempty
+    line/word counts, duplicate-line fraction, top-2-gram fraction,
+    duplicate-5-gram fraction.  Stateless Arrow+numpy tasks (cheap state
+    — same rationale as text_profile's task form)."""
+    return ds.map_batches(
+        lambda t: _repetition_batch(t, text_col), batch_format="pyarrow")
+
+
+# RE2-only patterns (no lookaround): Arrow's count/replace_substring_regex
+# and DuckDB's regexp_* both run RE2, so one pattern string yields
+# identical counts AND identical replacement output in engine and oracle.
+SCRUB_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_profile(ds: ray.data.Dataset,
+                  text_col: str = "text") -> ray.data.Dataset:
+    """PII/URL scrub stage: per-pattern match counts on the ORIGINAL text
+    plus a `scrubbed` column with the patterns replaced in declaration
+    order (email -> url -> phone).  Counts are independent per pattern;
+    replacement is sequential so the same text region can only be consumed
+    once.  Stateless Arrow kernels (RE2 compiled per pattern inside the
+    kernel; no Python loop)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t[text_col], "")
+        out = t
+        scrub = texts
+        for name, pat, repl in SCRUB_PATTERNS:
+            cnt = pc.count_substring_regex(texts, pat).cast(pa.int64())
+            out = _set_column(out, f"n_{name}s", cnt)
+            scrub = pc.replace_substring_regex(scrub, pat, repl)
+        return _set_column(out, "scrubbed", scrub)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -17,7 +17,7 @@ pytestmark = pytest.mark.skipif(
 
 # cheap, representative subset (the full set runs via tools/check_oracle.py)
 SUBSET = ["aac", "dpc", "eaac_egaac", "latency", "sessions", "frames",
-          "asof_orders", "multihot", "distance_pair", "token_count",
+          "asof_orders", "multihot", "distance_pair", "text_filters",
           "dde", "triads", "asdc", "atom_shells", "dbscan", "lang_quality",
           # round-5 gates: merged ctdd paths, full lag family, ngram-verify
           # minhash + exact embedding pairs, embed integer invariants,
@@ -245,7 +245,7 @@ def test_queries_survive_null_injected_input(tmp_path):
     for name in ("aac", "corpus_store", "lag_quant", "plot_data", "knn_exact",
                  "dbscan", "fit_transform", "neardup_dedup", "zscore_aac",
                  "latency", "sessions", "ivf_knn", "knn_partition",
-                 "token_count", "conv_summary", "embed_docs",
+                 "text_filters", "conv_summary", "embed_docs",
                  "media_features"):
         r = qs[name](str(tmp_path))
         df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
@@ -276,7 +276,7 @@ def test_queries_survive_null_injected_input(tmp_path):
             )
     oracles = e.oracle_sql()
     for name in ("aac", "knn_exact", "ivf_knn", "knn_partition", "dbscan",
-                 "sessions", "token_count", "conv_summary", "lag_quant",
+                 "sessions", "text_filters", "conv_summary", "lag_quant",
                  "fit_transform",
                  # round 5: hard-gated near-dup + embed + corpus-store
                  # round-trip agree on dirty corpora too (null texts -> ''
@@ -401,7 +401,7 @@ def test_degenerate_corpora_empty_and_single_row(tmp_path):
     import __ray_entry__ as e
 
     names = ("aac", "conv_summary", "corpus_store", "ngram_jaccard",
-             "plot_data", "knn_exact", "dde", "triads")
+             "plot_data", "knn_exact", "dde", "triads", "text_filters")
     qs, oracles = e.queries(), e.oracle_sql()
     for tag, nrows in (("empty", 0), ("onerow", 1)):
         d = tmp_path / tag

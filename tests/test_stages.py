@@ -660,3 +660,73 @@ def test_media_decode_factory_plugin():
     b = np.stack(m["media_vec_fake"].to_numpy())
     # decode path = 2x the byte moments (the factory's transform is real)
     np.testing.assert_allclose(a, 2.0 * b, rtol=1e-12)
+
+
+def test_repetition_and_scrub_match_oracle_on_dirty_text():
+    """The driver's documents table has no newlines, URLs or emails, so its
+    gate exercises the zero paths of repetition_profile / scrub_profile.
+    This corpus hits the real ones — duplicate lines, a dominant 2-gram,
+    duplicated 5-grams, emails inside URLs, phone runs, nulls, unicode —
+    and must match the SAME SQL oracle strings the driver runs (DuckDB view
+    over the crafted frame)."""
+    import duckdb
+
+    from protein_feature_engineering_ray.pipelines.queries import (
+        _sql_repetition,
+        _sql_scrub,
+    )
+    from protein_feature_engineering_ray.stages.text import (
+        repetition_profile,
+        scrub_profile,
+    )
+
+    oracles = {"repetition_profile": _sql_repetition(),
+               "scrub_profile": _sql_scrub()}
+
+    texts = [
+        "a b a b a b a b c d e f g h c d e f g h",   # top 2-gram + dup 5-gram
+        "line one\nline two\nline one\n\nline two\nline three",
+        "mail me at jo.doe+x@example.co.uk or http://ex.com/a?u=a@b.cc ok",
+        "call +1 (555) 123-4567 or 555 123 4567 now",
+        "",
+        None,
+        "   \n\n   ",                                  # whitespace-only
+        "单 词 单 词 单 词 单 词 单 词",                  # unicode tokens repeat
+        "https://x.io/p#f https://x.io/p#f duplicated url line\n"
+        "https://x.io/p#f https://x.io/p#f duplicated url line",
+        "one two three four five six seven eight nine ten",  # all-distinct
+    ]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    ds = ray.data.from_pandas(df).repartition(3)  # batch-composition proof
+
+    con = duckdb.connect()
+    con.register("documents", df)
+
+    for name, stage in (("repetition_profile", repetition_profile),
+                        ("scrub_profile", scrub_profile)):
+        got = (stage(ds).to_pandas().drop(columns=["text"])
+               .sort_values("doc_id").reset_index(drop=True))
+        want = (con.execute(oracles[name]).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        got, want = got[sorted(got.columns)], want[sorted(want.columns)]
+        assert list(got.columns) == list(want.columns), name
+        for c in got.columns:
+            if got[c].dtype.kind == "f":
+                np.testing.assert_array_equal(
+                    got[c].to_numpy(), want[c].to_numpy(), err_msg=f"{name}:{c}")
+            else:
+                assert got[c].astype(str).equals(want[c].astype(str)), (name, c)
+
+    # spot-check the scrub semantics on the crafted rows
+    s = scrub_profile(ds).to_pandas().set_index("doc_id")
+    assert s.loc[2, "n_emails"] == 2 and s.loc[2, "n_urls"] == 1
+    assert "<EMAIL>" in s.loc[2, "scrubbed"]
+    assert s.loc[3, "n_phones"] >= 1 and "<PHONE>" in s.loc[3, "scrubbed"]
+    r = repetition_profile(ds).to_pandas().set_index("doc_id")
+    assert r.loc[1, "dup_line_frac"] > 0
+    assert r.loc[0, "top_2gram_frac"] == 4 / 19  # "a b" 4x of 19 2-grams
+    assert r.loc[0, "dup_5gram_frac"] > 0
+    assert r.loc[9, "dup_5gram_frac"] == 0.0
+    assert r.loc[4, "n_words"] == 0 and r.loc[5, "n_words"] == 0
