@@ -42,6 +42,83 @@ def bounded_sample(ds, limit: int, sample_by: str | None = None,
     return ds.random_sample(min(1.0, 1.2 * limit / n), seed=seed).limit(limit)
 
 
+def _rank_hash(ids: pa.Array | pa.ChunkedArray, hash_fn: str) -> np.ndarray:
+    """Deterministic per-id rank hash for quota sampling.  ``"fast"`` =
+    pd.util.hash_array over the decimal-string form (scale path);
+    ``"md5"`` = lower 64 bits of md5 of the same string, bit-identical to
+    DuckDB ``md5_number_lower(CAST(id AS VARCHAR))`` — the oracle bridge
+    (same two-mode contract as stages/dedup.simhash64)."""
+    import pyarrow.compute as pc
+
+    from protein_feature_engineering_ray.stages.dedup import _md5_lower64
+
+    sv = pc.cast(ids, pa.string()).to_numpy(zero_copy_only=False)
+    sv = np.asarray(sv, dtype=object)
+    if hash_fn == "md5":
+        return _md5_lower64(sv)
+    return pd.util.hash_array(sv).astype(np.uint64)
+
+
+def _per_key_topk(t: pa.Table, key_col: str, id_col: str, k: int,
+                  hash_fn: str) -> pa.Table:
+    """Keep the <=k rows per key with the smallest (rank_hash(id), id) —
+    one dictionary encode + one lexsort, no Python per-key loop."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return t
+    enc = pc.dictionary_encode(t[key_col].combine_chunks())
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    h = _rank_hash(t[id_col], hash_fn)
+    idv = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((idv, h, codes))
+    cs = codes[order]
+    starts = np.empty(len(cs), dtype=bool)
+    starts[0] = True
+    starts[1:] = cs[1:] != cs[:-1]
+    run_start = np.maximum.accumulate(np.where(starts, np.arange(len(cs)), 0))
+    pos = np.arange(len(cs)) - run_start
+    return t.take(pa.array(np.sort(order[pos < k])))
+
+
+def quota_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+    hash_fn: str = "fast",
+) -> ray.data.Dataset:
+    """Deterministic stratified quota sampling — keep the ``k`` rows per
+    ``key_col`` value with the smallest ``(rank_hash(id), id)``.  The
+    data-mixing primitive (per-source / per-language quotas) the reference
+    hand-rolls with pandas slicing in its notebooks.
+
+    Invariant to input order AND partitioning: the rank is a pure function
+    of the row's id, so the winner set never depends on block layout.
+    Two-phase top-k keeps the exchange small at 100 TB: a per-block
+    COMBINER first prunes to <=k rows per key per block (the shuffle then
+    moves at most k rows per (key, block) instead of the full corpus),
+    then one coarse key-hash bucket exchange and a final per-key top-k
+    inside each bucket group.  ``hash_fn="md5"`` makes the winner set
+    bit-identical to a DuckDB ``row_number() OVER (PARTITION BY key ORDER
+    BY md5_number_lower(CAST(id AS VARCHAR)), id)`` oracle."""
+    assert hash_fn in ("fast", "md5"), hash_fn
+    from protein_feature_engineering_ray.core.bucket import grouped_buckets
+
+    partial = ds.map_batches(
+        lambda t: _per_key_topk(t, key_col, id_col, k, hash_fn),
+        batch_format="pyarrow",
+    )
+    return grouped_buckets(
+        partial,
+        lambda t: _per_key_topk(t, key_col, id_col, k, hash_fn),
+        num_buckets=num_buckets, key=key_col, order_cols=(key_col, id_col),
+    )
+
+
 def _sample_matrix(ds, cols: list[str] | None, vec_col: str | None,
                    limit: int, sample_by: str | None = None):
     df = bounded_sample(ds, limit, sample_by).to_pandas()

@@ -583,3 +583,56 @@ def test_svm_formatter_matches_rowwise_reference(tmp_path):
         for i in range(len(pdf))
     )
     assert sorted(lines) == want
+
+
+def test_quota_sample_matches_sql_oracle_and_is_layout_invariant():
+    """quota_sample (stratified per-key top-k by id rank hash): in md5 mode
+    the winner set must be bit-identical to the DuckDB row_number() oracle;
+    in both modes the winner set must be invariant to input order and
+    partitioning (the rank is a pure function of the id)."""
+    import duckdb
+
+    from protein_feature_engineering_ray.stages.reduce import quota_sample
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.choice(["web", "code", "chat", "wiki"], n),
+        "payload": rng.integers(0, 1000, n),
+    })
+    k = 12
+
+    def run(frame, nparts, hash_fn):
+        ds = ray.data.from_pandas(frame).repartition(nparts)
+        return (quota_sample(ds, "source", k, id_col="doc_id",
+                             num_buckets=4, hash_fn=hash_fn)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    got = run(df, 3, "md5")
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute("""
+        SELECT doc_id, source, payload FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) rn
+          FROM documents) WHERE rn <= 12
+        ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got.groupby("source").size() == k).all()
+
+    # layout invariance, both hash modes: shuffled input, different
+    # partition counts -> identical winner sets
+    shuf = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    for hf in ("md5", "fast"):
+        a = run(df, 3, hf)
+        b = run(shuf, 7, hf)
+        pd.testing.assert_frame_equal(a, b)
+
+    # k larger than the smallest stratum: every row of that key survives
+    tiny = df[df.source == "web"].head(5)
+    rest = df[df.source != "web"]
+    mixed = pd.concat([tiny, rest]).reset_index(drop=True)
+    out = run(mixed, 2, "fast")
+    assert (out.source == "web").sum() == 5
