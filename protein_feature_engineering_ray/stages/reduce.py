@@ -70,7 +70,12 @@ def _per_key_topk(t: pa.Table, key_col: str, id_col: str, k: int,
     enc = pc.dictionary_encode(t[key_col].combine_chunks())
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
-    codes = enc.indices.to_numpy(zero_copy_only=False)
+    # null keys form ONE group (SQL PARTITION BY semantics — row_number
+    # quotas the NULL stratum too); null indices surface as NaN from
+    # to_numpy, which would make every null row its own run start
+    codes = np.asarray(
+        pc.fill_null(enc.indices.cast(pa.int64()),
+                     len(enc.dictionary)).to_numpy(zero_copy_only=False))
     h = _rank_hash(t[id_col], hash_fn)
     idv = t[id_col].to_numpy(zero_copy_only=False)
     order = np.lexsort((idv, h, codes))

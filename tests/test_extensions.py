@@ -636,3 +636,19 @@ def test_quota_sample_matches_sql_oracle_and_is_layout_invariant():
     mixed = pd.concat([tiny, rest]).reset_index(drop=True)
     out = run(mixed, 2, "fast")
     assert (out.source == "web").sum() == 5
+
+    # null keys form ONE stratum (SQL PARTITION BY semantics): quota'd to
+    # k like any other key, and matching the DuckDB oracle exactly
+    withnull = df.copy()
+    withnull.loc[withnull.index[:40], "source"] = None
+    gotn = run(withnull, 3, "md5")
+    assert (gotn.source.isna()).sum() == k
+    con.unregister("documents"); con.register("documents", withnull)
+    wantn = con.execute("""
+        SELECT doc_id, source, payload FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) rn
+          FROM documents) WHERE rn <= 12
+        ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(gotn, wantn, check_dtype=False)
