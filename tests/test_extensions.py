@@ -652,3 +652,75 @@ def test_quota_sample_matches_sql_oracle_and_is_layout_invariant():
           FROM documents) WHERE rn <= 12
         ORDER BY doc_id""").df()
     pd.testing.assert_frame_equal(gotn, wantn, check_dtype=False)
+
+
+def test_pack_sequences_matches_sql_oracle_and_conserves_tokens():
+    """pack_sequences (concat-and-chunk training layout): in md5 mode the
+    (shard, offset, pack span) assignment must equal the DuckDB lagged-
+    cumsum window oracle; in both modes the layout must be invariant to
+    input order/partitioning, and each shard's token stream must be a
+    contiguous zero-based cumsum (conservation)."""
+    import duckdb
+
+    from protein_feature_engineering_ray.stages.pack import pack_sequences
+
+    rng = np.random.default_rng(23)
+    n = 500
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "n_tokens": rng.integers(0, 900, n).astype(np.int64),
+    })
+    df.loc[df.index[:5], "n_tokens"] = 0          # empty docs
+    df["n_tokens"] = df["n_tokens"].astype("Int64")
+    df.loc[df.index[5:8], "n_tokens"] = pd.NA     # null token counts
+    L, S = 2048, 4
+
+    def run(frame, nparts, hash_fn):
+        ds = ray.data.from_pandas(frame).repartition(nparts)
+        return (pack_sequences(ds, L, num_shards=S, num_buckets=4,
+                               hash_fn=hash_fn)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    got = run(df, 3, "md5")
+    con = duckdb.connect()
+    con.register("docs", df)
+    want = con.execute(f"""
+        WITH s AS (
+          SELECT doc_id, coalesce(n_tokens, 0) AS nt,
+                 md5_number_lower(CAST(doc_id AS VARCHAR)) AS rh
+          FROM docs),
+         o AS (
+          SELECT doc_id, nt, CAST(rh % {S} AS BIGINT) AS pack_shard,
+                 CAST(coalesce(SUM(nt) OVER (
+                     PARTITION BY rh % {S} ORDER BY rh, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_offset
+          FROM s)
+        SELECT doc_id, pack_shard, tok_offset,
+               tok_offset // {L} AS pack_first,
+               (tok_offset + greatest(nt, 1) - 1) // {L} AS pack_last,
+               (tok_offset + greatest(nt, 1) - 1) // {L} - tok_offset // {L}
+                 AS n_splits
+        FROM o ORDER BY doc_id""").df()
+    cols = ["doc_id", "pack_shard", "tok_offset", "pack_first", "pack_last",
+            "n_splits"]
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+
+    # layout invariance, both hash modes
+    shuf = df.sample(frac=1.0, random_state=9).reset_index(drop=True)
+    for hf in ("md5", "fast"):
+        pd.testing.assert_frame_equal(run(df, 3, hf), run(shuf, 7, hf))
+
+    # conservation: per shard, sorted offsets form the exact lagged cumsum
+    # of the token counts (no gaps, no overlaps, zero-based)
+    g = got.copy()
+    g["nt"] = df.set_index("doc_id").loc[g.doc_id, "n_tokens"].fillna(0).astype(np.int64).to_numpy()
+    # zero-token docs tie with their successor's offset: order ties by nt
+    # so the reconstructed stream is a valid concatenation order
+    for _, grp in g.sort_values(["tok_offset", "nt"],
+                                kind="mergesort").groupby("pack_shard"):
+        off = grp["tok_offset"].to_numpy()
+        nt = grp["nt"].to_numpy()
+        assert off[0] == 0
+        np.testing.assert_array_equal(off[1:], np.cumsum(nt)[:-1])
+    assert (got["n_splits"] >= 0).all() and (got["n_splits"] > 0).any()
