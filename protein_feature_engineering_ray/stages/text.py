@@ -730,3 +730,91 @@ def scrub_profile(ds: ray.data.Dataset,
         return _set_column(out, "scrubbed", scrub)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 1,
+    num_buckets: int = 64,
+    max_benchmark_fps: int = 2_000_000,
+):
+    """Benchmark decontamination: drop every corpus document that shares a
+    >= k+window-1-token substring with ANY benchmark document (the
+    GPT-3/Gopher-style test-set overlap pass, built on the same winnowing
+    guarantee as ``winnow_matches``).  Returns ``(clean, contaminated)`` —
+    the filtered corpus and the (id, n_shared) rows it removed.
+
+    Shuffle discipline: the benchmark is the SMALL side, so its distinct
+    fingerprint set broadcasts once (``ray.put``) and the corpus
+    fingerprints stream through a vectorized ``np.isin`` membership filter
+    — NO corpus-side all-to-all for matching (contrast ``winnow_matches``,
+    which pairs within one corpus).  Only the (rare) matched rows take the
+    one coarse id-hash exchange that counts shared fingerprints per doc,
+    and the final removal is a ``bucket_join`` left_anti.  A benchmark
+    with more than ``max_benchmark_fps`` fingerprint rows refuses loudly
+    (the knn ``max_broadcast_rows`` rule) — split the benchmark or raise
+    the cap deliberately."""
+    from protein_feature_engineering_ray.core.bucket import grouped_buckets
+    from protein_feature_engineering_ray.core.joins import bucket_join
+
+    bench_fps = winnow_fingerprints(
+        benchmark, text_col=text_col, id_col=id_col, k=k, window=window)
+    n_bench = bench_fps.count()
+    if n_bench > max_benchmark_fps:
+        raise ValueError(
+            f"benchmark has {n_bench} fingerprint rows > max_benchmark_fps="
+            f"{max_benchmark_fps}; the benchmark side must stay broadcastable"
+            " — split it into passes or raise the cap deliberately"
+        )
+    parts = [
+        np.unique(b["fingerprint"].to_numpy(zero_copy_only=False))
+        for b in bench_fps.select_columns(["fingerprint"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536)
+    ]
+    bset = (np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, np.uint64))
+    ref = ray.put(bset)
+
+    corp_fps = winnow_fingerprints(
+        ds, text_col=text_col, id_col=id_col, k=k, window=window)
+
+    def member(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        fp = t["fingerprint"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(fp, s)))
+
+    matched = corp_fps.map_batches(member, batch_format="pyarrow")
+
+    def count_per_id(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({id_col: g[id_col] if id_col in g.column_names
+                             else pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        ids = g[id_col]
+        # grouped_buckets pre-sorts by id: distinct (id, fp) rows count as
+        # contiguous runs
+        iv = np.asarray(ids.to_numpy(zero_copy_only=False))
+        starts = np.empty(len(iv), dtype=bool)
+        starts[0] = True
+        starts[1:] = iv[1:] != iv[:-1]
+        gid = np.cumsum(starts) - 1
+        cnt = np.bincount(gid)
+        keep = cnt >= min_shared
+        head = ids.take(pa.array(np.flatnonzero(starts)))
+        return pa.table({
+            id_col: head.filter(pa.array(keep)),
+            "n_shared": pa.array(cnt[keep], pa.int64()),
+        })
+
+    contaminated = grouped_buckets(
+        matched, count_per_id, num_buckets=num_buckets, key=id_col,
+        order_cols=(id_col, "fingerprint"),
+    )
+    clean = bucket_join(ds, contaminated, on=[id_col], how="left_anti",
+                        num_buckets=num_buckets)
+    return clean, contaminated

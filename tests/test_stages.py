@@ -730,3 +730,48 @@ def test_repetition_and_scrub_match_oracle_on_dirty_text():
     assert r.loc[0, "dup_5gram_frac"] > 0
     assert r.loc[9, "dup_5gram_frac"] == 0.0
     assert r.loc[4, "n_words"] == 0 and r.loc[5, "n_words"] == 0
+
+
+def test_decontaminate_removes_benchmark_overlaps_only():
+    """decontaminate must remove every corpus doc sharing a >=k+window-1
+    (=8) token substring with the benchmark (the winnowing guarantee) and
+    keep every doc sharing no k-gram (=5 tokens) at all; results must not
+    depend on partitioning."""
+    from protein_feature_engineering_ray.stages.text import decontaminate
+
+    bench_text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                  "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    bench = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1000], "text": [bench_text]}))
+
+    texts = {
+        0: "intro words then alpha beta gamma delta epsilon zeta eta theta"
+           " and a tail",                       # 8-token overlap -> removed
+        1: "zero shared vocabulary here cat dog bird fish tree rock",  # kept
+        2: "alpha beta gamma delta nothing else matches afterwards at all",
+        # ^ only a 4-token overlap: shares NO 5-gram -> kept
+        3: "xi omicron pi rho sigma tau upsilon plus trailing content",
+        # ^ 7-token overlap: >=5-gram shared, MAY be removed (no guarantee
+        #   either way) — excluded from the strict asserts
+        4: "",                                   # empty -> kept
+    }
+    df = pd.DataFrame({"doc_id": sorted(texts), "text": [texts[i] for i in sorted(texts)]})
+
+    for nparts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        clean, contaminated = decontaminate(
+            ds, bench, k=5, window=4, num_buckets=4)
+        kept = set(clean.to_pandas()["doc_id"])
+        removed_df = contaminated.to_pandas()
+        removed = set(removed_df["doc_id"]) if len(removed_df) else set()
+        assert 0 in removed, "guaranteed >=8-token overlap must be caught"
+        assert {1, 2, 4} <= kept, "no shared 5-gram -> never removed"
+        assert kept | removed == set(texts) and not (kept & removed)
+        if len(removed_df):
+            assert (removed_df["n_shared"] >= 1).all()
+
+    # oversized benchmark refuses loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_benchmark_fps"):
+        decontaminate(ray.data.from_pandas(df), bench, k=5, window=4,
+                      max_benchmark_fps=1)
