@@ -723,6 +723,42 @@ SQL_TOKEN_COUNT = _sql_token_count()
 SQL_EXACT_DEDUP = """SELECT doc_id, n_chars FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)"""
 
+# q_data_prep oracle: pack layout = lagged cumsum window over the md5 rank
+# order (the tested pack_sequences bridge); quota flag = row_number() over
+# the same rank; contamination = pure function of doc_id (see
+# _DECON_PHRASES: planted marker phrases make the winnowing filter's
+# answer provable in SQL without reproducing the rolling hash)
+SQL_DATA_PREP = """WITH s AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(coalesce(text, ''), '\\s+'))
+           AS BIGINT) AS nt,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) AS rh
+  FROM documents),
+ o AS (
+  SELECT doc_id, nt, CAST(rh % 4 AS BIGINT) AS pack_shard,
+         CAST(coalesce(SUM(nt) OVER (
+             PARTITION BY rh % 4 ORDER BY rh, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tok_offset
+  FROM s),
+ q AS (
+  SELECT doc_id,
+         CAST(CASE WHEN row_number() OVER (
+             PARTITION BY source ORDER BY rh, doc_id) <= 12
+           THEN 1 ELSE 0 END AS BIGINT) AS in_quota
+  FROM s)
+SELECT o.doc_id, nt AS n_tokens, pack_shard, tok_offset,
+       tok_offset // 512 AS pack_first,
+       (tok_offset + greatest(nt, 1) - 1) // 512 AS pack_last,
+       (tok_offset + greatest(nt, 1) - 1) // 512 - tok_offset // 512
+         AS n_splits,
+       in_quota,
+       CAST(CASE WHEN o.doc_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated,
+       CAST(CASE WHEN o.doc_id % 10 = 0 THEN 0 ELSE 1 END AS BIGINT)
+         AS kept
+FROM o JOIN q USING (doc_id)"""
+
 
 def _sql_repetition() -> str:
     """Gopher-style repetition signals (stages/text.py repetition_profile):
@@ -959,25 +995,32 @@ def q_token_count(sf):
 
 
 def q_text_filters(sf):
-    """One documents pass through the three stateless text-filter stages
-    (token counts -> Gopher repetition signals -> PII/URL scrub); Ray fuses
-    the chained map_batches into a single task per block.  Subsumes the
-    round-1..4 `token_count` catalog entry (driver cap: first 50 entries
+    """One documents pass through the four stateless text-filter stages
+    (quality + language-ID profile -> token counts -> Gopher repetition
+    signals -> PII/URL scrub); Ray fuses the chained map_batches into a
+    single task per block.  Subsumes the round-1..4 `token_count` AND the
+    round-1..5 `lang_quality` catalog entries (driver cap: first 50 entries
     only, so new bit-exact surface merges into existing rows — the
-    comp_chunked / ctdd precedent)."""
+    comp_chunked / ctdd precedent).  Column semantics note: `n_words` is
+    the repetition stage's nonempty-whitespace-word count (profile runs
+    FIRST so the later stage owns the shared name), while
+    `avg_word_len`/`stopword_ratio` keep the profile's `[^A-Za-z0-9_']+`
+    word split internally — both splits are mirrored exactly in SQL."""
     import pyarrow as pa
 
     from protein_feature_engineering_ray.stages.text import (
         repetition_profile,
         scrub_profile,
+        text_profile,
         token_count,
     )
 
     docs = sized_read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-    out = scrub_profile(repetition_profile(token_count(docs)))
+    out = scrub_profile(repetition_profile(token_count(text_profile(docs))))
     cols = ["doc_id", "n_tokens", "n_bpe_tokens", "n_lines", "n_words",
             "dup_line_frac", "top_2gram_frac", "dup_5gram_frac",
-            "n_emails", "n_urls", "n_phones", "scrubbed"]
+            "n_emails", "n_urls", "n_phones", "scrubbed",
+            "avg_word_len", "stopword_ratio", "lang_pred"]
     # typed zero-row anchor (dedup.py:1231 pattern): a fully-empty corpus
     # yields no blocks and Ray loses the schema; doc_id keeps the input's
     # dtype, every derived column's type is stage-determined
@@ -985,7 +1028,8 @@ def q_text_filters(sf):
     idt = dict(zip(sch.names, sch.types)).get("doc_id", pa.int64())
     types = {"doc_id": idt, "scrubbed": pa.string(),
              "dup_line_frac": pa.float64(), "top_2gram_frac": pa.float64(),
-             "dup_5gram_frac": pa.float64()}
+             "dup_5gram_frac": pa.float64(), "avg_word_len": pa.float64(),
+             "stopword_ratio": pa.float64(), "lang_pred": pa.string()}
     anchor = ray.data.from_arrow(pa.table(
         {c: pa.array([], types.get(c, pa.int64())) for c in cols}))
     return anchor.union(out.select_columns(cols))
@@ -1547,6 +1591,112 @@ def q_lang_quality(sf):
     return text_profile(docs).select_columns(
         ["doc_id", "n_words", "avg_word_len", "stopword_ratio", "lang_pred"]
     )
+
+
+# benchmark phrases for q_data_prep's decontamination gate: three 8-token
+# sequences of tokens that cannot occur in the synthetic corpus vocabulary
+# (verified: no 'zqbench' substring in any sf documents.text).  8 tokens =
+# k + window - 1 at the winnowing defaults (5, 4), so planting one phrase
+# meets the shared-substring guarantee EXACTLY at threshold, and every
+# 5-gram of a phrase contains only marker tokens, so no unmarked doc can
+# share a fingerprint — the contaminated set is a pure function of doc_id.
+_DECON_PHRASES = tuple(
+    " ".join(f"zqbench{j}tok{i}" for i in range(8)) for j in range(3)
+)
+
+
+def q_data_prep(sf):
+    """Training-data preparation composite over documents — the three
+    data-mixing/layout primitives in one bit-exact row set:
+
+    - ``pack_sequences`` (stages/pack.py, md5 rank mode): concat-and-chunk
+      layout columns (pack_shard, tok_offset, pack_first/last, n_splits)
+      over the whitespace token counts, = the DuckDB lagged-cumsum window
+      oracle.
+    - ``quota_sample`` (stages/reduce.py, md5 rank mode): per-source
+      mixing quota (k=12) -> ``in_quota`` flag, = the row_number() oracle.
+    - ``decontaminate`` (stages/text.py): benchmark phrases planted into
+      every doc_id % 10 == 0 document; the winnowing membership filter
+      must flag EXACTLY those (``contaminated``), and the left_anti clean
+      side must be exactly the complement (``kept``) — both pure
+      functions of doc_id in SQL (see _DECON_PHRASES note).
+
+    The reference analogue is its notebook-side corpus assembly before
+    embedding (ESM_embed.ipynb cell 2): subsetting, ordering and batching
+    documents by hand; here each step is a deterministic, layout-invariant
+    distributed stage."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from protein_feature_engineering_ray.core.joins import bucket_join
+    from protein_feature_engineering_ray.stages.pack import pack_sequences
+    from protein_feature_engineering_ray.stages.reduce import quota_sample
+    from protein_feature_engineering_ray.stages.text import (
+        decontaminate,
+        token_count,
+    )
+
+    docs = sized_read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text", "source"])
+    base = token_count(docs).select_columns(["doc_id", "source", "n_tokens"])
+    packed = pack_sequences(
+        base, budget=512, id_col="doc_id", num_shards=4, num_buckets=NB,
+        hash_fn="md5",
+    )
+
+    winners = quota_sample(
+        docs.select_columns(["doc_id", "source"]), "source", 12,
+        id_col="doc_id", num_buckets=NB, hash_fn="md5",
+    ).map_batches(
+        lambda t: t.select(["doc_id"]).append_column(
+            "in_quota", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        phrases = np.asarray(_DECON_PHRASES, dtype=object)
+        marks = np.where(ids % 10 == 0, phrases[ids % 3], "")
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""), pa.array(marks, pa.string()), " ")
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    corpus = docs.map_batches(plant, batch_format="pyarrow")
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(_DECON_PHRASES)) - 1000, pa.int64()),
+        "text": pa.array(list(_DECON_PHRASES), pa.string()),
+    }))
+    clean, contaminated = decontaminate(
+        corpus, bench, num_buckets=NB)
+    flagged = contaminated.map_batches(
+        lambda t: t.select(["doc_id"]).append_column(
+            "contaminated", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    kept = clean.map_batches(
+        lambda t: t.select(["doc_id"]).append_column(
+            "kept", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+
+    out = packed
+    for marker, name in ((winners, "in_quota"), (flagged, "contaminated"),
+                         (kept, "kept")):
+        out = bucket_join(
+            out, marker, on=["doc_id"], how="left_outer", num_buckets=NB,
+            right_cols=["doc_id", name], right_types=[pa.int64(), pa.int64()],
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        for name in ("in_quota", "contaminated", "kept"):
+            idx = t.column_names.index(name)
+            t = t.set_column(
+                idx, name, pc.fill_null(t[name].cast(pa.int64()), 0))
+        return t
+
+    return out.map_batches(finish, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "pack_shard", "tok_offset", "pack_first",
+         "pack_last", "n_splits", "in_quota", "contaminated", "kept"])
 
 
 def q_minhash_dedup(sf):
@@ -2668,9 +2818,15 @@ QUERIES: dict[str, Callable] = {
     # round 5 (late): token_count grew into text_filters — same n_tokens /
     # n_bpe_tokens columns plus Gopher-style repetition signals and the
     # PII/URL scrub, all bit-exact (integer-ratio stats; shared RE2
-    # pattern strings run by both Arrow and DuckDB)
+    # pattern strings run by both Arrow and DuckDB).  Round-5 close:
+    # lang_quality merged in too (avg_word_len / stopword_ratio /
+    # lang_pred), freeing its slot for data_prep under the 50-entry cap.
     "text_filters": q_text_filters,
-    "lang_quality": q_lang_quality,
+    # round 5 (close): the training-data-prep composite — sequence packing
+    # (md5 lagged-cumsum oracle), stratified quota sampling (md5
+    # row_number oracle) and benchmark decontamination (planted-marker
+    # invariant: contaminated/kept are pure functions of doc_id)
+    "data_prep": q_data_prep,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "model_tokens": q_model_tokens,
@@ -2743,9 +2899,11 @@ ORACLES: dict[str, str] = {
     "text_filters": (
         f"SELECT * FROM ({SQL_TOKEN_COUNT}) tc "
         f"JOIN ({_sql_repetition()}) rep USING (doc_id) "
-        f"JOIN ({_sql_scrub()}) scr USING (doc_id)"
+        f"JOIN ({_sql_scrub()}) scr USING (doc_id) "
+        f"JOIN (SELECT doc_id, avg_word_len, stopword_ratio, lang_pred "
+        f"FROM ({_sql_lang_quality()}) lqi) lq USING (doc_id)"
     ),
-    "lang_quality": _sql_lang_quality(),
+    "data_prep": SQL_DATA_PREP,
     "model_tokens": SQL_MODEL_TOKENS,
     "knn_exact": SQL_KNN_EXACT,
     "ivf_knn": SQL_IVF_BOTH,

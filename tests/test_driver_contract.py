@@ -18,7 +18,11 @@ pytestmark = pytest.mark.skipif(
 # cheap, representative subset (the full set runs via tools/check_oracle.py)
 SUBSET = ["aac", "dpc", "eaac_egaac", "latency", "sessions", "frames",
           "asof_orders", "multihot", "distance_pair", "text_filters",
-          "dde", "triads", "asdc", "atom_shells", "dbscan", "lang_quality",
+          "dde", "triads", "asdc", "atom_shells", "dbscan",
+          # round-5 close: lang_quality merged into text_filters; its slot
+          # gates data_prep (pack + quota + decontaminate, md5/marker
+          # oracle bridges)
+          "data_prep",
           # round-5 gates: merged ctdd paths, full lag family, ngram-verify
           # minhash + exact embedding pairs, embed integer invariants,
           # corpus-store ingest->index->pruned-read round-trip
