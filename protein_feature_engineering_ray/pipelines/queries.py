@@ -746,7 +746,24 @@ SQL_DATA_PREP = """WITH s AS (
          CAST(CASE WHEN row_number() OVER (
              PARTITION BY source ORDER BY rh, doc_id) <= 12
            THEN 1 ELSE 0 END AS BIGINT) AS in_quota
-  FROM s)
+  FROM s),
+ l AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text, ''), chr(10))) AS ln,
+         generate_subscripts(string_split(coalesce(text, ''), chr(10)), 1)
+           AS li
+  FROM documents),
+ lp AS (
+  SELECT doc_id, ln, li,
+         row_number() OVER (PARTITION BY ln ORDER BY doc_id, li) AS rn
+  FROM l WHERE length(ln) >= 1),
+ ld AS (
+  SELECT t.doc_id, t.n_lines,
+         t.n_lines - coalesce(r.n_removed, 0) AS n_lines_kept,
+         coalesce(r.n_removed, 0) AS n_dup_lines_removed
+  FROM (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id) t
+  LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM lp
+             WHERE rn > 1 GROUP BY doc_id) r USING (doc_id))
 SELECT o.doc_id, nt AS n_tokens, pack_shard, tok_offset,
        tok_offset // 512 AS pack_first,
        (tok_offset + greatest(nt, 1) - 1) // 512 AS pack_last,
@@ -756,8 +773,11 @@ SELECT o.doc_id, nt AS n_tokens, pack_shard, tok_offset,
        CAST(CASE WHEN o.doc_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT)
          AS contaminated,
        CAST(CASE WHEN o.doc_id % 10 = 0 THEN 0 ELSE 1 END AS BIGINT)
-         AS kept
-FROM o JOIN q USING (doc_id)"""
+         AS kept,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+       CAST(n_dup_lines_removed AS BIGINT) AS n_dup_lines_removed
+FROM o JOIN q USING (doc_id) JOIN ld USING (doc_id)"""
 
 
 def _sql_repetition() -> str:
@@ -1620,6 +1640,10 @@ def q_data_prep(sf):
       must flag EXACTLY those (``contaminated``), and the left_anti clean
       side must be exactly the complement (``kept``) — both pure
       functions of doc_id in SQL (see _DECON_PHRASES note).
+    - ``line_dedup`` (stages/dedup.py): cross-document line-level exact
+      dedup — per-doc total/kept/removed line counts, = the DuckDB
+      global-first-occurrence row_number oracle (the rebuilt text itself
+      is string-equality-gated in pytest).
 
     The reference analogue is its notebook-side corpus assembly before
     embedding (ESM_embed.ipynb cell 2): subsetting, ordering and batching
@@ -1629,6 +1653,7 @@ def q_data_prep(sf):
     import pyarrow.compute as pc
 
     from protein_feature_engineering_ray.core.joins import bucket_join
+    from protein_feature_engineering_ray.stages.dedup import line_dedup
     from protein_feature_engineering_ray.stages.pack import pack_sequences
     from protein_feature_engineering_ray.stages.reduce import quota_sample
     from protein_feature_engineering_ray.stages.text import (
@@ -1679,6 +1704,11 @@ def q_data_prep(sf):
         batch_format="pyarrow",
     )
 
+    lcols = ["n_lines", "n_lines_kept", "n_dup_lines_removed"]
+    lstats = line_dedup(
+        docs.select_columns(["doc_id", "text"]), num_buckets=NB,
+    ).select_columns(["doc_id"] + lcols)
+
     out = packed
     for marker, name in ((winners, "in_quota"), (flagged, "contaminated"),
                          (kept, "kept")):
@@ -1686,6 +1716,11 @@ def q_data_prep(sf):
             out, marker, on=["doc_id"], how="left_outer", num_buckets=NB,
             right_cols=["doc_id", name], right_types=[pa.int64(), pa.int64()],
         )
+    out = bucket_join(
+        out, lstats, on=["doc_id"], how="left_outer", num_buckets=NB,
+        right_cols=["doc_id"] + lcols,
+        right_types=[pa.int64()] * 4,
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         for name in ("in_quota", "contaminated", "kept"):
@@ -1696,7 +1731,8 @@ def q_data_prep(sf):
 
     return out.map_batches(finish, batch_format="pyarrow").select_columns(
         ["doc_id", "n_tokens", "pack_shard", "tok_offset", "pack_first",
-         "pack_last", "n_splits", "in_quota", "contaminated", "kept"])
+         "pack_last", "n_splits", "in_quota", "contaminated", "kept"]
+        + lcols)
 
 
 def q_minhash_dedup(sf):

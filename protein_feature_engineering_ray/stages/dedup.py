@@ -101,6 +101,180 @@ def exact_dedup(
     )
 
 
+def _split_lines(texts: pa.Array):
+    """Split a string array on newlines -> (flat lines Array, per-row line
+    counts int64, flat-slot start offsets int64)."""
+    lists = pc.split_pattern(pc.fill_null(texts, ""), "\n")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    counts = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    return flat, counts, offs
+
+
+def line_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    min_len: int = 1,
+) -> ray.data.Dataset:
+    """Cross-document LINE-level exact dedup (the C4 / RefinedWeb "dedup
+    lines across the corpus" hygiene pass the document-level ``exact_dedup``
+    cannot express): every distinct line of at least ``min_len`` characters
+    is kept only at its FIRST occurrence in global ``(id, line_index)``
+    order; later occurrences are deleted from their documents.  Lines
+    shorter than ``min_len`` (including the '' a trailing newline or empty
+    document produces) never participate and are always kept.  Returns one
+    row per document: ``(id, <text_col> rebuilt, n_lines, n_lines_kept,
+    n_dup_lines_removed)``.
+
+    Two exchanges, the ``exact_dedup`` routing discipline on each:
+    1. participating ``(line, id, line_idx)`` triples co-locate by line
+       content hash; after the in-bucket sort equal-line runs are
+       contiguous, so every row but each run's head is a loser —
+       vectorized boundary detection, no pairwise work (a hot line costs
+       its occurrence count in one bucket, never all-pairs).
+    2. loser slots co-locate with their documents by id hash; each
+       document's text is rebuilt by dropping its loser line slots (an
+       Arrow list-offsets rebuild + ``binary_join`` — no per-row Python).
+    The full text rides only exchange 2 and exactly once; exchange 1
+    ships just the participating line content — the same
+    content-proportional bytes a fingerprint pass ships."""
+    from protein_feature_engineering_ray.core.bucket import grouped_buckets
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, counts, offs = _split_lines(texts)
+        rid = np.repeat(np.arange(len(t)), counts)
+        li = np.arange(len(flat), dtype=np.int64) - offs[rid]
+        keep = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False) >= min_len
+        return pa.table({
+            id_col: t[id_col].take(pa.array(rid[keep], pa.int64())),
+            "_li": pa.array(li[keep], pa.int64()),
+            "_ln": flat.filter(pa.array(keep)),
+        })
+
+    def losers_fn(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.select([id_col, "_li"])
+        ln = g["_ln"]
+        if isinstance(ln, pa.ChunkedArray):
+            ln = ln.combine_chunks()
+        # sorted by (_ln, id, _li): a row is a loser iff it equals its
+        # predecessor (run heads are the global first occurrences)
+        dup = np.zeros(n, dtype=bool)
+        if n > 1:
+            dup[1:] = pc.equal(ln.slice(1), ln.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+        m = pa.array(dup)
+        return pa.table({id_col: g[id_col].filter(m),
+                         "_li": g["_li"].filter(m)})
+
+    losers = grouped_buckets(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        losers_fn, num_buckets=num_buckets, key="_ln",
+        order_cols=("_ln", id_col, "_li"),
+    )
+
+    # tagged union keyed by id: the document row sorts first in its id run
+    # (_li = -1 precedes every real 0-based line index)
+    def tag_doc(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.table({
+            id_col: t[id_col],
+            "_li": pa.array(np.full(len(t), -1, np.int64)),
+            text_col: pc.fill_null(texts.cast(pa.string()), ""),
+        })
+
+    def tag_loser(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "_li": t["_li"],
+            text_col: pa.nulls(t.num_rows, pa.string()),
+        })
+
+    tagged = ds.map_batches(tag_doc, batch_format="pyarrow").union(
+        losers.map_batches(tag_loser, batch_format="pyarrow"))
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        li = g["_li"].to_numpy(zero_copy_only=False)
+        isdoc = li < 0
+        if g.num_rows == 0 or not isdoc.any():
+            empty = pa.array([], pa.int64())
+            return pa.table({
+                id_col: g[id_col].slice(0, 0).combine_chunks(),
+                text_col: pa.array([], pa.string()),
+                "n_lines": empty,
+                "n_lines_kept": empty,
+                "n_dup_lines_removed": empty,
+            })
+        # run index per row on the sorted id column (adjacency on
+        # dictionary codes — plain equality, no boxing for strings)
+        ids = g[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        codes = ids
+        if not pa.types.is_dictionary(codes.type) and codes.null_count == 0:
+            codes = codes.dictionary_encode()
+        iv = (codes.indices.to_numpy(zero_copy_only=False)
+              if pa.types.is_dictionary(codes.type)
+              else np.asarray(codes.to_numpy(zero_copy_only=False),
+                              dtype=object))
+        starts = np.empty(len(iv), dtype=bool)
+        starts[0] = True
+        starts[1:] = iv[1:] != iv[:-1]
+        run = np.cumsum(starts) - 1
+        # every run's head row must be the document row (losers reference
+        # ids present in the corpus; _li=-1 sorts first)
+        if not isdoc[starts].all():
+            missing = ids.take(
+                pa.array(np.flatnonzero(starts & ~isdoc)[:3], pa.int64()))
+            raise RuntimeError(
+                "line_dedup: loser rows reference ids absent from the "
+                f"corpus stream, e.g. {missing.to_pylist()!r}"
+            )
+        texts = g[text_col].filter(pa.array(isdoc))
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, counts, offs = _split_lines(texts)
+        drop_run = run[~isdoc]
+        slots = offs[drop_run] + li[~isdoc]
+        keep = np.ones(len(flat), dtype=bool)
+        keep[slots] = False
+        removed = np.bincount(drop_run, minlength=len(counts))
+        kept = counts - removed
+        new_offs = np.concatenate([[0], np.cumsum(kept)]).astype(np.int32)
+        rebuilt = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                     flat.filter(pa.array(keep))),
+            "\n",
+        )
+        out_ids = ids.filter(pa.array(isdoc))
+        if pa.types.is_dictionary(out_ids.type):
+            out_ids = out_ids.cast(out_ids.type.value_type)
+        return pa.table({
+            id_col: out_ids,
+            text_col: rebuilt,
+            "n_lines": pa.array(counts, pa.int64()),
+            "n_lines_kept": pa.array(kept, pa.int64()),
+            "n_dup_lines_removed": pa.array(removed, pa.int64()),
+        })
+
+    return grouped_buckets(
+        tagged, rebuild, num_buckets=num_buckets, key=id_col,
+        order_cols=(id_col, "_li"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # minhash / LSH
 # ---------------------------------------------------------------------------

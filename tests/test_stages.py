@@ -732,6 +732,78 @@ def test_repetition_and_scrub_match_oracle_on_dirty_text():
     assert r.loc[4, "n_words"] == 0 and r.loc[5, "n_words"] == 0
 
 
+def test_line_dedup_matches_sql_oracle_and_is_partition_invariant():
+    """line_dedup (cross-document line-level exact dedup): the rebuilt
+    text, per-doc line counts and removal counts must equal the DuckDB
+    first-occurrence oracle (global (doc_id, line_idx) order), including
+    trailing newlines, empty documents, intra-document duplicates and
+    non-participating short lines; the result must not depend on input
+    partitioning, and string doc ids must ride through."""
+    import duckdb
+
+    from protein_feature_engineering_ray.stages.dedup import line_dedup
+
+    rng = np.random.default_rng(7)
+    vocab = ["lorem ipsum", "dolor sit", "amet", "consectetur adipiscing",
+             "sed do", "eiusmod", "tempor incididunt", ""]
+    texts = ["\n".join(rng.choice(vocab, rng.integers(0, 6)))
+             for _ in range(120)]
+    texts += ["", "solo\n", "\n\n", "lorem ipsum"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+
+    oracle = """
+WITH l AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text,''), chr(10))) AS ln,
+         generate_subscripts(string_split(coalesce(text,''), chr(10)), 1)
+           AS li
+  FROM documents),
+ p AS (SELECT doc_id, ln, li,
+         row_number() OVER (PARTITION BY ln ORDER BY doc_id, li) AS rn
+       FROM l WHERE length(ln) >= 1),
+ keepers AS (
+   SELECT doc_id, li, ln FROM l WHERE length(ln) < 1
+   UNION ALL SELECT doc_id, li, ln FROM p WHERE rn = 1),
+ agg AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY li) AS text,
+                count(*) AS n_lines_kept FROM keepers GROUP BY doc_id),
+ tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id),
+ rem AS (SELECT doc_id, count(*) AS n_dup_lines_removed FROM p
+         WHERE rn > 1 GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.text, '') AS text, t.n_lines,
+       coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+       coalesce(r.n_dup_lines_removed, 0) AS n_dup_lines_removed
+FROM tot t LEFT JOIN agg a USING (doc_id) LEFT JOIN rem r USING (doc_id)
+ORDER BY doc_id"""
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(oracle).df()
+
+    def run(frame, nparts):
+        ds = ray.data.from_pandas(frame).repartition(nparts)
+        return (line_dedup(ds, num_buckets=4).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    got = run(df, 3)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    shuf = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    pd.testing.assert_frame_equal(run(shuf, 7), got)
+
+    # conservation: kept + removed == total, and every removed line was a
+    # repeat of a line kept somewhere
+    assert (got.n_lines_kept + got.n_dup_lines_removed == got.n_lines).all()
+
+    # string doc ids survive the id-keyed rebuild exchange
+    sdf = df.head(20).copy()
+    sdf["doc_id"] = ["d%03d" % i for i in range(20)]
+    sgot = (line_dedup(ray.data.from_pandas(sdf).repartition(3),
+                       num_buckets=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert sgot.doc_id.tolist() == sorted(sdf.doc_id)
+    assert (sgot.n_lines_kept + sgot.n_dup_lines_removed
+            == sgot.n_lines).all()
+
+
 def test_decontaminate_removes_benchmark_overlaps_only():
     """decontaminate must remove every corpus doc sharing a >=k+window-1
     (=8) token substring with the benchmark (the winnowing guarantee) and
