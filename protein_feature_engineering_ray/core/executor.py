@@ -147,10 +147,12 @@ def conv_features(
     # block — on an empty corpus map_groups yields no blocks and the dataset
     # would otherwise lose its schema (to_pandas() -> column-less frame).
     # Best-effort: kernels referencing DERIVED columns (e.g. a latency_sec
-    # added upstream) raise on the canonical empty probe — skip the anchor.
+    # added upstream) — or plugin kernels with any zero-row blind spot —
+    # raise on the canonical empty probe; the anchor is an optional
+    # nicety, so NO probe exception may abort pipeline construction.
     try:
         anchor = ray.data.from_arrow(fn(_empty_transcript_table()))
-    except (KeyError, IndexError, ValueError):
+    except Exception:
         return out
     return anchor.union(out)
 

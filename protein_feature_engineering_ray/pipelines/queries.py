@@ -1710,14 +1710,23 @@ def q_data_prep(sf):
     ).select_columns(["doc_id"] + lcols)
 
     out = packed
+    # left_cols declared at every step: each join's left side is a shuffle
+    # lineage whose schema Ray can only learn by executing it — the static
+    # lists below keep the four chained joins from probe-executing the
+    # pack/quota DAG once per join
+    lnames = ["doc_id", "source", "n_tokens", "pack_shard", "tok_offset",
+              "pack_first", "pack_last", "n_splits"]
     for marker, name in ((winners, "in_quota"), (flagged, "contaminated"),
                          (kept, "kept")):
         out = bucket_join(
             out, marker, on=["doc_id"], how="left_outer", num_buckets=NB,
+            left_cols=lnames,
             right_cols=["doc_id", name], right_types=[pa.int64(), pa.int64()],
         )
+        lnames = lnames + [name]
     out = bucket_join(
         out, lstats, on=["doc_id"], how="left_outer", num_buckets=NB,
+        left_cols=lnames,
         right_cols=["doc_id"] + lcols,
         right_types=[pa.int64()] * 4,
     )

@@ -631,18 +631,18 @@ def _repetition_batch(t: pa.Table, text_col: str) -> pa.Table:
     loop.  N-grams hash-combine via the joined gram string so the engine's
     multiplicities match SQL's exact-string GROUP BY (64-bit collisions
     are the usual negligible caveat)."""
+    from protein_feature_engineering_ray.stages.dedup import _split_lines
+
     texts = pc.fill_null(t[text_col], "")
     n = len(t)
 
     # lines: literal newline split, empties dropped on both sides
-    lines = pc.split_pattern(texts, "\n")
-    if isinstance(lines, pa.ChunkedArray):
-        lines = lines.combine_chunks()
-    lflat = lines.flatten()
-    loff = lines.offsets.to_numpy(zero_copy_only=False)
+    # (offset-safe shared helper — raw ListArray.offsets would misalign
+    # against .flatten() on a sliced/combined input)
+    lflat, lcounts, loff = _split_lines(texts)
     lmask = pc.utf8_length(lflat).to_numpy(zero_copy_only=False) > 0
     n_lines = _segment_sum(lmask, loff).astype(np.int64)
-    rid_l = np.repeat(np.arange(n), np.diff(loff))
+    rid_l = np.repeat(np.arange(n), lcounts)
     h_l = hash_strings(lflat)
     n_dlines = _distinct_per_row(h_l[lmask], rid_l[lmask], n)
 
@@ -764,18 +764,23 @@ def decontaminate(
 
     bench_fps = winnow_fingerprints(
         benchmark, text_col=text_col, id_col=id_col, k=k, window=window)
-    n_bench = bench_fps.count()
-    if n_bench > max_benchmark_fps:
-        raise ValueError(
-            f"benchmark has {n_bench} fingerprint rows > max_benchmark_fps="
-            f"{max_benchmark_fps}; the benchmark side must stay broadcastable"
-            " — split it into passes or raise the cap deliberately"
-        )
-    parts = [
-        np.unique(b["fingerprint"].to_numpy(zero_copy_only=False))
-        for b in bench_fps.select_columns(["fingerprint"]).iter_batches(
-            batch_format="pyarrow", batch_size=65536)
-    ]
+    # one pass over the benchmark lineage: count the rows for the cap check
+    # WHILE draining the fingerprints (a separate .count() would execute
+    # the whole fingerprint map a second time — Ray does not cache lazy
+    # lineages between consumptions)
+    parts, n_bench = [], 0
+    for b in bench_fps.select_columns(["fingerprint"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        n_bench += b.num_rows
+        if n_bench > max_benchmark_fps:
+            raise ValueError(
+                f"benchmark exceeds max_benchmark_fps={max_benchmark_fps} "
+                "fingerprint rows; the benchmark side must stay "
+                "broadcastable — split it into passes or raise the cap "
+                "deliberately"
+            )
+        parts.append(
+            np.unique(b["fingerprint"].to_numpy(zero_copy_only=False)))
     bset = (np.unique(np.concatenate(parts)) if parts
             else np.empty(0, np.uint64))
     ref = ray.put(bset)
@@ -815,6 +820,10 @@ def decontaminate(
         matched, count_per_id, num_buckets=num_buckets, key=id_col,
         order_cols=(id_col, "fingerprint"),
     )
+    # right_cols declared: a zero-match corpus yields NO blocks from the
+    # grouped exchange, so contaminated.schema() is None and the join's
+    # schema probe would crash — the column list is statically known here
     clean = bucket_join(ds, contaminated, on=[id_col], how="left_anti",
-                        num_buckets=num_buckets)
+                        num_buckets=num_buckets,
+                        right_cols=[id_col, "n_shared"])
     return clean, contaminated

@@ -847,3 +847,15 @@ def test_decontaminate_removes_benchmark_overlaps_only():
     with _pytest.raises(ValueError, match="max_benchmark_fps"):
         decontaminate(ray.data.from_pandas(df), bench, k=5, window=4,
                       max_benchmark_fps=1)
+
+    # zero-match corpus (the common CLEAN case): the contaminated side has
+    # no blocks, so the left_anti join must not schema-probe it (regression:
+    # AttributeError on contaminated.schema() is None)
+    cleandf = pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": ["totally disjoint vocabulary one two three four five six",
+                 "another clean document seven eight nine ten eleven"]})
+    clean, contaminated = decontaminate(
+        ray.data.from_pandas(cleandf), bench, k=5, window=4, num_buckets=4)
+    assert set(clean.to_pandas()["doc_id"]) == {10, 11}
+    assert contaminated.count() == 0
