@@ -723,13 +723,29 @@ SQL_TOKEN_COUNT = _sql_token_count()
 SQL_EXACT_DEDUP = """SELECT doc_id, n_chars FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)"""
 
-# q_data_prep oracle: pack layout = lagged cumsum window over the md5 rank
-# order (the tested pack_sequences bridge); quota flag = row_number() over
-# the same rank; contamination = pure function of doc_id (see
-# _DECON_PHRASES: planted marker phrases make the winnowing filter's
-# answer provable in SQL without reproducing the rolling hash)
-SQL_DATA_PREP = """WITH s AS (
-  SELECT doc_id, source,
+def _sql_data_prep() -> str:
+    """q_data_prep oracle: pack layout = lagged cumsum window over the md5
+    rank order (the tested pack_sequences bridge); quota flag =
+    row_number() over the same rank; mixture flag = md5 hash under the
+    SAME rate_threshold integer literals the engine uses (never a
+    recomputed float product); contamination = pure function of doc_id
+    (see _DECON_PHRASES: planted marker phrases make the winnowing
+    filter's answer provable in SQL without reproducing the rolling
+    hash); line-dedup counts = global first-occurrence row_number."""
+    from protein_feature_engineering_ray.stages.reduce import rate_threshold
+
+    mix_case = " ".join(
+        f"WHEN '{k}' THEN CAST('{rate_threshold(v)}' AS UBIGINT)"
+        for k, v in _MIX_RATES.items())
+    mix_default = f"CAST('{rate_threshold(_MIX_DEFAULT)}' AS UBIGINT)"
+    return _SQL_DATA_PREP_BODY.replace(
+        "__MIX_EXPR__",
+        f"rh < CASE lang {mix_case} ELSE {mix_default} END",
+    )
+
+
+_SQL_DATA_PREP_BODY = """WITH s AS (
+  SELECT doc_id, source, lang,
          CAST(len(string_split_regex(coalesce(text, ''), '\\s+'))
            AS BIGINT) AS nt,
          md5_number_lower(CAST(doc_id AS VARCHAR)) AS rh
@@ -745,7 +761,9 @@ SQL_DATA_PREP = """WITH s AS (
   SELECT doc_id,
          CAST(CASE WHEN row_number() OVER (
              PARTITION BY source ORDER BY rh, doc_id) <= 12
-           THEN 1 ELSE 0 END AS BIGINT) AS in_quota
+           THEN 1 ELSE 0 END AS BIGINT) AS in_quota,
+         CAST(CASE WHEN __MIX_EXPR__ THEN 1 ELSE 0 END AS BIGINT)
+           AS in_mix
   FROM s),
  l AS (
   SELECT doc_id,
@@ -769,7 +787,7 @@ SELECT o.doc_id, nt AS n_tokens, pack_shard, tok_offset,
        (tok_offset + greatest(nt, 1) - 1) // 512 AS pack_last,
        (tok_offset + greatest(nt, 1) - 1) // 512 - tok_offset // 512
          AS n_splits,
-       in_quota,
+       in_quota, in_mix,
        CAST(CASE WHEN o.doc_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT)
          AS contaminated,
        CAST(CASE WHEN o.doc_id % 10 = 0 THEN 0 ELSE 1 END AS BIGINT)
@@ -1624,6 +1642,12 @@ _DECON_PHRASES = tuple(
     " ".join(f"zqbench{j}tok{i}" for i in range(8)) for j in range(3)
 )
 
+# per-language mixture weights for q_data_prep's rate_sample gate (the
+# documents generator emits exactly these five lang values at every sf);
+# default covers anything else
+_MIX_RATES = {"en": 0.75, "de": 0.5, "fr": 0.25, "es": 0.5, "zh": 1.0}
+_MIX_DEFAULT = 0.125
+
 
 def q_data_prep(sf):
     """Training-data preparation composite over documents — the three
@@ -1644,6 +1668,10 @@ def q_data_prep(sf):
       dedup — per-doc total/kept/removed line counts, = the DuckDB
       global-first-occurrence row_number oracle (the rebuilt text itself
       is string-equality-gated in pytest).
+    - ``rate_sample`` (stages/reduce.py, md5 mode): per-language mixture
+      WEIGHTING (``_MIX_RATES``) -> ``in_mix`` flag, = the DuckDB
+      threshold oracle built from the same ``rate_threshold`` integers
+      (shuffle-free — a pure streaming filter).
 
     The reference analogue is its notebook-side corpus assembly before
     embedding (ESM_embed.ipynb cell 2): subsetting, ordering and batching
@@ -1655,14 +1683,18 @@ def q_data_prep(sf):
     from protein_feature_engineering_ray.core.joins import bucket_join
     from protein_feature_engineering_ray.stages.dedup import line_dedup
     from protein_feature_engineering_ray.stages.pack import pack_sequences
-    from protein_feature_engineering_ray.stages.reduce import quota_sample
+    from protein_feature_engineering_ray.stages.reduce import (
+        quota_sample,
+        rate_sample,
+    )
     from protein_feature_engineering_ray.stages.text import (
         decontaminate,
         token_count,
     )
 
     docs = sized_read_parquet(
-        f"{sf}/documents.parquet", columns=["doc_id", "text", "source"])
+        f"{sf}/documents.parquet",
+        columns=["doc_id", "text", "source", "lang"])
     base = token_count(docs).select_columns(["doc_id", "source", "n_tokens"])
     packed = pack_sequences(
         base, budget=512, id_col="doc_id", num_shards=4, num_buckets=NB,
@@ -1675,6 +1707,14 @@ def q_data_prep(sf):
     ).map_batches(
         lambda t: t.select(["doc_id"]).append_column(
             "in_quota", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    mixed = rate_sample(
+        docs.select_columns(["doc_id", "lang"]), _MIX_RATES, "lang",
+        id_col="doc_id", default=_MIX_DEFAULT, hash_fn="md5",
+    ).map_batches(
+        lambda t: t.select(["doc_id"]).append_column(
+            "in_mix", pa.array(np.ones(t.num_rows, np.int64))),
         batch_format="pyarrow",
     )
 
@@ -1716,8 +1756,8 @@ def q_data_prep(sf):
     # pack/quota DAG once per join
     lnames = ["doc_id", "source", "n_tokens", "pack_shard", "tok_offset",
               "pack_first", "pack_last", "n_splits"]
-    for marker, name in ((winners, "in_quota"), (flagged, "contaminated"),
-                         (kept, "kept")):
+    for marker, name in ((winners, "in_quota"), (mixed, "in_mix"),
+                         (flagged, "contaminated"), (kept, "kept")):
         out = bucket_join(
             out, marker, on=["doc_id"], how="left_outer", num_buckets=NB,
             left_cols=lnames,
@@ -1732,7 +1772,7 @@ def q_data_prep(sf):
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        for name in ("in_quota", "contaminated", "kept"):
+        for name in ("in_quota", "in_mix", "contaminated", "kept"):
             idx = t.column_names.index(name)
             t = t.set_column(
                 idx, name, pc.fill_null(t[name].cast(pa.int64()), 0))
@@ -1740,8 +1780,8 @@ def q_data_prep(sf):
 
     return out.map_batches(finish, batch_format="pyarrow").select_columns(
         ["doc_id", "n_tokens", "pack_shard", "tok_offset", "pack_first",
-         "pack_last", "n_splits", "in_quota", "contaminated", "kept"]
-        + lcols)
+         "pack_last", "n_splits", "in_quota", "in_mix", "contaminated",
+         "kept"] + lcols)
 
 
 def q_minhash_dedup(sf):
@@ -2948,7 +2988,7 @@ ORACLES: dict[str, str] = {
         f"JOIN (SELECT doc_id, avg_word_len, stopword_ratio, lang_pred "
         f"FROM ({_sql_lang_quality()}) lqi) lq USING (doc_id)"
     ),
-    "data_prep": SQL_DATA_PREP,
+    "data_prep": _sql_data_prep(),
     "model_tokens": SQL_MODEL_TOKENS,
     "knn_exact": SQL_KNN_EXACT,
     "ivf_knn": SQL_IVF_BOTH,

@@ -88,6 +88,67 @@ def _per_key_topk(t: pa.Table, key_col: str, id_col: str, k: int,
     return t.take(pa.array(np.sort(order[pos < k])))
 
 
+def rate_threshold(rate: float) -> int:
+    """A sampling rate in [0, 1] -> the uint64 keep threshold
+    (``rank_hash(id) < threshold`` keeps ~``rate`` of ids).  Computed once
+    here so the engine and a SQL oracle compare against the SAME integer
+    literal — never recompute ``rate * 2**64`` on both sides and hope the
+    float rounding agrees."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return min(int(rate * 2.0**64), 2**64 - 1)
+
+
+def rate_sample(
+    ds: ray.data.Dataset,
+    rates: dict,
+    key_col: str,
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    hash_fn: str = "fast",
+) -> ray.data.Dataset:
+    """Deterministic per-key RATE sampling — the weighted data-mixing
+    primitive ``quota_sample`` (absolute top-k) cannot express: keep each
+    row iff ``rank_hash(id) < rate(key) * 2^64``, i.e. an
+    order/partition-invariant Bernoulli(rate) decided purely by the row's
+    id.  ``rates`` maps key value -> rate in [0, 1]; unmapped keys (and
+    null keys) use ``default``.
+
+    NO exchange at all: this is a stateless ``map_batches`` filter — the
+    (small) rates table rides the task closure once per task like any
+    broadcast lookup, so at 100 TB the stage costs exactly one streaming
+    pass.  ``hash_fn="md5"`` makes the keep set bit-identical to a DuckDB
+    ``md5_number_lower(CAST(id AS VARCHAR)) < <rate_threshold(rate)>``
+    oracle (inject ``rate_threshold``'s integer, never a recomputed
+    float product).  A row kept at rate r stays kept at every rate >= r
+    (nested samples — the standard reproducible-subsample property)."""
+    assert hash_fn in ("fast", "md5"), hash_fn
+    thr = {k: np.uint64(rate_threshold(v)) for k, v in rates.items()}
+    dthr = np.uint64(rate_threshold(default))
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return t
+        enc = t[key_col]
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        enc = pc.dictionary_encode(enc)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        dic = enc.dictionary.to_pylist()
+        lut = np.array([thr.get(v, dthr) for v in dic] + [dthr],
+                       dtype=np.uint64)
+        codes = np.asarray(
+            pc.fill_null(enc.indices.cast(pa.int64()), len(dic)).to_numpy(
+                zero_copy_only=False))
+        h = _rank_hash(t[id_col], hash_fn)
+        return t.filter(pa.array(h < lut[codes]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def quota_sample(
     ds: ray.data.Dataset,
     key_col: str,

@@ -689,6 +689,107 @@ def _repetition_batch(t: pa.Table, text_col: str) -> pa.Table:
     return out
 
 
+def _run_heads(arr: pa.Array) -> np.ndarray:
+    """Boolean run-head mask over a SORTED Arrow array (adjacent equality
+    via the Arrow kernel — no string boxing)."""
+    n = len(arr)
+    heads = np.ones(n, dtype=bool)
+    if n > 1:
+        heads[1:] = ~pc.equal(arr.slice(1), arr.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False)
+    return heads
+
+
+def topk_ngrams(
+    ds: ray.data.Dataset,
+    k_top: int = 20,
+    n: int = 2,
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Corpus-level heavy hitters: the ``k_top`` most frequent word
+    ``n``-grams with EXACT counts (vocabulary/contamination analysis —
+    what the reference eyeballs with pandas ``value_counts`` in its
+    notebooks).  Output: ``(ngram, cnt, rank)``, rank 1-based, ties broken
+    by gram ascending — fully deterministic.
+
+    Shuffle discipline: each block first collapses to its DISTINCT grams
+    (``value_counts`` — the pre-aggregation combiner), so the one
+    gram-hash exchange moves distinct-grams-per-block rows, not every
+    token.  A gram lives entirely in one bucket, so per-bucket top-k is
+    globally sound; the final fold sees only ``k_top × num_buckets`` rows
+    (one-block repartition — driver never materializes anything).  Count
+    sums use int64 ``np.add.reduceat`` (never float bincount weights:
+    corpus-scale counts can exceed 2^53)."""
+    assert k_top > 0 and n > 0
+    from protein_feature_engineering_ray.core.bucket import grouped_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        wflat, woff = _tokens_flat(texts, r"\s+")
+        wmask = pc.utf8_length(wflat).to_numpy(zero_copy_only=False) > 0
+        rid = np.repeat(np.arange(len(t)), np.diff(woff))[wmask]
+        wne = wflat.filter(pa.array(wmask))
+        empty = pa.table({"ngram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(wne) < n:
+            return empty
+        m = len(wne) - n + 1
+        valid = rid[n - 1:] == rid[:m]
+        if not valid.any():
+            return empty
+        vmask = pa.array(valid)
+        parts = [wne.slice(j, m).filter(vmask) for j in range(n)]
+        joined = (parts[0] if n == 1
+                  else pc.binary_join_element_wise(*parts, " "))
+        vc = joined.value_counts()
+        return pa.table({"ngram": vc.field("values").cast(pa.string()),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    def topk_table(g: pa.Table, k: int) -> pa.Table:
+        """Sum per-gram counts over a gram-sorted table, keep the k most
+        frequent (ties: gram ascending)."""
+        ng = g["ngram"]
+        if isinstance(ng, pa.ChunkedArray):
+            ng = ng.combine_chunks()
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        heads = np.flatnonzero(_run_heads(ng))
+        tot = np.add.reduceat(cnt, heads).astype(np.int64)
+        uniq = ng.take(pa.array(heads, pa.int64()))
+        grams = np.asarray(uniq.to_numpy(zero_copy_only=False), dtype=object)
+        order = np.lexsort((grams, -tot))[:k]
+        return pa.table({"ngram": uniq.take(pa.array(order, pa.int64())),
+                         "cnt": pa.array(tot[order], pa.int64())})
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.select(["ngram", "cnt"])
+        return topk_table(g, k_top)
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("ngram", "ascending")])
+        out = topk_table(t, k_top) if t.num_rows else t
+        return out.append_column(
+            "rank", pa.array(np.arange(1, out.num_rows + 1), pa.int64()))
+
+    per_bucket = grouped_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        bucket_topk, num_buckets=num_buckets, key="ngram",
+        order_cols=("ngram",),
+    )
+    anchor = ray.data.from_arrow(pa.table({
+        "ngram": pa.array([], pa.string()),
+        "cnt": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+    }))
+    return anchor.union(
+        per_bucket.repartition(1).map_batches(
+            final_topk, batch_format="pyarrow", batch_size=None))
+
+
 def repetition_profile(ds: ray.data.Dataset,
                        text_col: str = "text") -> ray.data.Dataset:
     """Gopher-style repetition filter signals per document: nonempty

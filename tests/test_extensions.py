@@ -654,6 +654,119 @@ def test_quota_sample_matches_sql_oracle_and_is_layout_invariant():
     pd.testing.assert_frame_equal(gotn, wantn, check_dtype=False)
 
 
+def test_topk_ngrams_matches_sql_oracle_and_is_layout_invariant():
+    """topk_ngrams (corpus heavy hitters): exact counts and deterministic
+    rank order (count desc, gram asc) must equal the DuckDB GROUP BY
+    oracle at 2-grams and 1-grams, regardless of partitioning; k larger
+    than the vocabulary returns everything."""
+    import duckdb
+
+    from protein_feature_engineering_ray.stages.text import topk_ngrams
+
+    rng = np.random.default_rng(41)
+    vocab = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 12)))
+             for _ in range(150)]
+    texts += ["", "solo", "the quick " * 30]  # empty, 1-token, heavy doc
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    con = duckdb.connect()
+    con.register("documents", df)
+
+    def oracle(k, n):
+        gram = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n)).replace(
+            " + 0", "")
+        return con.execute(f"""
+            WITH l AS (
+              SELECT list_filter(string_split_regex(coalesce(text, ''),
+                                 '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+             g AS (
+              SELECT unnest(list_transform(
+                  generate_series(1, len(ws) - {n - 1}),
+                  i -> {gram})) AS ngram
+              FROM l)
+            SELECT ngram, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(row_number() OVER (
+                       ORDER BY count(*) DESC, ngram) AS BIGINT) AS rank
+            FROM g GROUP BY ngram
+            ORDER BY cnt DESC, ngram LIMIT {k}""").df()
+
+    def run(nparts, k, n):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        return (topk_ngrams(ds, k_top=k, n=n, num_buckets=4)
+                .to_pandas().reset_index(drop=True))
+
+    for k, n in ((10, 2), (5, 1), (10_000, 2)):
+        got = run(3, k, n)
+        want = oracle(k, n)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # layout invariance
+    pd.testing.assert_frame_equal(run(1, 10, 2), run(7, 10, 2))
+
+
+def test_rate_sample_matches_sql_oracle_nested_and_layout_invariant():
+    """rate_sample (per-key Bernoulli-by-id-hash mixture weighting): in md5
+    mode the keep set must equal the DuckDB threshold oracle built from the
+    SAME rate_threshold integers; samples must nest (rate r subset of rate
+    r' >= r), be invariant to order/partitioning, and route unmapped/null
+    keys to the default rate."""
+    import duckdb
+
+    from protein_feature_engineering_ray.stages.reduce import (
+        rate_sample,
+        rate_threshold,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 600
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.choice(["web", "code", "chat", "wiki"], n),
+    })
+    df.loc[df.index[:30], "source"] = None  # null keys -> default rate
+    rates = {"web": 0.75, "code": 0.25, "wiki": 1.0}  # chat unmapped
+
+    def run(frame, nparts, rr, hash_fn="md5", default=0.0):
+        ds = ray.data.from_pandas(frame).repartition(nparts)
+        out = rate_sample(ds, rr, "source", default=default,
+                          hash_fn=hash_fn).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    got = run(df, 3, rates, default=0.5)
+    case = " ".join(
+        f"WHEN '{k}' THEN CAST('{rate_threshold(v)}' AS UBIGINT)"
+        for k, v in rates.items())
+    dflt = f"CAST('{rate_threshold(0.5)}' AS UBIGINT)"
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(f"""
+        SELECT doc_id, source FROM documents
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) <
+              CASE source {case} ELSE {dflt} END
+        ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert 0 < len(got) < n
+
+    # layout/order invariance, both hash modes
+    shuf = df.sample(frac=1.0, random_state=13).reset_index(drop=True)
+    for hf in ("md5", "fast"):
+        a = run(df, 3, rates, hash_fn=hf)
+        b = run(shuf, 7, rates, hash_fn=hf)
+        pd.testing.assert_frame_equal(a, b)
+
+    # nesting: every id kept at rate r stays kept at rate r' >= r
+    lo = set(run(df, 3, {"web": 0.2}, default=0.1).doc_id)
+    hi = set(run(df, 3, {"web": 0.6}, default=0.4).doc_id)
+    assert lo <= hi
+
+    # rate 0 drops everything; rate bounds enforced
+    empty = rate_sample(ray.data.from_pandas(df).repartition(2), {},
+                        "source", default=0.0, hash_fn="md5")
+    assert empty.count() == 0
+    with pytest.raises(ValueError, match="rate"):
+        rate_threshold(1.5)
+
+
 def test_pack_sequences_matches_sql_oracle_and_conserves_tokens():
     """pack_sequences (concat-and-chunk training layout): in md5 mode the
     (shard, offset, pack span) assignment must equal the DuckDB lagged-
