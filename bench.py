@@ -224,6 +224,17 @@ def run_bench() -> dict:
     # single run: the stress corpus is synthetic and the drop STAT is the
     # point of this line, not a min-of-N latency record
     times["winnow_boilerplate"] = min_of(1, one_winnow)
+
+    def one_data_prep():
+        # the full training-data-prep composite (sequence packing + quota +
+        # mixture-rate sampling + planted-marker decontamination +
+        # cross-document line dedup + the flag joins) end-to-end
+        from protein_feature_engineering_ray.pipelines.queries import q_data_prep
+
+        q_data_prep(sf_dir).count()
+
+    timed("data_prep", one_data_prep)
+
     # same shape as rounds 1-2 (limit(4) query pull + brute top-5 over the
     # corpus) so the per-round bench lines stay comparable
     def one_knn():
