@@ -734,13 +734,18 @@ def _sql_data_prep() -> str:
     hash); line-dedup counts = global first-occurrence row_number."""
     from protein_feature_engineering_ray.stages.reduce import rate_threshold
 
+    def cond(rate: float) -> str:
+        # rate 1.0 is keep-all in the engine (no uint64 threshold can
+        # express it); mirror it as a literal TRUE, not a compare
+        if rate == 1.0:
+            return "TRUE"
+        return f"rh < CAST('{rate_threshold(rate)}' AS UBIGINT)"
+
     mix_case = " ".join(
-        f"WHEN '{k}' THEN CAST('{rate_threshold(v)}' AS UBIGINT)"
-        for k, v in _MIX_RATES.items())
-    mix_default = f"CAST('{rate_threshold(_MIX_DEFAULT)}' AS UBIGINT)"
+        f"WHEN '{k}' THEN {cond(v)}" for k, v in _MIX_RATES.items())
     return _SQL_DATA_PREP_BODY.replace(
         "__MIX_EXPR__",
-        f"rh < CASE lang {mix_case} ELSE {mix_default} END",
+        f"CASE lang {mix_case} ELSE {cond(_MIX_DEFAULT)} END",
     )
 
 
@@ -1752,7 +1757,7 @@ def q_data_prep(sf):
     out = packed
     # left_cols declared at every step: each join's left side is a shuffle
     # lineage whose schema Ray can only learn by executing it — the static
-    # lists below keep the four chained joins from probe-executing the
+    # lists below keep the five chained joins from probe-executing the
     # pack/quota DAG once per join
     lnames = ["doc_id", "source", "n_tokens", "pack_shard", "tok_offset",
               "pack_first", "pack_last", "n_splits"]

@@ -59,23 +59,30 @@ def _rank_hash(ids: pa.Array | pa.ChunkedArray, hash_fn: str) -> np.ndarray:
     return pd.util.hash_array(sv).astype(np.uint64)
 
 
+def _key_codes(t: pa.Table, key_col: str) -> tuple[np.ndarray, list]:
+    """Dictionary-encode a key column -> (int64 codes, dictionary values).
+    Null keys form ONE group with the sentinel code len(dictionary) (SQL
+    PARTITION BY semantics); without the fill, null indices surface as NaN
+    from to_numpy and every null row would become its own run start."""
+    import pyarrow.compute as pc
+
+    enc = pc.dictionary_encode(t[key_col].combine_chunks())
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dic = enc.dictionary.to_pylist()
+    codes = np.asarray(
+        pc.fill_null(enc.indices.cast(pa.int64()), len(dic)).to_numpy(
+            zero_copy_only=False))
+    return codes, dic
+
+
 def _per_key_topk(t: pa.Table, key_col: str, id_col: str, k: int,
                   hash_fn: str) -> pa.Table:
     """Keep the <=k rows per key with the smallest (rank_hash(id), id) —
     one dictionary encode + one lexsort, no Python per-key loop."""
-    import pyarrow.compute as pc
-
     if t.num_rows == 0:
         return t
-    enc = pc.dictionary_encode(t[key_col].combine_chunks())
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-    # null keys form ONE group (SQL PARTITION BY semantics — row_number
-    # quotas the NULL stratum too); null indices surface as NaN from
-    # to_numpy, which would make every null row its own run start
-    codes = np.asarray(
-        pc.fill_null(enc.indices.cast(pa.int64()),
-                     len(enc.dictionary)).to_numpy(zero_copy_only=False))
+    codes, _ = _key_codes(t, key_col)
     h = _rank_hash(t[id_col], hash_fn)
     idv = t[id_col].to_numpy(zero_copy_only=False)
     order = np.lexsort((idv, h, codes))
@@ -120,31 +127,29 @@ def rate_sample(
     pass.  ``hash_fn="md5"`` makes the keep set bit-identical to a DuckDB
     ``md5_number_lower(CAST(id AS VARCHAR)) < <rate_threshold(rate)>``
     oracle (inject ``rate_threshold``'s integer, never a recomputed
-    float product).  A row kept at rate r stays kept at every rate >= r
-    (nested samples — the standard reproducible-subsample property)."""
+    float product; a rate of EXACTLY 1.0 is keep-all — mirror it as a
+    literal TRUE, not a threshold compare).  A row kept at rate r stays
+    kept at every rate >= r (nested samples — the standard
+    reproducible-subsample property)."""
     assert hash_fn in ("fast", "md5"), hash_fn
     thr = {k: np.uint64(rate_threshold(v)) for k, v in rates.items()}
     dthr = np.uint64(rate_threshold(default))
+    # rate 1.0 means keep-all, which `h < threshold` cannot express in
+    # uint64 (an all-ones hash would be dropped); resolve it per key
+    def _full(rate: float) -> bool:
+        return rate == 1.0
 
     def keep(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         if t.num_rows == 0:
             return t
-        enc = t[key_col]
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        enc = pc.dictionary_encode(enc)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        dic = enc.dictionary.to_pylist()
+        codes, dic = _key_codes(t, key_col)
         lut = np.array([thr.get(v, dthr) for v in dic] + [dthr],
                        dtype=np.uint64)
-        codes = np.asarray(
-            pc.fill_null(enc.indices.cast(pa.int64()), len(dic)).to_numpy(
-                zero_copy_only=False))
+        isfull = np.array(
+            [_full(rates.get(v, default)) for v in dic] + [_full(default)],
+            dtype=bool)
         h = _rank_hash(t[id_col], hash_fn)
-        return t.filter(pa.array(h < lut[codes]))
+        return t.filter(pa.array((h < lut[codes]) | isfull[codes]))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

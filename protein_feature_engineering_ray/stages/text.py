@@ -759,8 +759,10 @@ def topk_ngrams(
         heads = np.flatnonzero(_run_heads(ng))
         tot = np.add.reduceat(cnt, heads).astype(np.int64)
         uniq = ng.take(pa.array(heads, pa.int64()))
-        grams = np.asarray(uniq.to_numpy(zero_copy_only=False), dtype=object)
-        order = np.lexsort((grams, -tot))[:k]
+        # the input is ALREADY gram-ascending, so a stable count-only
+        # argsort yields exactly (count desc, gram asc) — no boxed-string
+        # lexsort (the sort_bucket dict-rank lesson)
+        order = np.argsort(-tot, kind="stable")[:k]
         return pa.table({"ngram": uniq.take(pa.array(order, pa.int64())),
                          "cnt": pa.array(tot[order], pa.int64())})
 

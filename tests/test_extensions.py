@@ -733,16 +733,20 @@ def test_rate_sample_matches_sql_oracle_nested_and_layout_invariant():
         return out.sort_values("doc_id").reset_index(drop=True)
 
     got = run(df, 3, rates, default=0.5)
-    case = " ".join(
-        f"WHEN '{k}' THEN CAST('{rate_threshold(v)}' AS UBIGINT)"
-        for k, v in rates.items())
-    dflt = f"CAST('{rate_threshold(0.5)}' AS UBIGINT)"
+
+    def cond(v):
+        # rate 1.0 is keep-all (the engine's semantics): literal TRUE
+        if v == 1.0:
+            return "TRUE"
+        return ("md5_number_lower(CAST(doc_id AS VARCHAR)) < "
+                f"CAST('{rate_threshold(v)}' AS UBIGINT)")
+
+    case = " ".join(f"WHEN '{k}' THEN {cond(v)}" for k, v in rates.items())
     con = duckdb.connect()
     con.register("documents", df)
     want = con.execute(f"""
         SELECT doc_id, source FROM documents
-        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) <
-              CASE source {case} ELSE {dflt} END
+        WHERE CASE source {case} ELSE {cond(0.5)} END
         ORDER BY doc_id""").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert 0 < len(got) < n
