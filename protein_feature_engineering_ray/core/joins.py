@@ -39,6 +39,20 @@ def _key_bucket(df: pd.DataFrame, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def _drop_null_keys(t: pa.Table, key_cols: list[str]) -> pa.Table:
+    """SQL null-key semantics: a null join key matches nothing — drop rows
+    with any null key (pandas merge would match NaN keys to each other)."""
+    import pyarrow.compute as pc
+
+    valid = None
+    for k in key_cols:
+        v = pc.is_valid(t[k])
+        valid = v if valid is None else pc.and_(valid, v)
+    if valid is not None and not pc.all(valid).as_py():
+        t = t.filter(valid)
+    return t
+
+
 def bucket_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -114,18 +128,10 @@ def bucket_join(
     def pad_right(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
             return pa.table({})
-        # SQL null-key semantics: a null join key matches nothing (pandas
-        # merge would match NaN keys to each other) — drop right rows with
-        # any null key; left null-key rows then fall through as non-matches
-        # (inner/semi drop them, left_outer/anti keep them unmatched).
-        import pyarrow.compute as pc
-
-        valid = None
-        for rk in right_on:
-            v = pc.is_valid(t[rk])
-            valid = v if valid is None else pc.and_(valid, v)
-        if valid is not None and not pc.all(valid).as_py():
-            t = t.filter(valid)
+        # drop right rows with any null key (_drop_null_keys); left
+        # null-key rows then fall through as non-matches (inner/semi drop
+        # them, left_outer/anti keep them unmatched).
+        t = _drop_null_keys(t, right_on)
         cols = {}
         for lk, rk in zip(on, right_on):
             cols[lk] = t[rk]
@@ -226,32 +232,33 @@ def flag_join(
 
     assert markers, "flag_join needs at least one marker set"
     names = list(markers)
-    bad = [n for n in names if n in (left_cols or []) or n in on]
-    assert not bad, f"flag names collide with left columns: {bad}"
+    assert len(names) <= 127, "flag_join supports at most 127 marker sets"
     if left_cols is not None:
         lnames = list(left_cols)
     else:
         lnames = list(left.schema().names)
+    bad = [n for n in names if n in lnames or n in on]
+    assert not bad, f"flag names collide with left columns: {bad}"
 
-    def canon_keys(t: pa.Table) -> list[np.ndarray]:
+    def canon_keys(t: pa.Table) -> tuple[list[np.ndarray], np.ndarray]:
         """Per-key-column canonical string form (Arrow cast — injective for
         a fixed key type, and crucially computed WITHOUT pandas conversion:
         a null-bearing int key column would otherwise promote to float64 on
         the side that holds the nulls and silently stop matching the other
-        side).  Nulls map to a sentinel that a marker side can never carry
-        (its null keys are filtered)."""
-        out = []
+        side) plus the rows' all-keys-valid mask.  Caveat shared with
+        ``bucket_join``: float keys follow canonical-form equality, so
+        -0.0 and 0.0 are distinct keys on either primitive."""
+        out, valid = [], np.ones(t.num_rows, dtype=bool)
         for k in on:
             c = t[k]
-            if isinstance(c, pa.ChunkedArray):
-                c = c.combine_chunks()
+            valid &= pc.is_valid(c).to_numpy(zero_copy_only=False)
             s = pc.fill_null(pc.cast(c, pa.string()), "\x00null")
             out.append(np.asarray(
                 s.to_numpy(zero_copy_only=False), dtype=object))
-        return out
+        return out, valid
 
     def key_bucket(t: pa.Table) -> pa.Array:
-        df = pd.DataFrame(dict(zip(on, canon_keys(t))))
+        df = pd.DataFrame(dict(zip(on, canon_keys(t)[0])))
         return pa.array(_key_bucket(df, num_buckets), pa.int32())
 
     def pad_left(t: pa.Table) -> pa.Table:
@@ -266,12 +273,7 @@ def flag_join(
         def fn(t: pa.Table) -> pa.Table:
             if t.num_columns == 0:
                 return pa.table({})
-            valid = None
-            for k in on:
-                v = pc.is_valid(t[k])
-                valid = v if valid is None else pc.and_(valid, v)
-            if valid is not None and not pc.all(valid).as_py():
-                t = t.filter(valid)
+            t = _drop_null_keys(t, on)
             cols = {k: t[k] for k in on}
             for c in lnames:
                 if c not in on:
@@ -288,15 +290,20 @@ def flag_join(
                 else pd.Index(keys[0]))
 
     def merge(g: pa.Table) -> pa.Table:
-        side = g[_SIDE]
-        L = g.filter(pc.equal(side, 0)).select(lnames)
-        lidx = _index(canon_keys(L))
+        # one scan of the side tags; markers probe on KEY columns only
+        # (payload columns never copy per marker)
+        side = g[_SIDE].to_numpy(zero_copy_only=False)
+        L = g.filter(pa.array(side == 0)).select(lnames)
+        lkeys, lvalid = canon_keys(L)
+        lidx = _index(lkeys)
+        gk = g.select(on)
         cols = {c: L[c] for c in lnames}
         for i, name in enumerate(names, start=1):
-            R = g.filter(pc.equal(side, i))
-            ridx = _index(canon_keys(R))
-            cols[name] = pa.array(
-                lidx.isin(ridx).astype(np.int64), pa.int64())
+            rkeys, _ = canon_keys(gk.filter(pa.array(side == i)))
+            # a left NULL key matches nothing, even the canonical sentinel
+            # string carried literally by some marker row
+            hit = lidx.isin(_index(rkeys)) & lvalid
+            cols[name] = pa.array(hit.astype(np.int64), pa.int64())
         return pa.table(cols)
 
     parts = [left.map_batches(pad_left, batch_format="pyarrow")]

@@ -708,6 +708,26 @@ def test_flag_join_membership_flags_one_exchange():
     ).to_pandas().sort_values("v").reset_index(drop=True)
     assert list(got2.hit) == [0, 0, 1, 1]
 
+    # flag-name collision refuses EVEN when left_cols is omitted (the
+    # schema-derived guard; a silent overwrite would lose the left column)
+    import pytest
+
+    with pytest.raises(AssertionError, match="collide"):
+        flag_join(ray.data.from_pandas(left2),
+                  {"v": ray.data.from_pandas(m2)}, on=["s", "i"],
+                  num_buckets=4)
+
+    # a marker carrying the null-canonicalization sentinel LITERALLY as a
+    # string key must not match a left NULL key (validity-masked probe) —
+    # but must match a left row whose string key really is that literal
+    left3 = pd.DataFrame({"k": ["a", None, "\x00null"], "v": [1, 2, 3]})
+    m3 = pd.DataFrame({"k": ["\x00null"]})
+    got3 = flag_join(
+        ray.data.from_pandas(left3), {"f": ray.data.from_pandas(m3)},
+        on=["k"], num_buckets=4,
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    assert list(got3.f) == [0, 0, 1]
+
 
 def test_bucket_join_randomized_vs_pandas_semantics():
     """Randomized armor for the engine's join primitive: for many random
